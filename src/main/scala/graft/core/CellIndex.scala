@@ -1,0 +1,101 @@
+package graft.core
+
+/** Quadtree cell index over plain lon/lat (EPSG:4326) space.
+  *
+  * Plays the role H3/S2 plays in the north star: a deterministic,
+  * dependency-free global grid whose cell ids are ordinary long columns, so
+  * spatial joins become equi-joins and Catalyst/AQE handle the rest. The
+  * reference's analog is its per-driver spatial indexes (CPLQuadTree
+  * port/cpl_quad_tree.h:48-72, FlatGeoBuf packed Hilbert R-tree
+  * ogr/ogrsf_frmts/flatgeobuf/packedrtree.h:78-139) — ours is a global
+  * key scheme instead of an in-memory structure, because the join is
+  * distributed.
+  *
+  * Grid: level L splits lon [-180,180) and lat [-90,90) each into 2^L bins
+  * (cells are 2:1 aspect in degrees; irrelevant for indexing correctness).
+  * Cell id layout = same pack as TileMath: (level<<58)|(x<<29)|y.
+  */
+object CellIndex {
+  val MaxLevel = 28
+
+  @inline def cellX(lon: Double, level: Int): Int = {
+    val n = 1 << level
+    val v = math.floor((lon + 180.0) / 360.0 * n).toInt
+    math.max(0, math.min(n - 1, v))
+  }
+
+  @inline def cellY(lat: Double, level: Int): Int = {
+    val n = 1 << level
+    val v = math.floor((90.0 - lat) / 180.0 * n).toInt
+    math.max(0, math.min(n - 1, v))
+  }
+
+  @inline def cell(lon: Double, lat: Double, level: Int): Long =
+    TileMath.pack(level, cellX(lon, level), cellY(lat, level))
+
+  /** All cells at `level` intersecting the lon/lat envelope (inclusive). */
+  def cover(minLon: Double, minLat: Double, maxLon: Double, maxLat: Double, level: Int): Array[Long] = {
+    val x0 = cellX(minLon, level); val x1 = cellX(maxLon, level)
+    val y0 = cellY(maxLat, level); val y1 = cellY(minLat, level)
+    val out = new Array[Long]((x1 - x0 + 1) * (y1 - y0 + 1))
+    var i = 0
+    var x = x0
+    while (x <= x1) {
+      var y = y0
+      while (y <= y1) { out(i) = TileMath.pack(level, x, y); i += 1; y += 1 }
+      x += 1
+    }
+    out
+  }
+
+  /** Pick a cover level so the envelope maps to ≤ maxCells cells (coarse
+    * geometries get coarse cells — bounds the explode factor). */
+  def adaptiveLevel(minLon: Double, minLat: Double, maxLon: Double, maxLat: Double,
+                    finest: Int, maxCells: Int): Int = {
+    var lvl = finest
+    while (lvl > 0) {
+      val nx = cellX(maxLon, lvl) - cellX(minLon, lvl) + 1
+      val ny = cellY(minLat, lvl) - cellY(maxLat, lvl) + 1
+      if (nx.toLong * ny <= maxCells) return lvl
+      lvl -= 1
+    }
+    0
+  }
+
+  /** Ring of cells at Chebyshev distance exactly `k` around a cell (the
+    * k-ring expansion step of the kNN search; k=0 → the cell itself). */
+  def ring(cellId: Long, k: Int): Array[Long] = {
+    val level = TileMath.unpackZ(cellId)
+    val cx = TileMath.unpackX(cellId)
+    val cy = TileMath.unpackY(cellId)
+    val n = 1 << level
+    if (k == 0) return Array(cellId)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var dx = -k
+    while (dx <= k) {
+      var dy = -k
+      while (dy <= k) {
+        if (math.max(math.abs(dx), math.abs(dy)) == k) {
+          // lon wraps around the antimeridian; lat clamps at the poles
+          val x = ((cx + dx) % n + n) % n
+          val y = cy + dy
+          if (y >= 0 && y < n) buf += TileMath.pack(level, x, y)
+        }
+        dy += 1
+      }
+      dx += 1
+    }
+    buf.toArray
+  }
+
+  /** Envelope of a cell: (minLon, minLat, maxLon, maxLat). */
+  def envelope(cellId: Long): (Double, Double, Double, Double) = {
+    val level = TileMath.unpackZ(cellId)
+    val n = 1 << level
+    val x = TileMath.unpackX(cellId)
+    val y = TileMath.unpackY(cellId)
+    val lonSpan = 360.0 / n
+    val latSpan = 180.0 / n
+    (-180.0 + x * lonSpan, 90.0 - (y + 1) * latSpan, -180.0 + (x + 1) * lonSpan, 90.0 - y * latSpan)
+  }
+}

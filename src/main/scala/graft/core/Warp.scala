@@ -1,0 +1,250 @@
+package graft.core
+
+/** Destination-driven warp/reproject of a single raster, the per-row kernel
+  * of the distributed warp operator.
+  *
+  * Semantics follow the reference's design (behavior only): for each dst
+  * pixel, inverse-transform its center to source pixel coordinates and apply
+  * the resampling kernel over the source neighborhood, honoring nodata
+  * (alg/gdalwarpoperation.cpp design doc :90-145; kernels per
+  * alg/gdalwarpkernel.cpp:102-136 — near/bilinear/cubic(Catmull-Rom) — and
+  * GWKAverageOrMode :194). The reference's chunking/thread machinery is NOT
+  * ported: Spark's task parallelism replaces it (one (image|tile) = one
+  * task), per SURVEY.md §3.2.
+  *
+  * Includes the reference's approx-transformer idea
+  * (alg/gdaltransformer.cpp:2633): when src/dst CRS differ, each scanline
+  * transforms only 3 points exactly and linearly interpolates the rest if
+  * the midpoint error < 0.125 px, cutting transcendental calls ~w/3×.
+  */
+object Warp {
+  val Near = "near"
+  val Bilinear = "bilinear"
+  val Cubic = "cubic"
+  val Average = "average"
+
+  def warp(src: Raster, srcGt: Array[Double], srcSrid: Int,
+           dstGt: Array[Double], dstSrid: Int, dw: Int, dh: Int,
+           kernel: String, nodata: Int = 0): Raster = {
+    val inv = GeoTransform.invert(srcGt).getOrElse(
+      throw new IllegalArgumentException("degenerate src geotransform"))
+    val out = Array.fill(src.nBands)(new Array[Int](dw * dh))
+    val sameCrs = srcSrid == dstSrid
+
+    // transform dst pixel center -> src pixel coords
+    @inline def toSrc(px: Double, py: Double): (Double, Double) = {
+      val gx = GeoTransform.applyX(dstGt, px, py)
+      val gy = GeoTransform.applyY(dstGt, px, py)
+      val (sx, sy) = if (sameCrs) (gx, gy) else CrsTransform.transform(dstSrid, srcSrid, gx, gy)
+      (GeoTransform.applyX(inv, sx, sy), GeoTransform.applyY(inv, sx, sy))
+    }
+
+    val srcXs = new Array[Double](dw)
+    val srcYs = new Array[Double](dw)
+
+    var py = 0
+    while (py < dh) {
+      fillScanline(toSrc, py + 0.5, dw, srcXs, srcYs, exact = sameCrs)
+      var px = 0
+      while (px < dw) {
+        val sx = srcXs(px)
+        val sy = srcYs(px)
+        var b = 0
+        while (b < src.nBands) {
+          out(b)(py * dw + px) = kernel match {
+            case Near => sampleNear(src.bands(b), src.w, src.h, sx, sy, nodata)
+            case Bilinear => sampleBilinear(src.bands(b), src.w, src.h, sx, sy, nodata)
+            case Cubic => sampleCubic(src.bands(b), src.w, src.h, sx, sy, nodata)
+            case Average => sampleAverageAt(src, b, toSrc, px, py, nodata)
+            case other => throw new IllegalArgumentException(s"unknown kernel $other")
+          }
+          b += 1
+        }
+        px += 1
+      }
+      py += 1
+    }
+    Raster(dw, dh, out)
+  }
+
+  /** Compute src pixel coords of a whole dst scanline. When `exact` (affine
+    * only — composition of affines is affine) 2 transforms + linear fill is
+    * exact; otherwise adaptively subdivide until midpoint error < 0.125 px. */
+  private def fillScanline(toSrc: (Double, Double) => (Double, Double), py: Double,
+                           dw: Int, xs: Array[Double], ys: Array[Double], exact: Boolean): Unit = {
+    val (x0, y0) = toSrc(0.5, py)
+    val (x1, y1) = toSrc(dw - 0.5, py)
+    if (dw == 1) { xs(0) = x0; ys(0) = y0; return }
+    if (exact) {
+      val dx = (x1 - x0) / (dw - 1)
+      val dy = (y1 - y0) / (dw - 1)
+      var i = 0
+      while (i < dw) { xs(i) = x0 + i * dx; ys(i) = y0 + i * dy; i += 1 }
+    } else {
+      xs(0) = x0; ys(0) = y0; xs(dw - 1) = x1; ys(dw - 1) = y1
+      subdivide(toSrc, py, 0, dw - 1, xs, ys)
+    }
+  }
+
+  private def subdivide(toSrc: (Double, Double) => (Double, Double), py: Double,
+                        i0: Int, i1: Int, xs: Array[Double], ys: Array[Double]): Unit = {
+    if (i1 - i0 <= 1) return
+    val mid = (i0 + i1) / 2
+    val (mx, my) = toSrc(mid + 0.5, py)
+    xs(mid) = mx; ys(mid) = my
+    val t = (mid - i0).toDouble / (i1 - i0)
+    val lx = xs(i0) + t * (xs(i1) - xs(i0))
+    val ly = ys(i0) + t * (ys(i1) - ys(i0))
+    val err = math.max(math.abs(lx - mx), math.abs(ly - my))
+    if (err < 0.125) {
+      // both halves linear
+      var i = i0 + 1
+      while (i < i1) {
+        if (i != mid) {
+          if (i < mid) {
+            val tt = (i - i0).toDouble / (mid - i0)
+            xs(i) = xs(i0) + tt * (mx - xs(i0)); ys(i) = ys(i0) + tt * (my - ys(i0))
+          } else {
+            val tt = (i - mid).toDouble / (i1 - mid)
+            xs(i) = mx + tt * (xs(i1) - mx); ys(i) = my + tt * (ys(i1) - my)
+          }
+        }
+        i += 1
+      }
+    } else {
+      subdivide(toSrc, py, i0, mid, xs, ys)
+      subdivide(toSrc, py, mid, i1, xs, ys)
+    }
+  }
+
+  @inline def sampleNear(band: Array[Int], w: Int, h: Int, sx: Double, sy: Double, nodata: Int): Int = {
+    val x = math.floor(sx).toInt
+    val y = math.floor(sy).toInt
+    if (x < 0 || x >= w || y < 0 || y >= h) nodata else band(y * w + x)
+  }
+
+  @inline private def pix(band: Array[Int], w: Int, h: Int, x: Int, y: Int): Int = {
+    val cx = if (x < 0) 0 else if (x >= w) w - 1 else x
+    val cy = if (y < 0) 0 else if (y >= h) h - 1 else y
+    band(cy * w + cx)
+  }
+
+  def sampleBilinear(band: Array[Int], w: Int, h: Int, sx: Double, sy: Double, nodata: Int): Int = {
+    if (sx < 0 || sx > w || sy < 0 || sy > h) return nodata
+    val fx = sx - 0.5
+    val fy = sy - 0.5
+    val x0 = math.floor(fx).toInt
+    val y0 = math.floor(fy).toInt
+    val tx = fx - x0
+    val ty = fy - y0
+    val v00 = pix(band, w, h, x0, y0)
+    val v10 = pix(band, w, h, x0 + 1, y0)
+    val v01 = pix(band, w, h, x0, y0 + 1)
+    val v11 = pix(band, w, h, x0 + 1, y0 + 1)
+    val v = v00 * (1 - tx) * (1 - ty) + v10 * tx * (1 - ty) + v01 * (1 - tx) * ty + v11 * tx * ty
+    clamp255(math.floor(v + 0.5).toInt)
+  }
+
+  /** Catmull-Rom cubic (the reference's "cubic", a = -0.5). */
+  def sampleCubic(band: Array[Int], w: Int, h: Int, sx: Double, sy: Double, nodata: Int): Int = {
+    if (sx < 0 || sx > w || sy < 0 || sy > h) return nodata
+    val fx = sx - 0.5
+    val fy = sy - 0.5
+    val x0 = math.floor(fx).toInt
+    val y0 = math.floor(fy).toInt
+    val tx = fx - x0
+    val ty = fy - y0
+    @inline def cw(t: Double): (Double, Double, Double, Double) = {
+      val t2 = t * t; val t3 = t2 * t
+      (-0.5 * t3 + t2 - 0.5 * t,
+        1.5 * t3 - 2.5 * t2 + 1.0,
+        -1.5 * t3 + 2.0 * t2 + 0.5 * t,
+        0.5 * t3 - 0.5 * t2)
+    }
+    val (wx0, wx1, wx2, wx3) = cw(tx)
+    val (wy0, wy1, wy2, wy3) = cw(ty)
+    var acc = 0.0
+    var j = -1
+    var wyIdx = 0
+    val wys = Array(wy0, wy1, wy2, wy3)
+    val wxs = Array(wx0, wx1, wx2, wx3)
+    while (j <= 2) {
+      var i = -1
+      var rowAcc = 0.0
+      while (i <= 2) {
+        rowAcc += wxs(i + 1) * pix(band, w, h, x0 + i, y0 + j)
+        i += 1
+      }
+      acc += wys(wyIdx) * rowAcc
+      j += 1
+      wyIdx += 1
+    }
+    clamp255(math.floor(acc + 0.5).toInt)
+  }
+
+  /** Average of src pixels whose centers fall inside the dst pixel's source
+    * quad (for downsampling / overview builds). */
+  private def sampleAverageAt(src: Raster, b: Int, toSrc: (Double, Double) => (Double, Double),
+                              px: Int, py: Int, nodata: Int): Int = {
+    val (x0, y0) = toSrc(px.toDouble, py.toDouble)
+    val (x1, y1) = toSrc(px + 1.0, py + 1.0)
+    val minx = math.min(x0, x1); val maxx = math.max(x0, x1)
+    val miny = math.min(y0, y1); val maxy = math.max(y0, y1)
+    val ix0 = math.max(0, math.floor(minx).toInt)
+    val ix1 = math.min(src.w - 1, math.ceil(maxx).toInt - 1)
+    val iy0 = math.max(0, math.floor(miny).toInt)
+    val iy1 = math.min(src.h - 1, math.ceil(maxy).toInt - 1)
+    if (ix1 < ix0 || iy1 < iy0)
+      return sampleNear(src.bands(b), src.w, src.h, (minx + maxx) / 2, (miny + maxy) / 2, nodata)
+    var sum = 0L
+    var cnt = 0
+    var y = iy0
+    while (y <= iy1) {
+      var x = ix0
+      while (x <= ix1) {
+        sum += src.bands(b)(y * src.w + x)
+        cnt += 1
+        x += 1
+      }
+      y += 1
+    }
+    if (cnt == 0) nodata else clamp255(math.floor(sum.toDouble / cnt + 0.5).toInt)
+  }
+
+  /** 2× box-average downsample, the overview/pyramid reduce step
+    * (gcore/overview.cpp average path semantics for the even case). */
+  def downsample2x(r: Raster): Raster = {
+    val dw = (r.w + 1) / 2
+    val dh = (r.h + 1) / 2
+    val out = Array.fill(r.nBands)(new Array[Int](dw * dh))
+    var b = 0
+    while (b < r.nBands) {
+      val band = r.bands(b)
+      var y = 0
+      while (y < dh) {
+        var x = 0
+        while (x < dw) {
+          var sum = 0
+          var cnt = 0
+          var dy = 0
+          while (dy < 2) {
+            var dx = 0
+            while (dx < 2) {
+              val sx2 = 2 * x + dx; val sy2 = 2 * y + dy
+              if (sx2 < r.w && sy2 < r.h) { sum += band(sy2 * r.w + sx2); cnt += 1 }
+              dx += 1
+            }
+            dy += 1
+          }
+          out(b)(y * dw + x) = math.floor(sum.toDouble / cnt + 0.5).toInt
+          x += 1
+        }
+        y += 1
+      }
+      b += 1
+    }
+    Raster(dw, dh, out)
+  }
+
+  @inline private def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+}

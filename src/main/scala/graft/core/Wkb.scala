@@ -1,0 +1,176 @@
+package graft.core
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Minimal Simple-Features WKB codec (2-D Point / LineString / Polygon /
+  * MultiPolygon), matching the encoding the reference reads/writes
+  * (ogr/ogr_geometry.h:454-484). Geometries travel through DataFrames as
+  * plain `binary` columns; expressions decode on the fly.
+  *
+  * `envelope(wkb)` computes the bbox WITHOUT materializing a geometry
+  * object — the trick of ogr/ogr_wkb.cpp used by FilterWKBGeometry
+  * (ogrlayer.cpp:4080+) that makes the bbox pre-filter nearly free.
+  */
+object Wkb {
+  val PointType = 1
+  val LineStringType = 2
+  val PolygonType = 3
+  val MultiPolygonType = 6
+
+  /** A polygon: outer ring first, then holes. Ring = flat Array(x0,y0,x1,y1,…),
+    * closed (first point repeated last). */
+  final case class Polygon(rings: Array[Array[Double]])
+
+  final case class Geom(geomType: Int, polygons: Array[Polygon], points: Array[Double])
+
+  // ---- writing -------------------------------------------------------------
+
+  def writePoint(x: Double, y: Double): Array[Byte] = {
+    val bb = ByteBuffer.allocate(21).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(1: Byte).putInt(PointType).putDouble(x).putDouble(y)
+    bb.array()
+  }
+
+  def writePolygon(rings: Array[Array[Double]]): Array[Byte] = {
+    var size = 9
+    rings.foreach(r => size += 4 + 8 * r.length)
+    val bb = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(1: Byte).putInt(PolygonType).putInt(rings.length)
+    rings.foreach { r =>
+      bb.putInt(r.length / 2)
+      r.foreach(bb.putDouble)
+    }
+    bb.array()
+  }
+
+  def writeMultiPolygon(polys: Array[Array[Array[Double]]]): Array[Byte] = {
+    val parts = polys.map(writePolygon)
+    val bb = ByteBuffer.allocate(9 + parts.map(_.length).sum).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(1: Byte).putInt(MultiPolygonType).putInt(parts.length)
+    parts.foreach(bb.put)
+    bb.array()
+  }
+
+  /** Axis-aligned box helper (the most common fixture/regions shape). */
+  def writeBox(minx: Double, miny: Double, maxx: Double, maxy: Double): Array[Byte] =
+    writePolygon(Array(Array(minx, miny, maxx, miny, maxx, maxy, minx, maxy, minx, miny)))
+
+  // ---- reading -------------------------------------------------------------
+
+  private def order(b: Array[Byte], off: Int): ByteOrder =
+    if (b(off) == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+
+  def geomType(wkb: Array[Byte]): Int = {
+    val bb = ByteBuffer.wrap(wkb, 1, 4).order(order(wkb, 0))
+    bb.getInt & 0xFFFF // mask Z/M/SRID flag variants
+  }
+
+  def readPoint(wkb: Array[Byte]): (Double, Double) = {
+    val bb = ByteBuffer.wrap(wkb).order(order(wkb, 0))
+    bb.get(); bb.getInt()
+    (bb.getDouble, bb.getDouble)
+  }
+
+  def readPolygon(wkb: Array[Byte]): Polygon = {
+    val bb = ByteBuffer.wrap(wkb).order(order(wkb, 0))
+    bb.get(); bb.getInt()
+    readPolygonBody(bb)
+  }
+
+  private def readPolygonBody(bb: ByteBuffer): Polygon = {
+    val nRings = bb.getInt
+    val rings = new Array[Array[Double]](nRings)
+    var r = 0
+    while (r < nRings) {
+      val nPts = bb.getInt
+      val ring = new Array[Double](nPts * 2)
+      var i = 0
+      while (i < ring.length) { ring(i) = bb.getDouble; i += 1 }
+      rings(r) = ring
+      r += 1
+    }
+    Polygon(rings)
+  }
+
+  /** Read any supported geometry into polygon list + optional point coords. */
+  def read(wkb: Array[Byte]): Geom = {
+    val bb = ByteBuffer.wrap(wkb).order(order(wkb, 0))
+    bb.get()
+    val t = bb.getInt & 0xFFFF
+    t match {
+      case PointType =>
+        Geom(t, Array.empty, Array(bb.getDouble, bb.getDouble))
+      case PolygonType =>
+        Geom(t, Array(readPolygonBody(bb)), Array.empty)
+      case MultiPolygonType =>
+        val n = bb.getInt
+        val polys = new Array[Polygon](n)
+        var i = 0
+        while (i < n) {
+          bb.get(); bb.getInt() // inner byte order + type (assume same order)
+          polys(i) = readPolygonBody(bb)
+          i += 1
+        }
+        Geom(t, polys, Array.empty)
+      case LineStringType =>
+        val nPts = bb.getInt
+        val coords = new Array[Double](nPts * 2)
+        var i = 0
+        while (i < coords.length) { coords(i) = bb.getDouble; i += 1 }
+        Geom(t, Array.empty, coords)
+      case other => throw new IllegalArgumentException(s"unsupported wkb type $other")
+    }
+  }
+
+  /** (minx,miny,maxx,maxy) streamed directly off the bytes. */
+  def envelope(wkb: Array[Byte]): (Double, Double, Double, Double) = {
+    val bb = ByteBuffer.wrap(wkb).order(order(wkb, 0))
+    bb.get()
+    var minx = Double.MaxValue; var miny = Double.MaxValue
+    var maxx = -Double.MaxValue; var maxy = -Double.MaxValue
+    @inline def take(): Unit = {
+      val x = bb.getDouble; val y = bb.getDouble
+      if (x < minx) minx = x; if (x > maxx) maxx = x
+      if (y < miny) miny = y; if (y > maxy) maxy = y
+    }
+    def rings(): Unit = {
+      val nRings = bb.getInt
+      var r = 0
+      while (r < nRings) {
+        val nPts = bb.getInt
+        var i = 0
+        while (i < nPts) { take(); i += 1 }
+        r += 1
+      }
+    }
+    bb.getInt & 0xFFFF match {
+      case PointType => take()
+      case LineStringType =>
+        val n = bb.getInt; var i = 0
+        while (i < n) { take(); i += 1 }
+      case PolygonType => rings()
+      case MultiPolygonType =>
+        val n = bb.getInt; var i = 0
+        while (i < n) { bb.get(); bb.getInt(); rings(); i += 1 }
+      case other => throw new IllegalArgumentException(s"unsupported wkb type $other")
+    }
+    (minx, miny, maxx, maxy)
+  }
+
+  /** WKT rendering for test assertions (polygonize goldens). */
+  def toWkt(wkb: Array[Byte]): String = {
+    val g = read(wkb)
+    def ringStr(r: Array[Double]): String =
+      r.grouped(2).map(p => s"${fmt(p(0))} ${fmt(p(1))}").mkString("(", ",", ")")
+    def polyStr(p: Polygon): String = p.rings.map(ringStr).mkString("(", ",", ")")
+    g.geomType match {
+      case PointType => s"POINT (${fmt(g.points(0))} ${fmt(g.points(1))})"
+      case PolygonType => s"POLYGON ${polyStr(g.polygons(0))}"
+      case MultiPolygonType => s"MULTIPOLYGON ${g.polygons.map(polyStr).mkString("(", ",", ")")}"
+      case LineStringType => s"LINESTRING ${ringStr(g.points)}"
+    }
+  }
+
+  private def fmt(d: Double): String =
+    if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString else d.toString
+}
