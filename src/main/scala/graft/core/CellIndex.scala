@@ -88,6 +88,30 @@ object CellIndex {
     buf.toArray
   }
 
+  /** All cells at Chebyshev distance ≤ r (rings 0..r) — the kNN candidate
+    * block; lon wraps, lat clamps. */
+  def block(cellId: Long, r: Int): Array[Long] = {
+    val level = TileMath.unpackZ(cellId)
+    val cx = TileMath.unpackX(cellId)
+    val cy = TileMath.unpackY(cellId)
+    val n = 1 << level
+    val buf = new scala.collection.mutable.ArrayBuffer[Long]((2 * r + 1) * (2 * r + 1))
+    var dy = -r
+    while (dy <= r) {
+      val y = cy + dy
+      if (y >= 0 && y < n) {
+        var dx = -r
+        while (dx <= r) {
+          val x = ((cx + dx) % n + n) % n
+          buf += TileMath.pack(level, x, y)
+          dx += 1
+        }
+      }
+      dy += 1
+    }
+    buf.distinct.toArray // low levels: lon wrap can alias cells
+  }
+
   /** Envelope of a cell: (minLon, minLat, maxLon, maxLat). */
   def envelope(cellId: Long): (Double, Double, Double, Double) = {
     val level = TileMath.unpackZ(cellId)

@@ -1,0 +1,359 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import graft.core._
+
+/** Heavy per-row raster expressions. These do O(tile-pixels) work per call,
+  * so codegen of the call site is irrelevant — CodegenFallback keeps the
+  * surrounding stage compiled and just virtual-calls eval() here (same
+  * shape as the reference's per-chunk warp kernel calls,
+  * alg/gdalwarpkernel.cpp PerformWarp).
+  *
+  * Buffer convention ("planes buffer"): warped tile pixels travel between
+  * stages as a single binary column of (nBands+1) planes of tileSize²
+  * bytes — band planes then a 0/1 validity plane. Compact, shuffle-friendly,
+  * and mergeable without decoding.
+  */
+object PlaneBuf {
+  val TileSize = 256
+  val PlanePx: Int = TileSize * TileSize
+
+  def nPlanes(buf: Array[Byte]): Int = buf.length / PlanePx
+
+  def toRaster(buf: Array[Byte]): (Raster, Array[Byte]) = {
+    val planes = nPlanes(buf)
+    val bands = planes - 1
+    val out = Array.ofDim[Array[Int]](bands)
+    var b = 0
+    while (b < bands) {
+      val arr = new Array[Int](PlanePx)
+      var i = 0
+      val off = b * PlanePx
+      while (i < PlanePx) { arr(i) = buf(off + i) & 0xFF; i += 1 }
+      out(b) = arr
+      b += 1
+    }
+    val validity = java.util.Arrays.copyOfRange(buf, bands * PlanePx, planes * PlanePx)
+    (Raster(TileSize, TileSize, out), validity)
+  }
+
+  def fromRaster(r: Raster, validity: Array[Byte]): Array[Byte] = {
+    val buf = new Array[Byte]((r.nBands + 1) * PlanePx)
+    var b = 0
+    while (b < r.nBands) {
+      val band = r.bands(b)
+      val off = b * PlanePx
+      var i = 0
+      while (i < PlanePx) { buf(off + i) = band(i).toByte; i += 1 }
+      b += 1
+    }
+    System.arraycopy(validity, 0, buf, r.nBands * PlanePx, PlanePx)
+    buf
+  }
+}
+
+/** warp_tile(bytes, fmt, meta9, tile, kernel) → planes buffer.
+  * meta9 = [w, h, srid, gt0..gt5]. Warps the source image onto WebMercator
+  * tile `tile` (packed z/x/y) at 256², marking out-of-source pixels invalid. */
+case class WarpTile(children: Seq[Expression]) extends Expression with ExpectsInputTypes with CodegenFallback {
+  require(children.length == 5, "warp_tile(bytes, fmt, meta9, tile, kernel)")
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(BinaryType, StringType, ArrayType(DoubleType), LongType, StringType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "warp_tile"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    if (vals.exists(_ == null)) return null
+    val bytes = vals(0).asInstanceOf[Array[Byte]]
+    val fmt = vals(1).toString
+    val meta = vals(2).asInstanceOf[ArrayData].toDoubleArray()
+    val tile = vals(3).asInstanceOf[Long]
+    val kernel = vals(4).toString
+    WarpKernels.warpToTile(bytes, fmt, meta, tile, kernel)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): WarpTile = copy(children = c)
+}
+
+/** downsample_to_parent(buf, tile) → planes buffer of the PARENT tile with
+  * this child's 2×-downsampled content placed in its quadrant — the
+  * overview/pyramid reduce step (z−1 tile from 4 z children,
+  * apps/gdalalg_raster_tile.cpp:1487 semantics). Mosaic-agg the 4 results. */
+case class DownsampleToParent(left: Expression, right: Expression)
+    extends Expression with ExpectsInputTypes with CodegenFallback {
+  override def children: Seq[Expression] = Seq(left, right)
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(BinaryType, LongType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "downsample_to_parent"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val b = left.eval(input)
+    val t = right.eval(input)
+    if (b == null || t == null) null
+    else WarpKernels.downsampleToParent(b.asInstanceOf[Array[Byte]], t.asInstanceOf[Long])
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): DownsampleToParent =
+    DownsampleToParent(c(0), c(1))
+}
+
+/** encode_png_planes(buf) → PNG bytes of the band planes (validity ignored;
+  * invalid pixels are already 0 = the tile app's transparent analog). */
+case class EncodePngPlanes(child: Expression)
+    extends Expression with ExpectsInputTypes with CodegenFallback {
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "encode_png_planes"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val b = child.eval(input)
+    if (b == null) null
+    else {
+      val (raster, _) = PlaneBuf.toRaster(b.asInstanceOf[Array[Byte]])
+      ImageCodec.encodePng(raster)
+    }
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): EncodePngPlanes =
+    EncodePngPlanes(c(0))
+}
+
+/** planes_checksums(buf) → array<int> GDAL checksum of every plane
+  * (validity plane included last — drop it if unwanted). */
+case class PlanesChecksums(child: Expression)
+    extends Expression with ExpectsInputTypes with CodegenFallback {
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "planes_checksums"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val b = child.eval(input)
+    if (b == null) null
+    else {
+      val buf = b.asInstanceOf[Array[Byte]]
+      val n = PlaneBuf.nPlanes(buf)
+      val out = new Array[Int](n)
+      var p = 0
+      while (p < n) {
+        val plane = java.util.Arrays.copyOfRange(buf, p * PlaneBuf.PlanePx, (p + 1) * PlaneBuf.PlanePx)
+        out(p) = GdalChecksum.ofBytes(plane, PlaneBuf.TileSize, PlaneBuf.TileSize)
+        p += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): PlanesChecksums =
+    PlanesChecksums(c(0))
+}
+
+/** zone_stats(bytes, fmt, meta9, zoneWkb) → array<double>
+  * [count, min, max, sum] of band-0 pixels whose centers fall inside the
+  * zone polygon (zonal statistics inner kernel, alg/zonal.cpp:274
+  * semantics; fractional coverage weighting not implemented — counts use
+  * the same center rule as rasterize). Partials combine per zone. */
+case class ZoneStats(children: Seq[Expression]) extends Expression with ExpectsInputTypes with CodegenFallback {
+  require(children.length == 4, "zone_stats(bytes, fmt, meta9, zone_wkb)")
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(BinaryType, StringType, ArrayType(DoubleType), BinaryType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "zone_stats"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    if (vals.exists(_ == null)) return null
+    WarpKernels.zoneStats(
+      vals(0).asInstanceOf[Array[Byte]], vals(1).toString,
+      vals(2).asInstanceOf[ArrayData].toDoubleArray(), vals(3).asInstanceOf[Array[Byte]])
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): ZoneStats = copy(children = c)
+}
+
+/** rasterize_count(wkb, meta9) → int: burn the polygon into a fresh grid of
+  * meta9's shape and count burned pixels (gdal_rasterize §2.8 kernel; count
+  * is closed-form checkable for boxes). */
+case class RasterizeCount(left: Expression, right: Expression)
+    extends Expression with ExpectsInputTypes with CodegenFallback {
+  override def children: Seq[Expression] = Seq(left, right)
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(BinaryType, ArrayType(DoubleType))
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "rasterize_count"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val wkb = left.eval(input)
+    val m = right.eval(input)
+    if (wkb == null || m == null) return null
+    val meta = m.asInstanceOf[ArrayData].toDoubleArray()
+    val w = meta(0).toInt; val h = meta(1).toInt
+    val gt = java.util.Arrays.copyOfRange(meta, 3, 9)
+    val grid = Rasterize.rasterize(w, h, gt, Seq((wkb.asInstanceOf[Array[Byte]], 1)))
+    var n = 0
+    var i = 0
+    while (i < grid.length) { if (grid(i) != 0) n += 1; i += 1 }
+    n
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): RasterizeCount =
+    RasterizeCount(c(0), c(1))
+}
+
+/** polygonize_regions(bytes, fmt, meta9, connect8, shift) → array<struct<
+  * value:int, pixels:int, wkb:binary>> — per-image raster→vector regions
+  * (§2.8); pixels are pre-quantized by `value >> shift` (shift=0 = raw). */
+case class PolygonizeRegions(children: Seq[Expression]) extends Expression with ExpectsInputTypes with CodegenFallback {
+  require(children.length == 5, "polygonize_regions(bytes, fmt, meta9, connect8, shift)")
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(BinaryType, StringType, ArrayType(DoubleType), BooleanType, IntegerType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("value", IntegerType, nullable = false),
+    StructField("pixels", IntegerType, nullable = false),
+    StructField("wkb", BinaryType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "polygonize_regions"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    if (vals.exists(_ == null)) return null
+    WarpKernels.polygonizeRegions(
+      vals(0).asInstanceOf[Array[Byte]], vals(1).toString,
+      vals(2).asInstanceOf[ArrayData].toDoubleArray(), vals(3).asInstanceOf[Boolean],
+      vals(4).asInstanceOf[Int])
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): PolygonizeRegions =
+    copy(children = c)
+}
+
+object WarpKernels {
+  import PlaneBuf.{PlanePx, TileSize}
+
+  def warpToTile(bytes: Array[Byte], fmt: String, meta: Array[Double], tile: Long, kernel: String): Array[Byte] = {
+    val w = meta(0).toInt; val h = meta(1).toInt; val srid = meta(2).toInt
+    val gt = java.util.Arrays.copyOfRange(meta, 3, 9)
+    val decoded = ImageCodec.decode(bytes, fmt, w, h)
+    // tiles mosaic across images of mixed band counts → normalize to RGB
+    // (the tile app's PNG output is band-expanded the same way)
+    val src = if (decoded.nBands == 3) decoded
+      else Raster(decoded.w, decoded.h, Array(decoded.bands(0), decoded.bands(0), decoded.bands(0)))
+    val z = TileMath.unpackZ(tile); val x = TileMath.unpackX(tile); val y = TileMath.unpackY(tile)
+    val dstGt = TileMath.tileGeoTransform(z, x, y)
+    val nodata = -1
+    val warped = Warp.warp(src, gt, srid, dstGt, 3857, TileSize, TileSize, kernel, nodata)
+    val validity = new Array[Byte](PlanePx)
+    val bands = Array.fill(warped.nBands)(new Array[Int](PlanePx))
+    var i = 0
+    while (i < PlanePx) {
+      var valid = true
+      var b = 0
+      while (b < warped.nBands) {
+        val v = warped.bands(b)(i)
+        if (v == nodata) valid = false else bands(b)(i) = v
+        b += 1
+      }
+      validity(i) = if (valid) 1 else 0
+      i += 1
+    }
+    PlaneBuf.fromRaster(Raster(TileSize, TileSize, bands), validity)
+  }
+
+  def downsampleToParent(buf: Array[Byte], tile: Long): Array[Byte] = {
+    val z = TileMath.unpackZ(tile); val x = TileMath.unpackX(tile); val y = TileMath.unpackY(tile)
+    val (r, validity) = PlaneBuf.toRaster(buf)
+    val half = TileSize / 2
+    val qx = (x & 1) * half
+    val qy = (y & 1) * half
+    val outBands = Array.fill(r.nBands)(new Array[Int](PlanePx))
+    val outValid = new Array[Byte](PlanePx)
+    var oy = 0
+    while (oy < half) {
+      var ox = 0
+      while (ox < half) {
+        // 2×2 box average of valid child pixels
+        var b = 0
+        var anyValid = false
+        var validCount = 0
+        var dy = 0
+        while (dy < 2) {
+          var dx = 0
+          while (dx < 2) {
+            if (validity((2 * oy + dy) * TileSize + 2 * ox + dx) != 0) { validCount += 1; anyValid = true }
+            dx += 1
+          }
+          dy += 1
+        }
+        val outIdx = (qy + oy) * TileSize + (qx + ox)
+        if (anyValid) {
+          outValid(outIdx) = 1
+          b = 0
+          while (b < r.nBands) {
+            var sum = 0
+            var dy2 = 0
+            while (dy2 < 2) {
+              var dx2 = 0
+              while (dx2 < 2) {
+                val ci = (2 * oy + dy2) * TileSize + 2 * ox + dx2
+                if (validity(ci) != 0) sum += r.bands(b)(ci)
+                dx2 += 1
+              }
+              dy2 += 1
+            }
+            outBands(b)(outIdx) = math.floor(sum.toDouble / validCount + 0.5).toInt
+            b += 1
+          }
+        }
+        ox += 1
+      }
+      oy += 1
+    }
+    PlaneBuf.fromRaster(Raster(TileSize, TileSize, outBands), outValid)
+  }
+
+  def zoneStats(bytes: Array[Byte], fmt: String, meta: Array[Double], zoneWkb: Array[Byte]): ArrayData = {
+    val w = meta(0).toInt; val h = meta(1).toInt
+    val gt = java.util.Arrays.copyOfRange(meta, 3, 9)
+    val src = ImageCodec.decode(bytes, fmt, w, h)
+    // burn zone mask then fold band 0 under it (filter-refine: mask first)
+    val mask = Rasterize.rasterize(w, h, gt, Seq((zoneWkb, 1)))
+    var count = 0L; var mn = Double.MaxValue; var mx = -Double.MaxValue; var sum = 0.0
+    val b0 = src.bands(0)
+    var i = 0
+    while (i < b0.length) {
+      if (mask(i) != 0) {
+        val v = b0(i).toDouble
+        count += 1
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        sum += v
+      }
+      i += 1
+    }
+    if (count == 0) new GenericArrayData(Array(0.0, 0.0, 0.0, 0.0))
+    else new GenericArrayData(Array(count.toDouble, mn, mx, sum))
+  }
+
+  def polygonizeRegions(bytes: Array[Byte], fmt: String, meta: Array[Double], connect8: Boolean,
+                        shift: Int): ArrayData = {
+    val w = meta(0).toInt; val h = meta(1).toInt
+    val gt = java.util.Arrays.copyOfRange(meta, 3, 9)
+    val src = ImageCodec.decode(bytes, fmt, w, h)
+    val band = if (shift == 0) src.bands(0) else src.bands(0).map(_ >> shift)
+    val regions = Polygonize.polygonize(band, w, h, gt, connect8)
+    val rows = regions.map { r =>
+      org.apache.spark.sql.catalyst.InternalRow(r.value, r.pixelCount, r.wkb)
+    }
+    new GenericArrayData(rows.toArray[Any])
+  }
+}

@@ -1,0 +1,179 @@
+package graft.expr
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.graft.Bridge.{column => toCol, expression => toExpr}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+
+/** cell_block(cell, r) → array<long>: rings 0..r around a cell (kNN
+  * candidate fetch, quadtree-radius-search analog of alg/gdalgrid.cpp:277). */
+case class CellBlock(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(LongType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cell_block"
+  override protected def nullSafeEval(cell: Any, r: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      graft.core.CellIndex.block(cell.asInstanceOf[Long], r.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, (c, r) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.core.CellIndex.block($c, $r))")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CellBlock =
+    copy(left = l, right = r)
+}
+
+/** Column-API facade over the custom expressions (the library's public
+  * function surface, mirroring org.apache.spark.sql.functions style). */
+object functions {
+  def cell_of(lon: Column, lat: Column, level: Int): Column =
+    toCol(CellOf(toExpr(lon), toExpr(lat), org.apache.spark.sql.catalyst.expressions.Literal(level)))
+
+  def cell_block(cell: Column, r: Column): Column =
+    toCol(CellBlock(toExpr(cell), toExpr(r)))
+
+  def st_env(wkb: Column): Column = toCol(WkbEnvelope(toExpr(wkb)))
+
+  def st_contains_point(wkb: Column, lon: Column, lat: Column): Column =
+    toCol(StContainsPoint(toExpr(wkb), toExpr(lon), toExpr(lat)))
+
+  def st_intersects_env(wkb: Column, env: Column): Column =
+    toCol(StIntersectsEnv(toExpr(wkb), toExpr(env)))
+
+  def cells_covering(env: Column, finest: Int, maxCells: Int): Column =
+    toCol(CellsCovering(toExpr(env),
+      org.apache.spark.sql.catalyst.expressions.Literal(finest),
+      org.apache.spark.sql.catalyst.expressions.Literal(maxCells)))
+
+  def cells_at(env: Column, level: Int): Column =
+    toCol(CellsAt(toExpr(env), org.apache.spark.sql.catalyst.expressions.Literal(level)))
+
+  def tile_cover(env: Column, zmin: Int, zmax: Int): Column =
+    toCol(TileCover(toExpr(env),
+      org.apache.spark.sql.catalyst.expressions.Literal(zmin),
+      org.apache.spark.sql.catalyst.expressions.Literal(zmax)))
+
+  def footprint(gt: Column, w: Column, h: Column, srid: Column): Column =
+    toCol(Footprint(toExpr(gt), toExpr(w), toExpr(h), toExpr(srid)))
+
+  def checksum_bands(bytes: Column, fmt: Column, w: Column, h: Column): Column =
+    toCol(ChecksumBands(toExpr(bytes), toExpr(fmt), toExpr(w), toExpr(h)))
+
+  def image_stats(bytes: Column, fmt: Column, w: Column, h: Column): Column =
+    toCol(ImageStats(toExpr(bytes), toExpr(fmt), toExpr(w), toExpr(h)))
+
+  def phash64(bytes: Column, fmt: Column, w: Column, h: Column): Column =
+    toCol(Phash64(toExpr(bytes), toExpr(fmt), toExpr(w), toExpr(h)))
+
+  def merc_xy(lon: Column, lat: Column): Column = toCol(MercXY(toExpr(lon), toExpr(lat)))
+
+  def tile_xy(lon: Column, lat: Column, z: Int): Column =
+    toCol(TileXY(toExpr(lon), toExpr(lat), org.apache.spark.sql.catalyst.expressions.Literal(z)))
+
+  def quadkey(z: Column, x: Column, y: Column): Column =
+    toCol(QuadkeyExpr(toExpr(z), toExpr(x), toExpr(y)))
+
+  def warp_tile(bytes: Column, fmt: Column, meta9: Column, tile: Column, kernel: Column): Column =
+    toCol(WarpTile(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(tile), toExpr(kernel))))
+
+  def downsample_to_parent(buf: Column, tile: Column): Column =
+    toCol(DownsampleToParent(toExpr(buf), toExpr(tile)))
+
+  def encode_png_planes(buf: Column): Column = toCol(EncodePngPlanes(toExpr(buf)))
+
+  def planes_checksums(buf: Column): Column = toCol(PlanesChecksums(toExpr(buf)))
+
+  def zone_stats(bytes: Column, fmt: Column, meta9: Column, zoneWkb: Column): Column =
+    toCol(ZoneStats(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(zoneWkb))))
+
+  def polygonize_regions(bytes: Column, fmt: Column, meta9: Column, connect8: Column, shift: Column): Column =
+    toCol(PolygonizeRegions(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(connect8), toExpr(shift))))
+
+  def rasterize_count(wkb: Column, meta9: Column): Column =
+    toCol(RasterizeCount(toExpr(wkb), toExpr(meta9)))
+
+  /** tile id accessors are plain bit ops — stay on Spark built-ins. */
+  def tile_z(tile: Column): Column = org.apache.spark.sql.functions.shiftrightunsigned(tile, 58).cast("int")
+  def tile_x(tile: Column): Column =
+    org.apache.spark.sql.functions.shiftrightunsigned(tile, 29).bitwiseAND(org.apache.spark.sql.functions.lit(0x1FFFFFFFL)).cast("int")
+  def tile_y(tile: Column): Column =
+    tile.bitwiseAND(org.apache.spark.sql.functions.lit(0x1FFFFFFFL)).cast("int")
+
+  /** The typed mosaic aggregator as a DataFrame aggregate column. */
+  def mosaic_agg(buf: Column): Column =
+    org.apache.spark.sql.functions.udaf(MosaicAgg, org.apache.spark.sql.Encoders.BINARY).apply(buf)
+}
+
+/** SQL registration: exposes the expression surface to spark.sql(...) via
+  * SparkSessionExtensions (SURVEY.md §2.10 — the swq_custom_func_registrar
+  * analog). Usable as
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` or config
+  * spark.sql.extensions=graft.expr.GraftExtensions. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+  override def apply(ext: SparkSessionExtensions): Unit =
+    registry.foreach { case (name, (info, builder)) =>
+      ext.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.expr", null, name, usage, "", "", "", "", "4.0.0", "", "scalar_func")
+
+  val registry: Seq[(String, (ExpressionInfo, Seq[Expression] => Expression))] = Seq(
+    "cell_of" -> ((info("cell_of", "cell_of(lon, lat, level) - packed quadtree cell id"),
+      (e: Seq[Expression]) => CellOf(e(0), e(1), e(2)))),
+    "cell_block" -> ((info("cell_block", "cell_block(cell, r) - cells within Chebyshev ring r"),
+      (e: Seq[Expression]) => CellBlock(e(0), e(1)))),
+    "st_env" -> ((info("st_env", "st_env(wkb) - [minx,miny,maxx,maxy]"),
+      (e: Seq[Expression]) => WkbEnvelope(e(0)))),
+    "st_contains_point" -> ((info("st_contains_point", "st_contains_point(wkb, lon, lat)"),
+      (e: Seq[Expression]) => StContainsPoint(e(0), e(1), e(2)))),
+    "st_intersects_env" -> ((info("st_intersects_env", "st_intersects_env(wkb, env)"),
+      (e: Seq[Expression]) => StIntersectsEnv(e(0), e(1)))),
+    "cells_covering" -> ((info("cells_covering", "cells_covering(env, finest, maxCells)"),
+      (e: Seq[Expression]) => CellsCovering(e(0), e(1), e(2)))),
+    "cells_at" -> ((info("cells_at", "cells_at(env, level)"),
+      (e: Seq[Expression]) => CellsAt(e(0), e(1)))),
+    "tile_cover" -> ((info("tile_cover", "tile_cover(env, zmin, zmax) - packed tile ids"),
+      (e: Seq[Expression]) => TileCover(e(0), e(1), e(2)))),
+    "footprint" -> ((info("footprint", "footprint(gt, w, h, srid) - lon/lat env"),
+      (e: Seq[Expression]) => Footprint(e(0), e(1), e(2), e(3)))),
+    "checksum_bands" -> ((info("checksum_bands", "checksum_bands(bytes, fmt, w, h)"),
+      (e: Seq[Expression]) => ChecksumBands(e(0), e(1), e(2), e(3)))),
+    "image_stats" -> ((info("image_stats", "image_stats(bytes, fmt, w, h)"),
+      (e: Seq[Expression]) => ImageStats(e(0), e(1), e(2), e(3)))),
+    "phash64" -> ((info("phash64", "phash64(bytes, fmt, w, h)"),
+      (e: Seq[Expression]) => Phash64(e(0), e(1), e(2), e(3)))),
+    "merc_xy" -> ((info("merc_xy", "merc_xy(lon, lat) - EPSG:3857 [x,y]"),
+      (e: Seq[Expression]) => MercXY(e(0), e(1)))),
+    "tile_xy" -> ((info("tile_xy", "tile_xy(lon, lat, z) - [x,y]"),
+      (e: Seq[Expression]) => TileXY(e(0), e(1), e(2)))),
+    "quadkey" -> ((info("quadkey", "quadkey(z, x, y) - Bing quadkey"),
+      (e: Seq[Expression]) => QuadkeyExpr(e(0), e(1), e(2)))),
+    "warp_tile" -> ((info("warp_tile", "warp_tile(bytes, fmt, meta9, tile, kernel)"),
+      (e: Seq[Expression]) => WarpTile(e))),
+    "downsample_to_parent" -> ((info("downsample_to_parent", "downsample_to_parent(buf, tile)"),
+      (e: Seq[Expression]) => DownsampleToParent(e(0), e(1)))),
+    "encode_png_planes" -> ((info("encode_png_planes", "encode_png_planes(buf)"),
+      (e: Seq[Expression]) => EncodePngPlanes(e(0)))),
+    "planes_checksums" -> ((info("planes_checksums", "planes_checksums(buf)"),
+      (e: Seq[Expression]) => PlanesChecksums(e(0)))),
+    "zone_stats" -> ((info("zone_stats", "zone_stats(bytes, fmt, meta9, zone_wkb)"),
+      (e: Seq[Expression]) => ZoneStats(e))),
+    "polygonize_regions" -> ((info("polygonize_regions", "polygonize_regions(bytes, fmt, meta9, connect8, shift)"),
+      (e: Seq[Expression]) => PolygonizeRegions(e))),
+    "rasterize_count" -> ((info("rasterize_count", "rasterize_count(wkb, meta9)"),
+      (e: Seq[Expression]) => RasterizeCount(e(0), e(1)))))
+
+  /** Imperative registration for sessions built without extensions. */
+  def register(spark: SparkSession): Unit =
+    registry.foreach { case (name, (info, builder)) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
+    }
+}

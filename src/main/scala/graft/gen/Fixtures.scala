@@ -1,0 +1,114 @@
+package graft.gen
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** Deterministic synthetic corpus per FIXTURES.md / BASELINE.json
+  * `input_hint`: images(image_id, bytes, w, h, fmt, caption, phash)
+  * + georef sidecar (gt, srid). Keys derive from the driver's TPC-H-ish
+  * tables so the DuckDB oracle can re-derive the same geometry in SQL
+  * (geometric parity: every derived coordinate uses only exactly-specified
+  * IEEE ops on integer inputs). Pixel pattern:
+  * pixel(x,y) = (x*7 + y*13 + i*31) mod 256 per band
+  * (the Fill()-style synthesized-raster analog of
+  * autotest/benchmark/test_gdalwarp.py:24-42).
+  */
+object Fixtures {
+  val Sizes: Array[Int] = Array(16, 20, 64, 256)
+  private val Adjectives = Array("amber", "quiet", "rapid", "lucid", "feral", "mossy", "pale")
+  private val Nouns = Array("harbor", "mesa", "delta", "canyon", "atoll", "steppe")
+
+  final case class ImageRow(key: Long, image_id: String, bytes: Array[Byte], w: Int, h: Int,
+                            fmt: String, caption: String, phash: Long,
+                            gt: Array[Double], srid: Int)
+
+  def patternRaster(i: Long, w: Int, h: Int, nBands: Int): Raster = {
+    val bands = Array.fill(nBands) {
+      val a = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { a(y * w + x) = ((x * 7 + y * 13 + i * 31) % 256).toInt; x += 1 }
+        y += 1
+      }
+      a
+    }
+    Raster(w, h, bands)
+  }
+
+  /** Deterministic image spec for key i (see Geospatial oracle SQL — the
+    * 4326 branch must stay expressible with exact IEEE ops). */
+  def genImage(i: Long): ImageRow = {
+    val size = Sizes((i % 4).toInt)
+    val fmt = (i % 3) match { case 0 => "raw"; case 1 => "png"; case _ => "jpeg" }
+    val nBands = if (fmt == "jpeg") 3 else if (i % 2 == 0) 1 else 3
+    val raster = patternRaster(i, size, size, nBands)
+    val bytes = ImageCodec.encode(raster, fmt)
+    val utm = i % 8 == 1
+    val (gt, srid) =
+      if (utm) {
+        val e0 = 300000.0 + (i % 401) * 500.0
+        val n0 = 3600000.0 + (i % 397) * 500.0
+        val res = 30.0 + (i % 7) * 15.0
+        (Array(e0, res, 0.0, n0, 0.0, -res), if ((i / 8) % 2 == 0) 32611 else 32631)
+      } else {
+        val span = 0.01 * (1 + (i % 499))
+        val res = span / size
+        val lon0 = ((i * 9973) % 350000) / 1000.0 - 180.0
+        val lat0 = ((i * 7919) % 160000) / 1000.0 - 80.0
+        (Array(lon0, res, 0.0, lat0, 0.0, -res), 4326)
+      }
+    val caption = s"caption for img$i: ${Adjectives((i % Adjectives.length).toInt)} ${Nouns((i % Nouns.length).toInt)}"
+    ImageRow(i, f"img$i%08d", bytes, size, size, fmt, caption,
+      graft.expr.GeoKernels.phashOfRaster(raster), gt, srid)
+  }
+
+  /** Image corpus keyed by part table keys (oracle-joinable). */
+  def imagesFromParts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/part.parquet").select(col("p_partkey"))
+      .as[Long].map(genImage).toDF()
+  }
+
+  /** Standalone corpus of n images (bench path — no source table read). */
+  def imagesFromRange(s: SparkSession, n: Long, partitions: Int = 32): DataFrame = {
+    import s.implicits._
+    s.range(0, n, 1, partitions).as[Long].map(genImage).toDF()
+  }
+
+  /** Query points from orders keys: lon/lat hashed-uniform via exact
+    * integer arithmetic (matches the oracle SQL formulas verbatim). */
+  def pointsFromOrders(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").as("point_id"),
+        (((col("o_orderkey") * 9973) % 360000) / 1000.0 - 180.0).as("lon"),
+        (((col("o_orderkey") * 7919) % 170000) / 1000.0 - 85.0).as("lat"))
+
+  /** 25 region boxes from nation keys, offset +0.0005° so no derived point
+    * ever sits exactly on an edge (PIP boundary conventions stay moot). */
+  def regionBoxesSpec(nationKey: Int): (Double, Double, Double, Double) = {
+    val ix = nationKey % 5
+    val iy = (nationKey - (nationKey % 5)) / 5
+    val minx = ix * 72.0 - 180.0 + 0.0005
+    val miny = iy * 34.0 - 85.0 + 0.0005
+    (minx, miny, minx + 57.6, miny + 27.2)
+  }
+
+  def regionBoxes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/nation.parquet").select(col("n_nationkey").cast("int")).as[Int]
+      .map { k =>
+        val (minx, miny, maxx, maxy) = regionBoxesSpec(k)
+        (k.toLong, Wkb.writeBox(minx, miny, maxx, maxy))
+      }
+      .toDF("region_id", "wkb")
+  }
+
+  /** 5 kNN targets from region keys (exact integer-derived coordinates). */
+  def targetsFromRegions(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/region.parquet")
+      .select(col("r_regionkey").cast("bigint").as("t_id"),
+        (((col("r_regionkey") * 67) % 360) - 180 + 0.5).cast("double").as("t_lon"),
+        (((col("r_regionkey") * 43) % 160) - 80 + 0.5).cast("double").as("t_lat"))
+}

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.expr.functions._
+
+/** Exact distributed k-nearest-neighbors via cell-ring expansion
+  * (SURVEY.md §2.3 kNN; reference semantics: per-target radius search with
+  * distance-sorted cap, alg/gdalgrid.cpp:261-331 over a quadtree —
+  * re-expressed as iterated cell equi-joins).
+  *
+  * Round r: each unresolved target joins candidate points in its
+  * Chebyshev cell block of radius r; top-k by (dist², id) is taken with a
+  * window. A target is RESOLVED when its kth distance is provably inside
+  * the ring guarantee — every point with euclid distance < (r−1)·cellH is
+  * inside rings 0..r (worst case: target at a cell corner) — or when the
+  * block already covers the whole grid. Unresolved targets retry with 2r.
+  * Planar lon/lat distance (the corpus contract; no great-circle).
+  *
+  * Exactness over approximation is the point: output matches a brute-force
+  * cross-join oracle bit-for-bit, while touching only O(k) candidates per
+  * target at scale.
+  */
+object Knn {
+
+  /** targets(t_id, t_lon, t_lat) × points(p_id, p_lon, p_lat)
+    * → (t_id, p_id, dist2, rank), rank 1..k per target. */
+  def knnJoin(targets: DataFrame, points: DataFrame, k: Int, level: Int = 6,
+              maxRounds: Int = 8): DataFrame = {
+    val spark = targets.sparkSession
+    val cellH = 180.0 / (1 << level) // min cell dimension in degrees
+    val pts = points
+      .withColumn("__cell", cell_of(col("p_lon"), col("p_lat"), level))
+    val w = Window.partitionBy(col("t_id")).orderBy(col("dist2"), col("p_id"))
+
+    var frontier = targets
+    var resolvedParts = List.empty[DataFrame]
+    var r = 1
+    var round = 0
+    val fullCoverR = 1 << level
+    while (round < maxRounds && !frontier.isEmpty) {
+      val cand = frontier
+        .withColumn("__tc", cell_of(col("t_lon"), col("t_lat"), level))
+        .withColumn("__cell", explode(cell_block(col("__tc"), lit(r).cast("int"))))
+        .join(pts, Seq("__cell"))
+        .withColumn("dist2",
+          (col("p_lon") - col("t_lon")) * (col("p_lon") - col("t_lon"))
+            + (col("p_lat") - col("t_lat")) * (col("p_lat") - col("t_lat")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("t_id"), col("p_id"), col("dist2"), col("rank"))
+      val safe = (r - 1).toDouble * cellH
+      val resolvedIds =
+        if (r >= fullCoverR) cand.select(col("t_id")).distinct()
+        else cand.groupBy(col("t_id"))
+          .agg(count(lit(1)).as("__n"), max(col("dist2")).as("__maxd2"))
+          .filter(col("__n") === k && col("__maxd2") <= lit(safe * safe))
+          .select(col("t_id"))
+      resolvedParts ::= cand.join(resolvedIds, Seq("t_id"), "left_semi")
+      // rename to dodge self-join attribute ambiguity (cand derives from frontier)
+      val rid = resolvedIds.withColumnRenamed("t_id", "__rt_id")
+      frontier = frontier.join(rid, col("t_id") === col("__rt_id"), "left_anti")
+      r *= 2
+      round += 1
+    }
+    val all = resolvedParts.reduceOption(_ union _)
+      .getOrElse(spark.emptyDataFrame)
+    all
+  }
+
+  /** Brute-force reference (cross join) — the oracle shape; use only for
+    * verification or tiny target sets. */
+  def bruteForce(targets: DataFrame, points: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("t_id")).orderBy(col("dist2"), col("p_id"))
+    targets.crossJoin(points)
+      .withColumn("dist2",
+        (col("p_lon") - col("t_lon")) * (col("p_lon") - col("t_lon"))
+          + (col("p_lat") - col("t_lat")) * (col("p_lat") - col("t_lat")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("t_id"), col("p_id"), col("dist2"), col("rank"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.expr.functions._
+
+/** Distributed filter-refine spatial joins (SURVEY.md §2.3).
+  *
+  * Shape: geometry side explodes to covering cell ids at a fixed level
+  * (coarse global index — the distributed replacement for the reference's
+  * per-layer spatial indexes), point side computes its single cell, the
+  * cell is an ordinary long equi-join key (Catalyst picks broadcast/SMJ,
+  * AQE handles skewed hot cells), and the exact PIP expression refines —
+  * the two-phase contract of OGRLayer::FilterGeometry
+  * (ogrlayer.cpp:4004-4072).
+  *
+  * Each (point, polygon) pair meets on exactly one cell (the point's), so
+  * no post-join dedup is needed.
+  */
+object SpatialJoin {
+
+  /** points(…, lonCol, latCol) ⋈ polys(…, wkbCol) on exact containment. */
+  def pipJoin(points: DataFrame, polys: DataFrame, level: Int = 7,
+              lonCol: String = "lon", latCol: String = "lat",
+              wkbCol: String = "wkb"): DataFrame = {
+    val p = polys.withColumn("__cell", explode(cells_at(st_env(col(wkbCol)), level)))
+    val q = points.withColumn("__cell", cell_of(col(lonCol), col(latCol), level))
+    q.join(p, Seq("__cell"))
+      .filter(st_contains_point(col(wkbCol), col(lonCol), col(latCol)))
+      .drop("__cell")
+  }
+
+  /** envelope(geom) ⋈ polys on exact polygon×box intersection — the
+    * footprint×region join (Clip/Intersection-style layer algebra seed).
+    * Left side must carry an `envCol` array<double>[4]. Cell lists of BOTH
+    * sides are exploded, so pairs can meet on several cells → dedup by the
+    * provided key columns. */
+  def envJoin(lefts: DataFrame, polys: DataFrame, leftKey: String, polyKey: String,
+              level: Int = 6, envCol: String = "env", wkbCol: String = "wkb"): DataFrame = {
+    val l = lefts.withColumn("__cell", explode(cells_at(col(envCol), level)))
+    val p = polys.withColumn("__cell", explode(cells_at(st_env(col(wkbCol)), level)))
+    l.join(p, Seq("__cell"))
+      .filter(st_intersects_env(col(wkbCol), col(envCol)))
+      .drop("__cell")
+      .dropDuplicates(leftKey, polyKey)
+  }
+
+  /** Spatial semi-join: rows of `lefts` whose point falls in ANY polygon
+    * (Clip §2.3); anti = rows in none (Erase §2.3). */
+  def pipSemi(points: DataFrame, polys: DataFrame, level: Int = 7,
+              lonCol: String = "lon", latCol: String = "lat", wkbCol: String = "wkb",
+              anti: Boolean = false): DataFrame = {
+    val matches = pipJoin(points, polys, level, lonCol, latCol, wkbCol)
+      .select(points.columns.map(col): _*).dropDuplicates(points.columns.toSeq)
+    if (!anti) matches
+    else points.join(matches, points.columns.toSeq, "left_anti")
+  }
+}

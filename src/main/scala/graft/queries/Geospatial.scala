@@ -1,0 +1,292 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.expr.functions._
+import graft.gen.Fixtures
+import graft.ops.{Knn, SpatialJoin, Tiling}
+
+/** Geospatial operator surface (SURVEY.md §2.3/§2.8) under the driver's
+  * DuckDB oracle. Geometry derives deterministically from the TPC-H keys
+  * (graft.gen.Fixtures) so the oracle can re-derive it in SQL.
+  *
+  * FLOAT PARITY RULE: every oracle SQL string mirrors the Scala kernel's
+  * exact IEEE op order (basic ops are exactly specified → bit-identical
+  * doubles). Transcendental results (ln/tan of the Mercator y) are only
+  * ever compared AFTER an integer floor with ≫1-ulp margins.
+  */
+object Geospatial {
+
+  /** Shared points CTE (must match Fixtures.pointsFromOrders verbatim). */
+  private val PtsCte =
+    """pts AS (
+      |  SELECT o_orderkey AS point_id,
+      |         ((((o_orderkey * 9973) % 360000) / 1000.0) - 180.0) AS lon,
+      |         ((((o_orderkey * 7919) % 170000) / 1000.0) - 85.0) AS lat,
+      |         o_totalprice
+      |  FROM orders)""".stripMargin
+
+  private val MercC = "((6378137.0 * pi()) / 180.0)" // degrees→meters (Mercator.x)
+  private def mercY(lat: String) =
+    s"(6378137.0 * ln(tan((pi() / 4.0) + (($lat * (pi() / 180.0)) / 2.0))))"
+  private val OriginX = "(-(6378137.0 * pi()))"
+  private val OriginY = "(6378137.0 * pi())"
+  private def spanZ(z: String) =
+    s"(((((2.0 * pi()) * 6378137.0) / 256.0) / CAST((1 << $z) AS DOUBLE)) * 256.0)"
+
+  /** Image-spec CTE over part keys, 4326 branch (mirrors Fixtures.genImage). */
+  private val ImgCte =
+    """img AS (
+      |  SELECT p_partkey AS key,
+      |    CASE (p_partkey % 4) WHEN 0 THEN 16 WHEN 1 THEN 20 WHEN 2 THEN 64 ELSE 256 END AS sz,
+      |    (CAST(0.01 AS DOUBLE) * (1 + (p_partkey % 499))) AS span,
+      |    ((((p_partkey * 9973) % 350000) / 1000.0) - 180.0) AS lon0,
+      |    ((((p_partkey * 7919) % 160000) / 1000.0) - 80.0) AS lat0
+      |  FROM part WHERE (p_partkey % 8) <> 1),
+      |env AS (
+      |  SELECT key, lon0 AS minx, (lat0 + (sz * (-(span / sz)))) AS miny,
+      |         (lon0 + (sz * (span / sz))) AS maxx, lat0 AS maxy
+      |  FROM img)""".stripMargin
+
+  private def quadkeySql(tx: String, ty: String, z: Int): String =
+    (z - 1).to(0, -1).map(b =>
+      s"CAST((($tx >> $b) & 1) + (2 * (($ty >> $b) & 1)) AS VARCHAR)").mkString(" || ")
+
+  val defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // §2 north star: lon/lat → packed cell id inside a codegen'd expression
+    ("q20_cell_encode", (s: SparkSession, dir: String) => {
+      Fixtures.pointsFromOrders(s, dir)
+        .select(col("point_id"), cell_of(col("lon"), col("lat"), 12).as("cell"))
+    }, Some(s"""
+      WITH $PtsCte
+      SELECT point_id,
+             ((CAST(12 AS BIGINT) << 58) | (cx << 29) | cy) AS cell
+      FROM (
+        SELECT point_id,
+          CAST(least(greatest(floor(((lon + 180.0) / 360.0) * 4096.0), 0.0), 4095.0) AS BIGINT) AS cx,
+          CAST(least(greatest(floor(((90.0 - lat) / 180.0) * 4096.0), 0.0), 4095.0) AS BIGINT) AS cy
+        FROM pts)""")),
+
+    // §2.8 XYZ tile assignment + quadkey at z=8 (GetTileIndices + Bing digits)
+    ("q21_tile_assign", (s: SparkSession, dir: String) => {
+      Fixtures.pointsFromOrders(s, dir)
+        .withColumn("xy", tile_xy(col("lon"), col("lat"), 8))
+        .select(col("point_id"), col("xy")(0).as("tx"), col("xy")(1).as("ty"),
+          quadkey(lit(8), col("xy")(0).cast("int"), col("xy")(1).cast("int")).as("qk"))
+    }, Some(s"""
+      WITH $PtsCte,
+      m AS (
+        SELECT point_id, (lon * $MercC) AS mx, ${mercY("lat")} AS my FROM pts),
+      txy AS (
+        SELECT point_id,
+          CAST(least(greatest(floor((((mx - $OriginX) / ${spanZ("8")}) + 0.001)), 0.0), 255.0) AS BIGINT) AS tx,
+          CAST(least(greatest(floor(((($OriginY - my) / ${spanZ("8")}) + 0.001)), 0.0), 255.0) AS BIGINT) AS ty
+        FROM m)
+      SELECT point_id, tx, ty, ${quadkeySql("tx", "ty", 8)} AS qk FROM txy""")),
+
+    // §2.3 the PIP join: cell equi-join + exact even-odd refine
+    ("q22_pip_join", (s: SparkSession, dir: String) => {
+      val pts = Fixtures.pointsFromOrders(s, dir).select("point_id", "lon", "lat")
+      val regions = Fixtures.regionBoxes(s, dir)
+      SpatialJoin.pipJoin(pts, regions, level = 7)
+        .select(col("point_id"), col("region_id"))
+    }, Some(s"""
+      WITH $PtsCte
+      SELECT p.point_id AS point_id, CAST(n.n_nationkey AS BIGINT) AS region_id
+      FROM pts p, nation n
+      WHERE p.lon > ((((n.n_nationkey % 5) * 72.0) - 180.0) + 0.0005)
+        AND p.lon < (((((n.n_nationkey % 5) * 72.0) - 180.0) + 0.0005) + 57.6)
+        AND p.lat > (((((n.n_nationkey - (n.n_nationkey % 5)) / 5) * 34.0) - 85.0) + 0.0005)
+        AND p.lat < ((((((n.n_nationkey - (n.n_nationkey % 5)) / 5) * 34.0) - 85.0) + 0.0005) + 27.2)""")),
+
+    // §2.8 footprint: gt/w/h → geo envelope (4326 branch, oracle-checkable)
+    ("q23_footprint_env", (s: SparkSession, dir: String) => {
+      Fixtures.imagesFromParts(s, dir)
+        .filter(col("srid") === 4326)
+        .withColumn("env", footprint(col("gt"), col("w"), col("h"), col("srid")))
+        .select(col("key"), col("env")(0).as("minx"), col("env")(1).as("miny"),
+          col("env")(2).as("maxx"), col("env")(3).as("maxy"))
+    }, Some(s"""
+      WITH $ImgCte
+      SELECT key, minx, miny, maxx, maxy FROM env""")),
+
+    // §2.7 CRS transform 4326→3857 (floor-quantized transcendental output)
+    ("q24_crs_3857", (s: SparkSession, dir: String) => {
+      Fixtures.pointsFromOrders(s, dir)
+        .withColumn("xy", merc_xy(col("lon"), col("lat")))
+        .select(col("point_id"),
+          floor(col("xy")(0)).cast("bigint").as("mxf"),
+          floor(col("xy")(1)).cast("bigint").as("myf"))
+    }, Some(s"""
+      WITH $PtsCte
+      SELECT point_id,
+        CAST(floor(lon * $MercC) AS BIGINT) AS mxf,
+        CAST(floor(${mercY("lat")}) AS BIGINT) AS myf
+      FROM pts""")),
+
+    // §2.3 exact kNN via cell-ring expansion (matches brute force bit-for-bit)
+    ("q25_knn", (s: SparkSession, dir: String) => {
+      val pts = Fixtures.pointsFromOrders(s, dir)
+        .select(col("point_id").as("p_id"), col("lon").as("p_lon"), col("lat").as("p_lat"))
+      val targets = Fixtures.targetsFromRegions(s, dir)
+      Knn.knnJoin(targets, pts, k = 5, level = 6)
+    }, Some(s"""
+      WITH $PtsCte,
+      tgt AS (
+        SELECT CAST(r_regionkey AS BIGINT) AS t_id,
+               ((((r_regionkey * 67) % 360) - 180) + 0.5) AS t_lon,
+               ((((r_regionkey * 43) % 160) - 80) + 0.5) AS t_lat
+        FROM region),
+      c AS (
+        SELECT t.t_id, p.point_id AS p_id,
+               (((p.lon - t.t_lon) * (p.lon - t.t_lon)) + ((p.lat - t.t_lat) * (p.lat - t.t_lat))) AS dist2
+        FROM tgt t, pts p)
+      SELECT t_id, p_id, dist2, rank FROM (
+        SELECT t_id, p_id, dist2,
+               CAST(row_number() OVER (PARTITION BY t_id ORDER BY dist2, p_id) AS INT) AS rank
+        FROM c) WHERE rank <= 5""")),
+
+    // §2.4 grid data metrics: spatial binning aggregation
+    ("q26_grid_metrics", (s: SparkSession, dir: String) => {
+      s.read.parquet(s"$dir/orders.parquet")
+        .select(
+          ((((col("o_orderkey") * 9973) % 360000) / 1000.0) - 180.0).as("lon"),
+          ((((col("o_orderkey") * 7919) % 170000) / 1000.0) - 85.0).as("lat"),
+          col("o_totalprice"))
+        .groupBy(floor(col("lon") / 10.0).cast("int").as("zone_x"),
+          floor(col("lat") / 10.0).cast("int").as("zone_y"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("o_totalprice") * 100).cast("bigint")).as("sum_price_c"))
+    }, Some(s"""
+      WITH $PtsCte
+      SELECT CAST(floor(lon / 10.0) AS INT) AS zone_x,
+             CAST(floor(lat / 10.0) AS INT) AS zone_y,
+             count(*) AS cnt,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+      FROM pts GROUP BY 1, 2""")),
+
+    // §2.8 tile pyramid assignment counts across zooms 0..6
+    ("q27_tile_pyramid_counts", (s: SparkSession, dir: String) => {
+      Fixtures.imagesFromParts(s, dir)
+        .filter(col("srid") === 4326)
+        .withColumn("env", footprint(col("gt"), col("w"), col("h"), col("srid")))
+        .withColumn("tile", explode(tile_cover(col("env"), 0, 6)))
+        .groupBy(tile_z(col("tile")).as("z"))
+        .agg(countDistinct(col("key")).as("n_images"), count(lit(1)).as("n_tiles"))
+    }, Some(s"""
+      WITH $ImgCte,
+      zs AS (SELECT unnest(generate_series(0, 6)) AS z),
+      m AS (
+        SELECT e.key, zs.z,
+          (e.minx * $MercC) AS mx0, (e.maxx * $MercC) AS mx1,
+          ${mercY("e.miny")} AS my0, ${mercY("e.maxy")} AS my1
+        FROM env e, zs),
+      t AS (
+        SELECT key, z,
+          CAST(least(greatest(floor((((mx0 - $OriginX) / ${spanZ("z")}) + 0.001)), 0.0), CAST((1 << z) - 1 AS DOUBLE)) AS BIGINT) AS tx0,
+          CAST(least(greatest(floor((((mx1 - $OriginX) / ${spanZ("z")}) + 0.001)), 0.0), CAST((1 << z) - 1 AS DOUBLE)) AS BIGINT) AS tx1,
+          CAST(least(greatest(floor(((($OriginY - my1) / ${spanZ("z")}) + 0.001)), 0.0), CAST((1 << z) - 1 AS DOUBLE)) AS BIGINT) AS ty0,
+          CAST(least(greatest(floor(((($OriginY - my0) / ${spanZ("z")}) + 0.001)), 0.0), CAST((1 << z) - 1 AS DOUBLE)) AS BIGINT) AS ty1
+        FROM m)
+      SELECT CAST(z AS INT) AS z, count(*) AS n_images,
+             CAST(sum(((tx1 - tx0) + 1) * ((ty1 - ty0) + 1)) AS BIGINT) AS n_tiles
+      FROM t GROUP BY z""")),
+
+    // §2.8 rasterize: scanline burn vs closed-form box pixel count
+    ("q28_rasterize_count", (s: SparkSession, dir: String) => {
+      val meta = array(lit(512.0), lit(256.0), lit(4326.0),
+        lit(-180.0), lit(0.703125), lit(0.0), lit(90.0), lit(0.0), lit(-0.703125))
+      Fixtures.regionBoxes(s, dir)
+        .select(col("region_id"), rasterize_count(col("wkb"), meta).as("burned"))
+    }, Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS region_id, CAST((nx * ny) AS INT) AS burned FROM (
+        SELECT n_nationkey,
+          (ceil((((((((n_nationkey % 5) * 72.0) - 180.0) + 0.0005) + 57.6) + 180.0) / 0.703125) - 0.5)
+           - ceil(((((((n_nationkey % 5) * 72.0) - 180.0) + 0.0005) + 180.0) / 0.703125) - 0.5)) AS nx,
+          (ceil(((90.0 - ((((((n_nationkey - (n_nationkey % 5)) / 5) * 34.0) - 85.0) + 0.0005))) / 0.703125) - 0.5)
+           - ceil(((90.0 - (((((((n_nationkey - (n_nationkey % 5)) / 5) * 34.0) - 85.0) + 0.0005)) + 27.2)) / 0.703125) - 0.5)) AS ny
+        FROM nation)""")),
+
+    // ---- rows-only checks below (raster kernels not SQL-expressible;
+    // ---- ScalaTest goldens cover exactness) ----
+
+    // §2.1 decode inside an expression + §2.7 checksum/phash
+    ("q30_image_stats", (s: SparkSession, dir: String) => {
+      Fixtures.imagesFromParts(s, dir)
+        .withColumn("stats", image_stats(col("bytes"), col("fmt"), col("w"), col("h")))
+        .withColumn("cks", checksum_bands(col("bytes"), col("fmt"), col("w"), col("h")))
+        .withColumn("phash_rt", phash64(col("bytes"), col("fmt"), col("w"), col("h")))
+        .select(col("key"), col("image_id"), col("fmt"), col("caption"),
+          col("stats")(0).cast("int").as("nbands"),
+          col("stats")(1).cast("int").as("pmin"),
+          col("stats")(2).cast("int").as("pmax"),
+          col("cks")(0).as("checksum_b0"),
+          col("phash_rt"), col("phash"),
+          (col("phash_rt") === col("phash")).as("phash_match"))
+    }, None),
+
+    // §2.8 warp + mosaic + overview pyramid + PNG encode + checksums
+    ("q31_tile_pyramid", (s: SparkSession, dir: String) => {
+      val images = Fixtures.imagesFromParts(s, dir).filter(col("key") % 10 === 0)
+      Tiling.rendered(Tiling.pyramid(images, zmin = 2, zmax = 5))
+        .select(col("z"), col("x"), col("y"), col("qk"), col("n_images"),
+          length(col("png")).as("png_len"))
+    }, None),
+
+    // §2.8 polygonize (quantized to 4 classes, 4-connected)
+    ("q32_polygonize", (s: SparkSession, dir: String) => {
+      Fixtures.imagesFromParts(s, dir)
+        .filter(col("w") <= 64 && col("fmt") =!= "jpeg")
+        .withColumn("regions", polygonize_regions(col("bytes"), col("fmt"), Tiling.meta9, lit(false), lit(6)))
+        .select(col("key"), explode(col("regions")).as("r"))
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("n_regions"), sum(col("r.pixels")).as("total_pixels"),
+          max(col("r.value")).as("max_class"))
+    }, None),
+
+    // §2.4 zonal statistics: footprint×zone env-join + per-zone pixel agg
+    ("q33_zonal_stats", (s: SparkSession, dir: String) => {
+      val images = Fixtures.imagesFromParts(s, dir).filter(col("srid") === 4326)
+        .withColumn("env", footprint(col("gt"), col("w"), col("h"), col("srid")))
+      val zones = Fixtures.regionBoxes(s, dir)
+      SpatialJoin.envJoin(images, zones, "key", "region_id", level = 5)
+        .withColumn("zs", zone_stats(col("bytes"), col("fmt"), Tiling.meta9, col("wkb")))
+        .filter(col("zs")(0) > 0)
+        .groupBy(col("region_id"))
+        .agg(count(lit(1)).as("n_images"),
+          sum(col("zs")(0)).cast("bigint").as("n_pixels"),
+          min(col("zs")(1)).as("zmin"), max(col("zs")(2)).as("zmax"),
+          sum(col("zs")(3)).as("zsum"))
+    }, None),
+
+    // UTM footprint branch (CRS series not SQL-expressible)
+    ("q34_footprint_utm", (s: SparkSession, dir: String) => {
+      Fixtures.imagesFromParts(s, dir)
+        .filter(col("srid") =!= 4326)
+        .withColumn("env", footprint(col("gt"), col("w"), col("h"), col("srid")))
+        .select(col("key"), col("srid"),
+          floor(col("env")(0) * 1e6).cast("bigint").as("minx_u"),
+          floor(col("env")(1) * 1e6).cast("bigint").as("miny_u"),
+          floor(col("env")(2) * 1e6).cast("bigint").as("maxx_u"),
+          floor(col("env")(3) * 1e6).cast("bigint").as("maxy_u"))
+    }, None)
+  )
+
+  /** Flagship pipeline: decode→footprint→cells→PIP-join→tile-assign →
+    * per-zoom summary (every north-rule noun in one plan). */
+  def flagship(s: SparkSession, dir: String): DataFrame = {
+    val images = Fixtures.imagesFromParts(s, dir)
+      .withColumn("stats", image_stats(col("bytes"), col("fmt"), col("w"), col("h")))
+      .withColumn("env", footprint(col("gt"), col("w"), col("h"), col("srid")))
+    val regions = Fixtures.regionBoxes(s, dir)
+    val joined = SpatialJoin.envJoin(images, regions, "key", "region_id", level = 5)
+    joined
+      .withColumn("tile", explode(tile_cover(col("env"), 0, 4)))
+      .groupBy(tile_z(col("tile")).as("z"))
+      .agg(countDistinct(col("key")).as("n_images"),
+        countDistinct(col("region_id")).as("n_regions"),
+        count(lit(1)).as("n_assignments"))
+      .orderBy(col("z"))
+  }
+}

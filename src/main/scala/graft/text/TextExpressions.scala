@@ -1,0 +1,131 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, Encoders}
+import org.apache.spark.sql.graft.Bridge.{column => toCol, expression => toExpr}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst expressions for the text/embedding training-data operators.
+  * String-heavy kernels use simple codegen'd static calls (same pattern as
+  * graft.expr); everything is deterministic and partitioning-independent.
+  */
+
+case class Fnv64(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "fnv64"
+  override protected def nullSafeEval(s: Any): Any = TextKernels.fnv1a64(s.toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.text.TextKernels.fnv1a64($s.toString())")
+  override protected def withNewChildInternal(c: Expression): Fnv64 = copy(child = c)
+}
+
+/** minhash_sig(text, k, shingle) → array<long> signature. */
+case class MinHashSig(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(StringType, IntegerType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sig"
+  override protected def nullSafeEval(t: Any, k: Any, n: Any): Any =
+    new GenericArrayData(TextKernels.minhash(t.toString, k.asInstanceOf[Int], n.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k, n) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.text.TextKernels.minhash($t.toString(), $k, $n))")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): MinHashSig =
+    copy(first = f, second = s, third = t)
+}
+
+case class SimHash64(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(s: Any): Any = TextKernels.simhash64(s.toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.text.TextKernels.simhash64($s.toString())")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+case class RollingFingerprint(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "doc_fingerprint"
+  override protected def nullSafeEval(s: Any): Any = TextKernels.rollingFingerprint(s.toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.text.TextKernels.rollingFingerprint($s.toString())")
+  override protected def withNewChildInternal(c: Expression): RollingFingerprint = copy(child = c)
+}
+
+case class LangId(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "lang_id"
+  override protected def nullSafeEval(s: Any): Any =
+    UTF8String.fromString(TextKernels.langId(s.toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(graft.text.TextKernels.langId($s.toString()))")
+  override protected def withNewChildInternal(c: Expression): LangId = copy(child = c)
+}
+
+/** shingle_overlap(a, b, n) → array<int>[intersection, union]. */
+case class ShingleOverlap(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(StringType, StringType, IntegerType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_overlap"
+  override protected def nullSafeEval(a: Any, b: Any, n: Any): Any = {
+    val (i, u) = TextKernels.shingleOverlap(a.toString, b.toString, n.asInstanceOf[Int])
+    new GenericArrayData(Array(i, u))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, n) =>
+      s"graft.text.TextExprHelpers.shingleOverlap($a.toString(), $b.toString(), $n)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): ShingleOverlap =
+    copy(first = f, second = s, third = t)
+}
+
+/** rademacher_sig(embedding array<float|double>, nBits, seed) → long. */
+case class RademacherSig(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(ArrayType(DoubleType), IntegerType, LongType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rademacher_sig"
+  override protected def nullSafeEval(v: Any, n: Any, seed: Any): Any =
+    TextKernels.rademacherSig(v.asInstanceOf[ArrayData].toDoubleArray(), n.asInstanceOf[Int], seed.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, n, seed) =>
+      s"graft.text.TextKernels.rademacherSig($v.toDoubleArray(), $n, $seed)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): RademacherSig =
+    copy(first = f, second = s, third = t)
+}
+
+object TextExprHelpers {
+  def shingleOverlap(a: String, b: String, n: Int): ArrayData = {
+    val (i, u) = TextKernels.shingleOverlap(a, b, n)
+    new GenericArrayData(Array(i, u))
+  }
+}
+
+/** Column facade. */
+object textfunctions {
+  def fnv64(c: Column): Column = toCol(Fnv64(toExpr(c)))
+  def minhash_sig(text: Column, k: Int, shingle: Int): Column =
+    toCol(MinHashSig(toExpr(text), Literal(k), Literal(shingle)))
+  def simhash64(c: Column): Column = toCol(SimHash64(toExpr(c)))
+  def doc_fingerprint(c: Column): Column = toCol(RollingFingerprint(toExpr(c)))
+  def lang_id(c: Column): Column = toCol(LangId(toExpr(c)))
+  def shingle_overlap(a: Column, b: Column, n: Int): Column =
+    toCol(ShingleOverlap(toExpr(a), toExpr(b), Literal(n)))
+  def rademacher_sig(v: Column, nBits: Int, seed: Long): Column =
+    toCol(RademacherSig(toExpr(v), Literal(nBits), Literal(seed)))
+}

@@ -1,0 +1,178 @@
+package graft.text
+
+/** Deterministic text-analysis kernels for the training-data pipeline
+  * operators (dedup, fingerprinting, language ID). Everything is seeded
+  * arithmetic — no RNG state, no library hash — so results are stable
+  * across Spark versions and partitionings.
+  */
+object TextKernels {
+  /** FNV-1a 64-bit — the stable base hash. */
+  def fnv1a64(s: CharSequence): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  def fnv1a64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xFF)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Splitmix64 — seed expander for the hash families. */
+  @inline def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def tokens(text: String): Array[String] =
+    text.split("\\s+").filter(_.nonEmpty)
+
+  /** Character shingles of length n (with positions collapsed to a set). */
+  def charShingleHashes(text: String, n: Int): Array[Long] = {
+    if (text.length < n) return Array(fnv1a64(text))
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i + n <= text.length) {
+      set.add(fnv1a64(text.subSequence(i, i + n)))
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    out
+  }
+
+  /** MinHash signature over char-n-gram shingles: k permutations via
+    * (a_j·h + b_j) with odd multipliers from splitmix64 (the classic
+    * Broder construction). */
+  def minhash(text: String, k: Int, shingle: Int): Array[Long] = {
+    val hs = charShingleHashes(text, shingle)
+    val sig = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < k) {
+      val a = splitmix64(2 * j + 1) | 1L
+      val b = splitmix64(2 * j + 2)
+      var i = 0
+      var mn = Long.MaxValue
+      while (i < hs.length) {
+        val v = a * hs(i) + b
+        if (v < mn) mn = v
+        i += 1
+      }
+      sig(j) = mn
+      j += 1
+    }
+    sig
+  }
+
+  /** 64-bit SimHash over whitespace tokens (Charikar bit-vote). */
+  def simhash64(text: String): Long = {
+    val votes = new Array[Int](64)
+    tokens(text).foreach { t =>
+      val h = fnv1a64(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** (intersection, union) sizes of char-n-gram shingle sets. */
+  def shingleOverlap(a: String, b: String, n: Int): (Int, Int) = {
+    val sa = charShingleHashes(a, n)
+    val sb = charShingleHashes(b, n)
+    var i = 0; var j = 0; var inter = 0
+    while (i < sa.length && j < sb.length) {
+      if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
+      else if (sa(i) < sb(j)) i += 1
+      else j += 1
+    }
+    (inter, sa.length + sb.length - inter)
+  }
+
+  /** Rolling polynomial fingerprint (Rabin-style, base 257 mod 2^61−1). */
+  def rollingFingerprint(text: String): Long = {
+    val Mod = 2305843009213693951L // 2^61 - 1
+    var h = 0L
+    var i = 0
+    while (i < text.length) {
+      h = mulmod(h, 257L, Mod)
+      h = (h + text.charAt(i)) % Mod
+      i += 1
+    }
+    h
+  }
+
+  @inline private def mulmod(a: Long, b: Long, m: Long): Long =
+    java.math.BigInteger.valueOf(a).multiply(java.math.BigInteger.valueOf(b))
+      .mod(java.math.BigInteger.valueOf(m)).longValueExact()
+
+  /** Tiny stopword-profile language ID (n-gram/stopword heuristic).
+    * Profiles are public high-frequency word lists. */
+  private val Profiles: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "of", "and", "to", "in", "is", "it", "that", "for", "on", "with", "as", "at", "this"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu", "den", "von", "für"),
+    "fr" -> Set("le", "la", "les", "et", "est", "une", "un", "des", "du", "pour", "dans", "que", "pas"),
+    "es" -> Set("el", "la", "los", "las", "y", "es", "una", "un", "de", "en", "que", "por", "para", "no"),
+    "zh" -> Set.empty)
+
+  def langId(text: String): String = {
+    val ts = tokens(text.toLowerCase)
+    if (ts.isEmpty) return "und"
+    // CJK codepoint share decides zh before stopword voting
+    val cjk = text.count(c => c >= 0x4E00 && c <= 0x9FFF)
+    if (cjk * 4 >= text.length) return "zh"
+    var best = "und"
+    var bestScore = 0
+    Profiles.foreach { case (lang, words) =>
+      if (words.nonEmpty) {
+        val score = ts.count(words.contains)
+        if (score > bestScore || (score == bestScore && score > 0 && lang < best)) {
+          best = lang; bestScore = score
+        }
+      }
+    }
+    if (bestScore == 0) "und" else best
+  }
+
+  /** Rademacher random-hyperplane signature of an embedding: bit b set iff
+    * Σ_j v_j · s_{b,j} ≥ 0, signs pseudo-random ±1 from splitmix64. */
+  def rademacherSig(vec: Array[Double], nBits: Int, seed: Long): Long = {
+    var out = 0L
+    var b = 0
+    while (b < nBits) {
+      var acc = 0.0
+      var j = 0
+      while (j < vec.length) {
+        val s = if ((splitmix64(seed + b * 131071L + j) & 1L) == 0L) 1.0 else -1.0
+        acc += vec(j) * s
+        j += 1
+      }
+      if (acc >= 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
