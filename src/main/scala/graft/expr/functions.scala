@@ -122,7 +122,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
   private def info(name: String, usage: String) =
-    new ExpressionInfo("graft.expr", null, name, usage, "", "", "", "", "4.0.0", "", "scalar_func")
+    new ExpressionInfo("graft.expr", null, name, usage, "", "", "", "", "4.0.0", "", "built-in")
 
   val registry: Seq[(String, (ExpressionInfo, Seq[Expression] => Expression))] = Seq(
     "cell_of" -> ((info("cell_of", "cell_of(lon, lat, level) - packed quadtree cell id"),

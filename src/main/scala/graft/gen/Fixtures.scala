@@ -59,7 +59,7 @@ object Fixtures {
         val lat0 = ((i * 7919) % 160000) / 1000.0 - 80.0
         (Array(lon0, res, 0.0, lat0, 0.0, -res), 4326)
       }
-    val caption = s"caption for img$i: ${Adjectives((i % Adjectives.length).toInt)} ${Nouns((i % Nouns.length).toInt)}"
+    val caption = f"caption for img$i%08d: ${Adjectives((i % Adjectives.length).toInt)} ${Nouns((i % Nouns.length).toInt)}"
     ImageRow(i, f"img$i%08d", bytes, size, size, fmt, caption,
       graft.expr.GeoKernels.phashOfRaster(raster), gt, srid)
   }

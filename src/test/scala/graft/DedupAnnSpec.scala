@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Ann, Dedup}
+import graft.text.TextKernels
+
+class DedupAnnSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def nearDupDocs = {
+    val base = "the quick brown fox jumps over the lazy dog and then runs far away into the quiet green forest tonight"
+    Seq(
+      (1L, base),
+      (2L, base),                                             // exact dup of 1
+      (3L, base.replace("quick", "swift")),                   // near dup of 1
+      (4L, "completely different content about spark catalyst optimizer rules and shuffle partitions in a cluster"),
+      (5L, base.replace("dog", "cat").replace("forest", "meadow")) // near dup
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts") {
+    val res = Dedup.exact(nearDupDocs).as[(String, Long, Long)].collect()
+    assert(res.length == 4)
+    val dupGroup = res.find(_._2 == 2).get
+    assert(dupGroup._3 == 1L, "keeps the min doc_id")
+  }
+
+  test("minhash LSH finds near-dups and skips unrelated docs") {
+    val cand = Dedup.minhashCandidates(nearDupDocs, k = 64, bands = 16, shingle = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 2L)), "exact dup pair must collide")
+    assert(cand.contains((1L, 3L)) || cand.contains((1L, 5L)), "a near-dup pair must collide")
+    assert(!cand.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc must not pair")
+  }
+
+  test("minhash signature estimates jaccard") {
+    val a = "spark catalyst expression codegen pipeline"
+    val b = "spark catalyst expression codegen pipelines"
+    val sa = TextKernels.minhash(a, 256, 4)
+    val sb = TextKernels.minhash(b, 256, 4)
+    val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / 256
+    val (i, u) = TextKernels.shingleOverlap(a, b, 4)
+    val exact = i.toDouble / u
+    assert(math.abs(est - exact) < 0.15, s"est $est vs exact $exact")
+  }
+
+  test("simhash hamming distance is small for near-dups, large for unrelated") {
+    val cand = Dedup.simhashCandidates(nearDupDocs, maxHamming = 12)
+      .as[(Long, Long, Int)].collect()
+    val m = cand.map(r => (r._1, r._2) -> r._3).toMap
+    assert(m.get((1L, 2L)).contains(0), "identical docs → hamming 0")
+    m.get((1L, 3L)).foreach(h => assert(h <= 12))
+    val sh4 = TextKernels.simhash64(nearDupDocs.filter($"doc_id" === 4).as[(Long, String)].collect()(0)._2)
+    val sh1 = TextKernels.simhash64(nearDupDocs.filter($"doc_id" === 1).as[(Long, String)].collect()(0)._2)
+    assert(java.lang.Long.bitCount(sh1 ^ sh4) > 12, "unrelated docs far apart")
+  }
+
+  test("jaccard verify computes exact shingle overlap ratios") {
+    val pairs = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
+    val res = Dedup.jaccardVerify(pairs, nearDupDocs, shingle = 3)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(res((1L, 2L)) == 1.0)
+    assert(res((1L, 4L)) < 0.2)
+  }
+
+  test("brute-force ANN topk: rank 1 is the vector itself") {
+    val e = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val top = Ann.bruteTopK(q, c, 3).filter(col("rank") === 1)
+      .select("q_id", "c_id").as[(Long, Long)].collect()
+    // self-similarity maximal for normalized-ish embeddings; allow ties but expect mostly self
+    assert(top.count(r => r._1 == r._2) >= 4)
+  }
+
+  test("LSH ANN recall >= 0.6 vs brute force at k=5") {
+    val e = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20).select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val exact = Ann.bruteTopK(q, c, 5).select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val approx = Ann.lshTopK(q, c, 5, nBits = 16, bands = 8).select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
+  test("language id picks stopword-matching language") {
+    assert(TextKernels.langId("the cat sat on the mat with the hat") == "en")
+    assert(TextKernels.langId("der hund und die katze ist nicht da") == "de")
+    assert(TextKernels.langId("el gato es una mascota en la casa") == "es")
+    assert(TextKernels.langId("xyzzy plugh") == "und")
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val a = TextKernels.rollingFingerprint("abc def")
+    assert(a == TextKernels.rollingFingerprint("abc def"))
+    assert(a != TextKernels.rollingFingerprint("def abc"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.Wkb
+import graft.expr.functions._
+import graft.gen.Fixtures
+import graft.ops.{Knn, SpatialJoin}
+
+class SpatialOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("pipJoin equals brute-force filter-refine on mixed polygon shapes") {
+    val pts = Fixtures.pointsFromOrders(spark, TestSpark.Sf).select("point_id", "lon", "lat")
+    // boxes + convex pentagon + concave C + polygon with hole
+    val polys = Seq(
+      (1L, Wkb.writeBox(-120.0005, 20.0005, -60.0005, 50.0005)),
+      (2L, Wkb.writePolygon(Array(Array(10.0, 10, 40, 5, 55, 25, 30, 45, 5, 30, 10, 10)))),
+      (3L, Wkb.writePolygon(Array(Array(60.0, -40, 110, -40, 110, -30, 75, -30, 75, 0, 110, 0, 110, 10, 60, 10, 60, -40)))),
+      (4L, Wkb.writePolygon(Array(
+        Array(-40.0, -70, 30, -70, 30, -20, -40, -20, -40, -70),
+        Array(-20.0, -55, 10, -55, 10, -35, -20, -35, -20, -55)))))
+      .toDF("region_id", "wkb")
+    val fast = SpatialJoin.pipJoin(pts, polys, level = 7)
+      .select("point_id", "region_id").as[(Long, Long)].collect().toSet
+    val brute = pts.crossJoin(polys)
+      .filter(st_contains_point(col("wkb"), col("lon"), col("lat")))
+      .select("point_id", "region_id").as[(Long, Long)].collect().toSet
+    assert(fast == brute)
+    assert(brute.nonEmpty, "fixture must produce matches")
+    // the hole polygon must exclude interior points that a plain bbox test keeps
+    val holeMatches = brute.count(_._2 == 4L)
+    val bboxMatches = pts.filter(col("lon") > -40 && col("lon") < 30 && col("lat") > -70 && col("lat") < -20).count()
+    assert(holeMatches < bboxMatches, "hole must carve out points")
+  }
+
+  test("pipSemi/anti partition the point set") {
+    val pts = Fixtures.pointsFromOrders(spark, TestSpark.Sf).select("point_id", "lon", "lat")
+    val polys = Fixtures.regionBoxes(spark, TestSpark.Sf)
+    val in = SpatialJoin.pipSemi(pts, polys)
+    val out = SpatialJoin.pipSemi(pts, polys, anti = true)
+    assert(in.count() + out.count() == pts.count())
+    assert(in.join(out, Seq("point_id"), "inner").count() == 0)
+  }
+
+  test("knnJoin matches brute force bit-for-bit (k=5 and k=17)") {
+    val pts = Fixtures.pointsFromOrders(spark, TestSpark.Sf)
+      .select(col("point_id").as("p_id"), col("lon").as("p_lon"), col("lat").as("p_lat"))
+    val targets = Fixtures.targetsFromRegions(spark, TestSpark.Sf)
+    for (k <- Seq(5, 17)) {
+      val fast = Knn.knnJoin(targets, pts, k, level = 6)
+        .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+      val brute = Knn.bruteForce(targets, pts, k)
+        .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+      assert(fast.length == brute.length, s"k=$k sizes")
+      assert(fast.sameElements(brute), s"k=$k rows must match exactly")
+    }
+  }
+
+  test("knnJoin survives k larger than any ring (full-cover fallback)") {
+    val pts = Seq((1L, 0.0, 0.0), (2L, 10.0, 10.0), (3L, -170.0, 80.0))
+      .toDF("p_id", "p_lon", "p_lat")
+    val targets = Seq((7L, 1.0, 1.0)).toDF("t_id", "t_lon", "t_lat")
+    val res = Knn.knnJoin(targets, pts, k = 5, level = 4, maxRounds = 10)
+    assert(res.count() == 3, "only 3 points exist; all must be returned")
+  }
+
+  test("envJoin matches brute-force polygon-box intersection") {
+    val images = Fixtures.imagesFromParts(spark, TestSpark.Sf).filter(col("srid") === 4326)
+      .withColumn("env", footprint(col("gt"), col("w"), col("h"), col("srid")))
+      .select("key", "env")
+    val polys = Fixtures.regionBoxes(spark, TestSpark.Sf)
+    val fast = SpatialJoin.envJoin(images, polys, "key", "region_id", level = 5)
+      .select("key", "region_id").as[(Long, Long)].collect().toSet
+    val brute = images.crossJoin(polys)
+      .filter(st_intersects_env(col("wkb"), col("env")))
+      .select("key", "region_id").as[(Long, Long)].collect().toSet
+    assert(fast == brute)
+    assert(brute.nonEmpty)
+  }
+
+  test("cell join plan broadcasts the small polygon side and stays codegen'd") {
+    val pts = Fixtures.pointsFromOrders(spark, TestSpark.Sf).select("point_id", "lon", "lat")
+    val polys = Fixtures.regionBoxes(spark, TestSpark.Sf)
+    val plan = SpatialJoin.pipJoin(pts, polys).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    // exact PIP refine must ride ON the join, not as a post-filter
+    assert(plan.contains("BroadcastHashJoin [__cell") && plan.contains("st_contains_point"), plan)
+  }
+}
