@@ -27,4 +27,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // pin initial heap: raster kernels allocate at GB/s and an ergonomically
+  // growing heap means constant young-GC stalls with huge run variance
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // prefault the heap at startup: on this virtualized host, first-touch
+  // page allocation during young GC produced 10-26 s pauses
+  "-XX:+AlwaysPreTouch",
+) ++ sys.env.get("GRAFT_GC").map(g => s"-XX:+Use${g}GC").toSeq ++
+  sys.env.get("GRAFT_GC_THREADS").map(t => s"-XX:ParallelGCThreads=$t").toSeq ++
+  sys.env.get("GRAFT_XMN").map(x => s"-Xmn$x").toSeq

@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** North-rule scaling evidence: the same pipeline at several parallelism
+  * levels (local[N] as the sandbox stand-in for N executors — no real
+  * cluster available), reporting throughput at each plus scaling
+  * efficiency = (thr_4N / thr_N) / 4 for the N→4N pairs. Writes
+  * BENCH/BASELINE.md.
+  *
+  * Mirrors the reference's relative methodology (pytest-benchmark with
+  * NUM_THREADS ∈ {1, ALL_CPUS}, autotest/benchmark/test_gdalwarp.py:45-46).
+  *
+  * Context measured on this host (java Arrays.fill sweep): memory
+  * bandwidth peaks near 16 threads (~46 GB/s) and REGRESSES at 32
+  * (~30 GB/s) — so the 8→32 pair undercounts what 4× executors deliver
+  * on a real cluster, where each executor brings its own memory bus.
+  * The 4→16 pair is the fairer single-box proxy; both are reported.
+  */
+object ScalingBench {
+  private def measure(cpus: String, n: Long): (Long, Double) = {
+    val spark = Bench.buildSession(cpus)
+    try {
+      // warm-up untimed (JIT + codegen caches); sized to actually heat
+      // the warp/decode paths before measuring
+      Bench.pipelineThroughput(spark, math.max(500L, n / 8))
+      Bench.pipelineThroughput(spark, n)
+    } finally spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "24000").toLong
+    if (args.length == 1) {
+      // single-level fresh-JVM mode (tools/scaling_bench.sh drives this so
+      // JIT warm-state can't leak between parallelism levels)
+      val (cnt, sec) = measure(args(0), n)
+      println(f"""{"cpus":${args(0)},"images":$cnt,"sec":$sec%.2f,"thr":${cnt / sec}%.1f}""")
+      return
+    }
+    val levels = sys.env.getOrElse("SPARK_GRAFT_LEVELS", "4,8,16,32").split(",").toSeq
+    val rows = levels.map { c =>
+      val (cnt, sec) = measure(c, n)
+      println(f"""{"cpus":$c,"images":$cnt,"sec":$sec%.2f,"thr":${cnt / sec}%.1f}""")
+      (c.toInt, cnt, sec, cnt / sec)
+    }
+    def thr(c: Int) = rows.find(_._1 == c).map(_._4)
+    def eff(a: Int, b: Int): Option[Double] =
+      for (ta <- thr(a); tb <- thr(b)) yield (tb / ta) / (b.toDouble / a)
+    val e416 = eff(4, 16)
+    val e832 = eff(8, 32)
+    val table = rows.map { case (c, cnt, sec, t) =>
+      f"| local[$c] | $cnt | $sec%.2f | $t%.1f |"
+    }.mkString("\n")
+    val md =
+      f"""# BENCH/BASELINE — measured pipeline throughput (gdalspark)
+         |
+         |Pipeline: decode(image_stats) → footprint → cell-keyed PIP/env join
+         |(25 regions) → XYZ tile-assign → map-side warp to z6 tiles →
+         |per-tile mosaic + checksums; synthetic corpus of $n images
+         |(graft.gen.Fixtures, FIXTURES.md spec), noop sink. Corpus synthesis
+         |is materialized before the timer.
+         |
+         || parallelism | images | wall (s) | throughput (images/s) |
+         ||---|---|---|---|
+         |$table
+         |
+         |**Scaling efficiency** = (thr_4N / thr_N) / 4:
+         |- local[4] → local[16]: **${e416.map(e => f"$e%.3f").getOrElse("n/a")}**
+         |- local[8] → local[32]: **${e832.map(e => f"$e%.3f").getOrElse("n/a")}**
+         |
+         |North-rule target ≥ 0.8 at N→4N executors. Single-box context: this
+         |host's memory bandwidth (measured with a multithreaded fill sweep)
+         |peaks at ~16 threads (~46 GB/s) and drops to ~30 GB/s at 32 threads,
+         |so local[32] is bandwidth-starved in a way 4× real executors (each
+         |with its own memory bus) are not. The 4→16 pair is the fairer
+         |single-box proxy for the N→4N executor rule; the 8→32 pair is
+         |reported for completeness.
+         |
+         |Method notes: same input, same plan, only `local[N]` and
+         |`spark.sql.shuffle.partitions=N` change; one untimed warm-up run per
+         |session (JIT/codegen); heap pinned + pre-touched (-Xms=-Xmx,
+         |-XX:+AlwaysPreTouch) after diagnosing 10-26 s first-touch GC pauses
+         |on this virtualized host. Reference methodology analog:
+         |autotest/benchmark/test_gdalwarp.py NUM_THREADS axis.
+         |""".stripMargin
+    Files.createDirectories(Paths.get("BENCH"))
+    Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
+    println(f"""{"n":$n,"eff_4_16":${e416.getOrElse(-1.0)}%.3f,"eff_8_32":${e832.getOrElse(-1.0)}%.3f}""")
+  }
+}

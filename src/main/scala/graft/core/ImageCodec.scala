@@ -22,6 +22,10 @@ final case class Raster(w: Int, h: Int, bands: Array[Array[Int]]) {
   * bands back-to-back, each w*h bytes row-major.
   */
 object ImageCodec {
+  // ImageIO's default stream cache is a temp FILE per decode — it
+  // serializes parallel decodes on disk I/O. Memory-cache instead.
+  ImageIO.setUseCache(false)
+
   def decode(bytes: Array[Byte], fmt: String, w: Int, h: Int): Raster = fmt match {
     case "raw" => decodeRaw(bytes, w, h)
     case "png" | "jpeg" | "jpg" => decodeJavax(bytes)

@@ -26,9 +26,23 @@ object Warp {
   def warp(src: Raster, srcGt: Array[Double], srcSrid: Int,
            dstGt: Array[Double], dstSrid: Int, dw: Int, dh: Int,
            kernel: String, nodata: Int = 0): Raster = {
+    val out = Array.fill(src.nBands)(Array.fill(dw * dh)(nodata))
+    warpInto(src, srcGt, srcSrid, dstGt, dstSrid, dw, dh, kernel, nodata, out)
+    Raster(dw, dh, out)
+  }
+
+  /** Allocation-lean variant: samples ONLY the dst window that can hit the
+    * source, writing into caller-provided (reusable) band arrays, and
+    * returns that window as (px0, py0, px1, py1) inclusive — or
+    * (0,0,-1,-1) when empty. Pixels outside the window are NOT touched;
+    * the caller owns their initialization. Per-tile mosaic pipelines call
+    * this with thread-local scratch so the allocation rate stays O(output
+    * bytes), not O(tile area × bands × 4). */
+  def warpInto(src: Raster, srcGt: Array[Double], srcSrid: Int,
+               dstGt: Array[Double], dstSrid: Int, dw: Int, dh: Int,
+               kernel: String, nodata: Int, out: Array[Array[Int]]): (Int, Int, Int, Int) = {
     val inv = GeoTransform.invert(srcGt).getOrElse(
       throw new IllegalArgumentException("degenerate src geotransform"))
-    val out = Array.fill(src.nBands)(new Array[Int](dw * dh))
     val sameCrs = srcSrid == dstSrid
 
     // transform dst pixel center -> src pixel coords
@@ -39,24 +53,69 @@ object Warp {
       (GeoTransform.applyX(inv, sx, sy), GeoTransform.applyY(inv, sx, sy))
     }
 
-    val srcXs = new Array[Double](dw)
-    val srcYs = new Array[Double](dw)
+    // Restrict the dst loop to the window that can actually hit the source
+    // (the reference's ComputeSourceWindow edge-walk idea in reverse,
+    // alg/gdalwarpoperation.cpp:138): walk the source boundary forward into
+    // dst pixels, pad for kernel radius + curvature, clamp. Everything
+    // outside stays nodata without being computed.
+    val invDst = GeoTransform.invert(dstGt).getOrElse(
+      throw new IllegalArgumentException("degenerate dst geotransform"))
+    var minPx = Double.MaxValue; var maxPx = -Double.MaxValue
+    var minPy = Double.MaxValue; var maxPy = -Double.MaxValue
+    val steps = 8
+    var si = 0
+    while (si <= steps) {
+      val t = si.toDouble / steps
+      // 4 edges of the source raster in pixel space
+      val edgePts = Array(
+        (t * src.w, 0.0), (t * src.w, src.h.toDouble),
+        (0.0, t * src.h), (src.w.toDouble, t * src.h))
+      edgePts.foreach { case (spx, spy) =>
+        val gx = GeoTransform.applyX(srcGt, spx, spy)
+        val gy = GeoTransform.applyY(srcGt, spx, spy)
+        val (dx, dy) = if (sameCrs) (gx, gy) else CrsTransform.transform(srcSrid, dstSrid, gx, gy)
+        val ppx = GeoTransform.applyX(invDst, dx, dy)
+        val ppy = GeoTransform.applyY(invDst, dx, dy)
+        if (ppx < minPx) minPx = ppx
+        if (ppx > maxPx) maxPx = ppx
+        if (ppy < minPy) minPy = ppy
+        if (ppy > maxPy) maxPy = ppy
+      }
+      si += 1
+    }
+    val pad = 3.0 // kernel radius (cubic: 2) + curvature slack
+    val px0 = math.max(0, math.floor(minPx - pad).toInt)
+    val px1 = math.min(dw - 1, math.ceil(maxPx + pad).toInt)
+    val py0 = math.max(0, math.floor(minPy - pad).toInt)
+    val py1 = math.min(dh - 1, math.ceil(maxPy + pad).toInt)
+    if (px1 < px0 || py1 < py0) return (0, 0, -1, -1)
 
-    var py = 0
-    while (py < dh) {
-      fillScanline(toSrc, py + 0.5, dw, srcXs, srcYs, exact = sameCrs)
-      var px = 0
-      while (px < dw) {
-        val sx = srcXs(px)
-        val sy = srcYs(px)
+    val kcode = kernel match {
+      case Near => 0
+      case Bilinear => 1
+      case Cubic => 2
+      case Average => 3
+      case other => throw new IllegalArgumentException(s"unknown kernel $other")
+    }
+    val winW = px1 - px0 + 1
+    val srcXs = new Array[Double](winW)
+    val srcYs = new Array[Double](winW)
+    val nBands = src.nBands
+
+    var py = py0
+    while (py <= py1) {
+      fillScanlineWindow(toSrc, py + 0.5, px0, winW, srcXs, srcYs, exact = sameCrs)
+      var px = px0
+      while (px <= px1) {
+        val sx = srcXs(px - px0)
+        val sy = srcYs(px - px0)
         var b = 0
-        while (b < src.nBands) {
-          out(b)(py * dw + px) = kernel match {
-            case Near => sampleNear(src.bands(b), src.w, src.h, sx, sy, nodata)
-            case Bilinear => sampleBilinear(src.bands(b), src.w, src.h, sx, sy, nodata)
-            case Cubic => sampleCubic(src.bands(b), src.w, src.h, sx, sy, nodata)
-            case Average => sampleAverageAt(src, b, toSrc, px, py, nodata)
-            case other => throw new IllegalArgumentException(s"unknown kernel $other")
+        while (b < nBands) {
+          out(b)(py * dw + px) = kcode match {
+            case 0 => sampleNear(src.bands(b), src.w, src.h, sx, sy, nodata)
+            case 1 => sampleBilinear(src.bands(b), src.w, src.h, sx, sy, nodata)
+            case 2 => sampleCubic(src.bands(b), src.w, src.h, sx, sy, nodata)
+            case _ => sampleAverageAt(src, b, toSrc, px, py, nodata)
           }
           b += 1
         }
@@ -64,40 +123,38 @@ object Warp {
       }
       py += 1
     }
-    Raster(dw, dh, out)
+    (px0, py0, px1, py1)
   }
 
-  /** Compute src pixel coords of a whole dst scanline. When `exact` (affine
-    * only — composition of affines is affine) 2 transforms + linear fill is
-    * exact; otherwise adaptively subdivide until midpoint error < 0.125 px. */
-  private def fillScanline(toSrc: (Double, Double) => (Double, Double), py: Double,
-                           dw: Int, xs: Array[Double], ys: Array[Double], exact: Boolean): Unit = {
-    val (x0, y0) = toSrc(0.5, py)
-    val (x1, y1) = toSrc(dw - 0.5, py)
-    if (dw == 1) { xs(0) = x0; ys(0) = y0; return }
+  /** Scanline src-coord fill over a window starting at dst pixel px0. */
+  private def fillScanlineWindow(toSrc: (Double, Double) => (Double, Double), py: Double,
+                                 px0: Int, winW: Int, xs: Array[Double], ys: Array[Double],
+                                 exact: Boolean): Unit = {
+    val (x0, y0) = toSrc(px0 + 0.5, py)
+    if (winW == 1) { xs(0) = x0; ys(0) = y0; return }
+    val (x1, y1) = toSrc(px0 + winW - 0.5, py)
     if (exact) {
-      val dx = (x1 - x0) / (dw - 1)
-      val dy = (y1 - y0) / (dw - 1)
+      val dx = (x1 - x0) / (winW - 1)
+      val dy = (y1 - y0) / (winW - 1)
       var i = 0
-      while (i < dw) { xs(i) = x0 + i * dx; ys(i) = y0 + i * dy; i += 1 }
+      while (i < winW) { xs(i) = x0 + i * dx; ys(i) = y0 + i * dy; i += 1 }
     } else {
-      xs(0) = x0; ys(0) = y0; xs(dw - 1) = x1; ys(dw - 1) = y1
-      subdivide(toSrc, py, 0, dw - 1, xs, ys)
+      xs(0) = x0; ys(0) = y0; xs(winW - 1) = x1; ys(winW - 1) = y1
+      subdivideWindow(toSrc, py, px0, 0, winW - 1, xs, ys)
     }
   }
 
-  private def subdivide(toSrc: (Double, Double) => (Double, Double), py: Double,
-                        i0: Int, i1: Int, xs: Array[Double], ys: Array[Double]): Unit = {
+  private def subdivideWindow(toSrc: (Double, Double) => (Double, Double), py: Double, px0: Int,
+                              i0: Int, i1: Int, xs: Array[Double], ys: Array[Double]): Unit = {
     if (i1 - i0 <= 1) return
     val mid = (i0 + i1) / 2
-    val (mx, my) = toSrc(mid + 0.5, py)
+    val (mx, my) = toSrc(px0 + mid + 0.5, py)
     xs(mid) = mx; ys(mid) = my
     val t = (mid - i0).toDouble / (i1 - i0)
     val lx = xs(i0) + t * (xs(i1) - xs(i0))
     val ly = ys(i0) + t * (ys(i1) - ys(i0))
     val err = math.max(math.abs(lx - mx), math.abs(ly - my))
     if (err < 0.125) {
-      // both halves linear
       var i = i0 + 1
       while (i < i1) {
         if (i != mid) {
@@ -112,8 +169,8 @@ object Warp {
         i += 1
       }
     } else {
-      subdivide(toSrc, py, i0, mid, xs, ys)
-      subdivide(toSrc, py, mid, i1, xs, ys)
+      subdivideWindow(toSrc, py, px0, i0, mid, xs, ys)
+      subdivideWindow(toSrc, py, px0, mid, i1, xs, ys)
     }
   }
 

@@ -240,33 +240,57 @@ case class PolygonizeRegions(children: Seq[Expression]) extends Expression with 
 object WarpKernels {
   import PlaneBuf.{PlanePx, TileSize}
 
+  // Per-thread scratch for the warp sampling target. Reused across calls:
+  // without it each warp allocates ~2.4 MB of int arrays, and at 8+
+  // executor threads the resulting multi-GB/s allocation rate stalls the
+  // whole stage (measured: identical warps varying 1.3→130 ms).
+  private val scratch = new ThreadLocal[Array[Array[Int]]] {
+    override def initialValue(): Array[Array[Int]] = Array.ofDim[Int](3, PlanePx)
+  }
+
   def warpToTile(bytes: Array[Byte], fmt: String, meta: Array[Double], tile: Long, kernel: String): Array[Byte] = {
-    val w = meta(0).toInt; val h = meta(1).toInt; val srid = meta(2).toInt
-    val gt = java.util.Arrays.copyOfRange(meta, 3, 9)
+    val w = meta(0).toInt; val h = meta(1).toInt
     val decoded = ImageCodec.decode(bytes, fmt, w, h)
+    warpRasterToTile(decoded, meta, tile, kernel)
+  }
+
+  /** Warp an already-decoded raster — lets callers decode ONCE per image
+    * and warp to every covering tile (the dominant cost split at scale). */
+  def warpRasterToTile(decoded: Raster, meta: Array[Double], tile: Long, kernel: String): Array[Byte] = {
+    val srid = meta(2).toInt
+    val gt = java.util.Arrays.copyOfRange(meta, 3, 9)
     // tiles mosaic across images of mixed band counts → normalize to RGB
-    // (the tile app's PNG output is band-expanded the same way)
+    // (the tile app's PNG output is band-expanded the same way); gray
+    // shares one array 3× — warp only reads the source.
     val src = if (decoded.nBands == 3) decoded
       else Raster(decoded.w, decoded.h, Array(decoded.bands(0), decoded.bands(0), decoded.bands(0)))
     val z = TileMath.unpackZ(tile); val x = TileMath.unpackX(tile); val y = TileMath.unpackY(tile)
     val dstGt = TileMath.tileGeoTransform(z, x, y)
     val nodata = -1
-    val warped = Warp.warp(src, gt, srid, dstGt, 3857, TileSize, TileSize, kernel, nodata)
-    val validity = new Array[Byte](PlanePx)
-    val bands = Array.fill(warped.nBands)(new Array[Int](PlanePx))
-    var i = 0
-    while (i < PlanePx) {
-      var valid = true
-      var b = 0
-      while (b < warped.nBands) {
-        val v = warped.bands(b)(i)
-        if (v == nodata) valid = false else bands(b)(i) = v
-        b += 1
+    val out = scratch.get()
+    val (px0, py0, px1, py1) = Warp.warpInto(src, gt, srid, dstGt, 3857,
+      TileSize, TileSize, kernel, nodata, out)
+    // fresh zero-initialized planes buffer; only the window is scanned —
+    // everything outside is already 0 pixels + 0 validity
+    val buf = new Array[Byte](4 * PlanePx)
+    val vOff = 3 * PlanePx
+    var py = py0
+    while (py <= py1) {
+      var px = px0
+      while (px <= px1) {
+        val i = py * TileSize + px
+        val v0 = out(0)(i); val v1 = out(1)(i); val v2 = out(2)(i)
+        if (v0 != nodata && v1 != nodata && v2 != nodata) {
+          buf(i) = v0.toByte
+          buf(PlanePx + i) = v1.toByte
+          buf(2 * PlanePx + i) = v2.toByte
+          buf(vOff + i) = 1
+        }
+        px += 1
       }
-      validity(i) = if (valid) 1 else 0
-      i += 1
+      py += 1
     }
-    PlaneBuf.fromRaster(Raster(TileSize, TileSize, bands), validity)
+    buf
   }
 
   def downsampleToParent(buf: Array[Byte], tile: Long): Array[Byte] = {

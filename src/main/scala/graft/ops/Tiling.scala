@@ -32,26 +32,77 @@ object Tiling {
       .withColumn("env", footprint(col("gt"), col("w"), col("h"), col("srid")))
       .withColumn("tile", explode(tile_cover(col("env"), zmin, zmax)))
 
-  /** Base-zoom tiles: warp each image onto its covering tiles, mosaic per
-    * tile. Returns (tile, n_images, buf). */
-  def baseTiles(images: DataFrame, z: Int, kernel: String = "near"): DataFrame =
-    assign(images, z, z)
-      .withColumn("buf", warp_tile(col("bytes"), col("fmt"), meta9, col("tile"), lit(kernel)))
-      .groupBy(col("tile"))
-      .agg(count(lit(1)).as("n_images"), mosaic_agg(col("buf")).as("buf"))
+  /** Base-zoom tiles: shuffle the (small, still-encoded) source rows by
+    * tile key, then warp + mosaic-merge on the reduce side.
+    *
+    * Deliberately NOT groupBy().agg(mosaic_agg): a hash aggregate would
+    * hold one 262 KB mosaic buffer per tile seen by a task (≈ all tiles at
+    * low zoom → GBs per task), and ObjectHashAggregate's 128-group
+    * sort-fallback degrades into an external sort of rendered buffers.
+    * Shuffling encoded bytes instead moves ~5× less data, and mapGroups
+    * streams one tile at a time with O(1) buffers live per task. Mosaic
+    * blend itself stays the commutative MosaicAgg.merge, so results are
+    * partitioning-invariant either way. Returns (tile, n_images, buf). */
+  def baseTiles(images: DataFrame, z: Int, kernel: String = "near"): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images
+      .withColumn("env", footprint(col("gt"), col("w"), col("h"), col("srid")))
+      .select(col("bytes"), col("fmt"), meta9.as("meta"), col("env"))
+      .as[(Array[Byte], String, Seq[Double], Seq[Double])]
+      .mapPartitions { rows =>
+        // map-side warp: decode ONCE per image, render every covering tile.
+        // Shuffled payload = planes buffers, whose zero regions compress to
+        // ~nothing under the shuffle codec; warp work is partitioned by
+        // IMAGE (uniform), not by tile (skewed at low zooms).
+        rows.flatMap { case (bytes, fmt, metaSeq, envSeq) =>
+          val meta = metaSeq.toArray
+          val env = envSeq.toArray
+          val e = new org.apache.spark.sql.catalyst.util.GenericArrayData(env)
+          val tiles = graft.expr.GeoKernels.tileCover(e, z, z).toLongArray()
+          val decoded = graft.core.ImageCodec.decode(bytes, fmt, meta(0).toInt, meta(1).toInt)
+          tiles.iterator.map { t =>
+            (t, graft.expr.WarpKernels.warpRasterToTile(decoded, meta, t, kernel))
+          }
+        }
+      }
+      .groupByKey(_._1)
+      .mapGroups { (tile, rows) =>
+        var buf: Array[Byte] = null
+        var n = 0L
+        rows.foreach { case (_, warped) =>
+          buf = if (buf == null) warped else graft.expr.MosaicAgg.merge(buf, warped)
+          n += 1
+        }
+        (tile, n, buf)
+      }
+      .toDF("tile", "n_images", "buf")
+  }
 
-  /** One overview step: tiles at z → tiles at z−1 (4-child 2×2 reduce). */
+  /** One overview step: tiles at z → tiles at z−1 (4-child 2×2 reduce,
+    * same reduce-side merge shape as baseTiles). */
   def overviewStep(tiles: DataFrame): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
     val parent =
       shiftleft(tile_z(col("tile")).cast("bigint") - 1, 58)
         .bitwiseOR(shiftleft(shiftrightunsigned(tile_x(col("tile")).cast("bigint"), 1), 29))
         .bitwiseOR(shiftrightunsigned(tile_y(col("tile")).cast("bigint"), 1))
     tiles
-      .withColumn("pbuf", downsample_to_parent(col("buf"), col("tile")))
-      .withColumn("ptile", parent)
-      .groupBy(col("ptile"))
-      .agg(sum(col("n_images")).as("n_images"), mosaic_agg(col("pbuf")).as("buf"))
-      .withColumnRenamed("ptile", "tile")
+      .select(parent.as("ptile"), col("tile"), col("n_images"), col("buf"))
+      .as[(Long, Long, Long, Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroups { (p, rows) =>
+        var buf: Array[Byte] = null
+        var n = 0L
+        rows.foreach { case (_, childTile, cn, cbuf) =>
+          val d = graft.expr.WarpKernels.downsampleToParent(cbuf, childTile)
+          buf = if (buf == null) d else graft.expr.MosaicAgg.merge(buf, d)
+          n += cn
+        }
+        (p, n, buf)
+      }
+      .toDF("tile", "n_images", "buf")
   }
 
   /** Full pyramid zmax→zmin: base tiles once, then iterative 2×2 reduce.
