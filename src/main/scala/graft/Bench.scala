@@ -71,6 +71,9 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = buildSession(cpus)
     val qs = SparkEntry.queries
+    // untimed warm-up: parquet footers, codegen, corpus materialization
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    graft.gen.Fixtures.imagesFromParts(spark, sfDir)
     val results = Headline.filter(qs.contains).map { name =>
       val t0 = System.nanoTime()
       val ok = try { qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

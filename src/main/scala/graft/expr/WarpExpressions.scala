@@ -157,6 +157,50 @@ case class PlanesChecksums(child: Expression)
     PlanesChecksums(c(0))
 }
 
+/** image_profile(bytes, fmt, w, h) → struct<nbands:int, pmin:int, pmax:int,
+  * mean:double, checksums:array<int>, phash:bigint> — ONE decode feeding
+  * every per-image metric (stats + per-band GDAL checksums + perceptual
+  * hash). The multimodal feature-extraction operator: fuse at the decode,
+  * never decode a payload twice in one pass. */
+case class ImageProfile(children: Seq[Expression]) extends Expression with ExpectsInputTypes with CodegenFallback {
+  require(children.length == 4, "image_profile(bytes, fmt, w, h)")
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(BinaryType, StringType, IntegerType, IntegerType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("nbands", IntegerType, nullable = false),
+    StructField("pmin", IntegerType, nullable = false),
+    StructField("pmax", IntegerType, nullable = false),
+    StructField("mean", DoubleType, nullable = false),
+    StructField("checksums", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("phash", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "image_profile"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    if (vals.exists(_ == null)) return null
+    val r = ImageCodec.decode(vals(0).asInstanceOf[Array[Byte]], vals(1).toString,
+      vals(2).asInstanceOf[Int], vals(3).asInstanceOf[Int])
+    val b0 = r.bands(0)
+    var mn = Int.MaxValue; var mx = Int.MinValue; var sum = 0L
+    var i = 0
+    while (i < b0.length) {
+      val v = b0(i)
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      sum += v
+      i += 1
+    }
+    val cks = r.bands.map(b => GdalChecksum.ofInts(b, r.w, r.h))
+    org.apache.spark.sql.catalyst.InternalRow(
+      r.nBands, mn, mx, sum.toDouble / b0.length,
+      new GenericArrayData(cks), GeoKernels.phashOfRaster(r))
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): ImageProfile =
+    copy(children = c)
+}
+
 /** zone_stats(bytes, fmt, meta9, zoneWkb) → array<double>
   * [count, min, max, sum] of band-0 pixels whose centers fall inside the
   * zone polygon (zonal statistics inner kernel, alg/zonal.cpp:274

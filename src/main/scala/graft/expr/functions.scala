@@ -95,6 +95,9 @@ object functions {
   def rasterize_count(wkb: Column, meta9: Column): Column =
     toCol(RasterizeCount(toExpr(wkb), toExpr(meta9)))
 
+  def image_profile(bytes: Column, fmt: Column, w: Column, h: Column): Column =
+    toCol(ImageProfile(Seq(toExpr(bytes), toExpr(fmt), toExpr(w), toExpr(h))))
+
   /** tile id accessors are plain bit ops — stay on Spark built-ins. */
   def tile_z(tile: Column): Column = org.apache.spark.sql.functions.shiftrightunsigned(tile, 58).cast("int")
   def tile_x(tile: Column): Column =
@@ -168,7 +171,9 @@ object GraftExtensions {
     "polygonize_regions" -> ((info("polygonize_regions", "polygonize_regions(bytes, fmt, meta9, connect8, shift)"),
       (e: Seq[Expression]) => PolygonizeRegions(e))),
     "rasterize_count" -> ((info("rasterize_count", "rasterize_count(wkb, meta9)"),
-      (e: Seq[Expression]) => RasterizeCount(e(0), e(1)))))
+      (e: Seq[Expression]) => RasterizeCount(e(0), e(1)))),
+    "image_profile" -> ((info("image_profile", "image_profile(bytes, fmt, w, h) - fused decode metrics"),
+      (e: Seq[Expression]) => ImageProfile(e))))
 
   /** Imperative registration for sessions built without extensions. */
   def register(spark: SparkSession): Unit =

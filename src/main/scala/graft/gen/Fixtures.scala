@@ -64,12 +64,22 @@ object Fixtures {
       graft.expr.GeoKernels.phashOfRaster(raster), gt, srid)
   }
 
+  // corpus-table materialization cache: many queries read the same
+  // synthesized images table; persist once per (session, sf dir) — the
+  // moral equivalent of the corpus being a real stored table
+  private val imagesCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   /** Image corpus keyed by part table keys (oracle-joinable). */
-  def imagesFromParts(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    s.read.parquet(s"$dir/part.parquet").select(col("p_partkey"))
-      .as[Long].map(genImage).toDF()
-  }
+  def imagesFromParts(s: SparkSession, dir: String): DataFrame =
+    imagesCache.computeIfAbsent((s, dir), { _ =>
+      import s.implicits._
+      val df = s.read.parquet(s"$dir/part.parquet").select(col("p_partkey"))
+        .as[Long].map(genImage).toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // materialize so downstream stages never re-encode
+      df
+    })
 
   /** Standalone corpus of n images (bench path — no source table read). */
   def imagesFromRange(s: SparkSession, n: Long, partitions: Int = 32): DataFrame = {

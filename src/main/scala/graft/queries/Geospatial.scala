@@ -211,19 +211,18 @@ object Geospatial {
     // ---- rows-only checks below (raster kernels not SQL-expressible;
     // ---- ScalaTest goldens cover exactness) ----
 
-    // §2.1 decode inside an expression + §2.7 checksum/phash
+    // §2.1 decode inside an expression + §2.7 checksum/phash (ONE fused
+    // decode via image_profile)
     ("q30_image_stats", (s: SparkSession, dir: String) => {
       Fixtures.imagesFromParts(s, dir)
-        .withColumn("stats", image_stats(col("bytes"), col("fmt"), col("w"), col("h")))
-        .withColumn("cks", checksum_bands(col("bytes"), col("fmt"), col("w"), col("h")))
-        .withColumn("phash_rt", phash64(col("bytes"), col("fmt"), col("w"), col("h")))
+        .withColumn("p", image_profile(col("bytes"), col("fmt"), col("w"), col("h")))
         .select(col("key"), col("image_id"), col("fmt"), col("caption"),
-          col("stats")(0).cast("int").as("nbands"),
-          col("stats")(1).cast("int").as("pmin"),
-          col("stats")(2).cast("int").as("pmax"),
-          col("cks")(0).as("checksum_b0"),
-          col("phash_rt"), col("phash"),
-          (col("phash_rt") === col("phash")).as("phash_match"))
+          col("p.nbands").as("nbands"),
+          col("p.pmin").as("pmin"),
+          col("p.pmax").as("pmax"),
+          col("p.checksums")(0).as("checksum_b0"),
+          col("p.phash").as("phash_rt"), col("phash"),
+          (col("p.phash") === col("phash")).as("phash_match"))
     }, None),
 
     // §2.8 warp + mosaic + overview pyramid + PNG encode + checksums

@@ -144,11 +144,11 @@ object TrainingData {
     ("q51_multimodal_features", (s: SparkSession, dir: String) => {
       graft.gen.Fixtures.imagesFromParts(s, dir)
         .filter(col("key") % 5 === 0)
-        .withColumn("stats", graft.expr.functions.image_stats(col("bytes"), col("fmt"), col("w"), col("h")))
+        .withColumn("p", graft.expr.functions.image_profile(col("bytes"), col("fmt"), col("w"), col("h")))
         .select(col("image_id"), col("fmt"),
           length(col("bytes")).as("payload_bytes"),
-          col("stats")(3).as("mean_px"),
-          graft.expr.functions.phash64(col("bytes"), col("fmt"), col("w"), col("h")).as("phash"))
+          col("p.mean").as("mean_px"),
+          col("p.phash").as("phash"))
     }, None)
   )
 }
