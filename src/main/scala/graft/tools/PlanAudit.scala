@@ -1,0 +1,27 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints formatted physical plans of representative queries and greps the
+  * properties that matter at scale (filter pushdown, pruned read schema,
+  * broadcast choice, codegen spans). Run per round; findings land in
+  * PLANS.md. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = graft.Bench.buildSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    val names = Seq("q05_filter_pred", "q02_groupby_agg", "q07_join_inner",
+      "q22_pip_join", "q44_cosine_topk", "q16_events_window")
+    names.foreach { n =>
+      println(s"\n########## $n ##########")
+      val df = graft.SparkEntry.queries(n)(spark, sf)
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    }
+    println("\n########## tiling_base ##########")
+    val images = graft.gen.Fixtures.imagesFromParts(spark, sf)
+    println(graft.ops.Tiling.baseTiles(images, 4).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    spark.stop()
+  }
+}
