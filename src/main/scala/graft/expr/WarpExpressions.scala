@@ -201,6 +201,57 @@ case class ImageProfile(children: Seq[Expression]) extends Expression with Expec
     copy(children = c)
 }
 
+/** focal_op(bytes, fmt, meta9, op) → struct<mean:double, checksum:int> of
+  * the derived focal raster (op ∈ hillshade|slope|aspect|roughness|tpi|tri)
+  * computed on band 0 with the image's own cell resolution — the §2.5
+  * focal/DEM surface as a per-row expression (no halo: kernels stay
+  * inside one image). Slope/aspect/tpi/tri checksums use the reference's
+  * float→int conversion (GdalChecksum.ofDoubles). */
+case class FocalOp(children: Seq[Expression]) extends Expression with ExpectsInputTypes with CodegenFallback {
+  require(children.length == 4, "focal_op(bytes, fmt, meta9, op)")
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(BinaryType, StringType, ArrayType(DoubleType), StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("mean", DoubleType, nullable = false),
+    StructField("checksum", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "focal_op"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    if (vals.exists(_ == null)) return null
+    val meta = vals(2).asInstanceOf[ArrayData].toDoubleArray()
+    val w = meta(0).toInt; val h = meta(1).toInt
+    val ewRes = math.abs(meta(4)); val nsRes = math.abs(meta(8))
+    val r = ImageCodec.decode(vals(0).asInstanceOf[Array[Byte]], vals(1).toString, w, h)
+    val b0 = r.bands(0)
+    vals(3).toString match {
+      case "hillshade" =>
+        val hs = Focal.hillshade(b0, w, h, ewRes, nsRes)
+        var s = 0L; var i = 0
+        while (i < hs.length) { s += hs(i); i += 1 }
+        org.apache.spark.sql.catalyst.InternalRow(s.toDouble / hs.length, GdalChecksum.ofInts(hs, w, h))
+      case "roughness" =>
+        val rg = Focal.roughness(b0, w, h)
+        var s = 0L; var i = 0
+        while (i < rg.length) { s += rg(i); i += 1 }
+        org.apache.spark.sql.catalyst.InternalRow(s.toDouble / rg.length, GdalChecksum.ofInts(rg, w, h))
+      case op =>
+        val d = op match {
+          case "slope" => Focal.slope(b0, w, h, ewRes, nsRes)
+          case "aspect" => Focal.aspect(b0, w, h, ewRes, nsRes)
+          case "tpi" => Focal.tpi(b0, w, h)
+          case "tri" => Focal.tri(b0, w, h)
+          case other => throw new IllegalArgumentException(s"unknown focal op $other")
+        }
+        org.apache.spark.sql.catalyst.InternalRow(d.sum / d.length, GdalChecksum.ofDoubles(d, w, h))
+    }
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): FocalOp =
+    copy(children = c)
+}
+
 /** zone_stats(bytes, fmt, meta9, zoneWkb) → array<double>
   * [count, min, max, sum] of band-0 pixels whose centers fall inside the
   * zone polygon (zonal statistics inner kernel, alg/zonal.cpp:274

@@ -98,6 +98,9 @@ object functions {
   def image_profile(bytes: Column, fmt: Column, w: Column, h: Column): Column =
     toCol(ImageProfile(Seq(toExpr(bytes), toExpr(fmt), toExpr(w), toExpr(h))))
 
+  def focal_op(bytes: Column, fmt: Column, meta9: Column, op: Column): Column =
+    toCol(FocalOp(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(op))))
+
   /** tile id accessors are plain bit ops — stay on Spark built-ins. */
   def tile_z(tile: Column): Column = org.apache.spark.sql.functions.shiftrightunsigned(tile, 58).cast("int")
   def tile_x(tile: Column): Column =
@@ -173,7 +176,9 @@ object GraftExtensions {
     "rasterize_count" -> ((info("rasterize_count", "rasterize_count(wkb, meta9)"),
       (e: Seq[Expression]) => RasterizeCount(e(0), e(1)))),
     "image_profile" -> ((info("image_profile", "image_profile(bytes, fmt, w, h) - fused decode metrics"),
-      (e: Seq[Expression]) => ImageProfile(e))))
+      (e: Seq[Expression]) => ImageProfile(e))),
+    "focal_op" -> ((info("focal_op", "focal_op(bytes, fmt, meta9, op) - hillshade/slope/aspect/roughness/tpi/tri"),
+      (e: Seq[Expression]) => FocalOp(e))))
 
   /** Imperative registration for sessions built without extensions. */
   def register(spark: SparkSession): Unit =

@@ -259,6 +259,18 @@ object Geospatial {
           sum(col("zs")(3)).as("zsum"))
     }, None),
 
+    // §2.5 focal/DEM derivatives per image (hillshade/slope/roughness)
+    ("q35_focal_dem", (s: SparkSession, dir: String) => {
+      val imgs = Fixtures.imagesFromParts(s, dir).filter(col("w") <= 64)
+      Seq("hillshade", "slope", "roughness").map { op =>
+        imgs.withColumn("f", focal_op(col("bytes"), col("fmt"), Tiling.meta9, lit(op)))
+          .select(col("key"), lit(op).as("op"),
+            col("f.checksum").as("checksum"))
+      }.reduce(_ union _)
+        .groupBy(col("op"))
+        .agg(count(lit(1)).as("n"), sum(col("checksum").cast("bigint")).as("checksum_sum"))
+    }, None),
+
     // UTM footprint branch (CRS series not SQL-expressible)
     ("q34_footprint_utm", (s: SparkSession, dir: String) => {
       Fixtures.imagesFromParts(s, dir)
