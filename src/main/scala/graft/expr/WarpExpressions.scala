@@ -201,6 +201,40 @@ case class ImageProfile(children: Seq[Expression]) extends Expression with Expec
     copy(children = c)
 }
 
+/** sample_at(bytes, fmt, meta9, lon, lat) → int: band-0 value at a geo
+  * point via inverse geotransform + nearest-neighbor kernel (the
+  * GDALInterpolateAtPoint surface, alg/gdal_interpolateatpoint.cpp:415
+  * semantics for 'near'); null when the point misses the raster. */
+case class SampleAt(children: Seq[Expression]) extends Expression with ExpectsInputTypes with CodegenFallback {
+  require(children.length == 5, "sample_at(bytes, fmt, meta9, lon, lat)")
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(BinaryType, StringType, ArrayType(DoubleType), DoubleType, DoubleType)
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sample_at"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    if (vals.exists(_ == null)) return null
+    val meta = vals(2).asInstanceOf[ArrayData].toDoubleArray()
+    val w = meta(0).toInt; val h = meta(1).toInt
+    val gt = java.util.Arrays.copyOfRange(meta, 3, 9)
+    val inv = GeoTransform.invert(gt).getOrElse(return null)
+    val lon = vals(3).asInstanceOf[Double]
+    val lat = vals(4).asInstanceOf[Double]
+    val px = math.floor(GeoTransform.applyX(inv, lon, lat)).toInt
+    val py = math.floor(GeoTransform.applyY(inv, lon, lat)).toInt
+    if (px < 0 || px >= w || py < 0 || py >= h) null
+    else {
+      val r = ImageCodec.decode(vals(0).asInstanceOf[Array[Byte]], vals(1).toString, w, h)
+      r.bands(0)(py * w + px)
+    }
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): SampleAt =
+    copy(children = c)
+}
+
 /** focal_op(bytes, fmt, meta9, op) → struct<mean:double, checksum:int> of
   * the derived focal raster (op ∈ hillshade|slope|aspect|roughness|tpi|tri)
   * computed on band 0 with the image's own cell resolution — the §2.5

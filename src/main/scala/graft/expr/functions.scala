@@ -101,6 +101,9 @@ object functions {
   def focal_op(bytes: Column, fmt: Column, meta9: Column, op: Column): Column =
     toCol(FocalOp(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(op))))
 
+  def sample_at(bytes: Column, fmt: Column, meta9: Column, lon: Column, lat: Column): Column =
+    toCol(SampleAt(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(lon), toExpr(lat))))
+
   /** tile id accessors are plain bit ops — stay on Spark built-ins. */
   def tile_z(tile: Column): Column = org.apache.spark.sql.functions.shiftrightunsigned(tile, 58).cast("int")
   def tile_x(tile: Column): Column =
@@ -178,7 +181,9 @@ object GraftExtensions {
     "image_profile" -> ((info("image_profile", "image_profile(bytes, fmt, w, h) - fused decode metrics"),
       (e: Seq[Expression]) => ImageProfile(e))),
     "focal_op" -> ((info("focal_op", "focal_op(bytes, fmt, meta9, op) - hillshade/slope/aspect/roughness/tpi/tri"),
-      (e: Seq[Expression]) => FocalOp(e))))
+      (e: Seq[Expression]) => FocalOp(e))),
+    "sample_at" -> ((info("sample_at", "sample_at(bytes, fmt, meta9, lon, lat) - nearest value at point"),
+      (e: Seq[Expression]) => SampleAt(e))))
 
   /** Imperative registration for sessions built without extensions. */
   def register(spark: SparkSession): Unit =

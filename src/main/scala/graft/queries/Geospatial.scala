@@ -259,6 +259,45 @@ object Geospatial {
           sum(col("zs")(3)).as("zsum"))
     }, None),
 
+    // §2.7 point sampling: decode + inverse geotransform + nearest kernel,
+    // checked against the closed-form pattern value (raw rows: bit-exact;
+    // sample point = the center of pixel (key%sz, (key*7)%sz), which is
+    // 0.5 px away from any floor boundary → fp-robust on both engines)
+    ("q36_sample_at", (s: SparkSession, dir: String) => {
+      Fixtures.imagesFromParts(s, dir)
+        .filter(col("srid") === 4326 && col("fmt") === "raw")
+        .withColumn("cx", (col("key") % col("w")).cast("int"))
+        .withColumn("cy", ((col("key") * 7) % col("h")).cast("int"))
+        .withColumn("lon_s", col("gt")(0) + (col("cx") + 0.5) * col("gt")(1))
+        .withColumn("lat_s", col("gt")(3) + (col("cy") + 0.5) * col("gt")(5))
+        .select(col("key"), col("cx"), col("cy"),
+          sample_at(col("bytes"), col("fmt"), Tiling.meta9, col("lon_s"), col("lat_s")).as("v"))
+    }, Some("""
+      SELECT key, cx, cy, CAST(((cx * 7) + (cy * 13) + (key * 31)) % 256 AS INT) AS v
+      FROM (
+        SELECT p_partkey AS key,
+          CAST(p_partkey % (CASE (p_partkey % 4) WHEN 0 THEN 16 WHEN 1 THEN 20 WHEN 2 THEN 64 ELSE 256 END) AS INT) AS cx,
+          CAST((p_partkey * 7) % (CASE (p_partkey % 4) WHEN 0 THEN 16 WHEN 1 THEN 20 WHEN 2 THEN 64 ELSE 256 END) AS INT) AS cy
+        FROM part
+        WHERE (p_partkey % 8) <> 1 AND (p_partkey % 3) = 0)""")),
+
+    // §2.6 INTERSECT / EXCEPT set operations
+    ("q37_intersect_except", (s: SparkSession, dir: String) => {
+      val custNations = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_nationkey").cast("int").as("nk")).distinct()
+      val suppNations = s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_nationkey").cast("int").as("nk")).distinct()
+      custNations.intersect(suppNations).withColumn("op", lit("intersect"))
+        .union(custNations.except(suppNations).withColumn("op", lit("except")))
+    }, Some("""
+      SELECT nk, 'intersect' AS op FROM (
+        SELECT DISTINCT CAST(c_nationkey AS INT) AS nk FROM customer
+        INTERSECT SELECT DISTINCT CAST(s_nationkey AS INT) AS nk FROM supplier)
+      UNION ALL
+      SELECT nk, 'except' AS op FROM (
+        SELECT DISTINCT CAST(c_nationkey AS INT) AS nk FROM customer
+        EXCEPT SELECT DISTINCT CAST(s_nationkey AS INT) AS nk FROM supplier)""")),
+
     // §2.5 focal/DEM derivatives per image (hillshade/slope/roughness)
     ("q35_focal_dem", (s: SparkSession, dir: String) => {
       val imgs = Fixtures.imagesFromParts(s, dir).filter(col("w") <= 64)
