@@ -201,6 +201,43 @@ case class ImageProfile(children: Seq[Expression]) extends Expression with Expec
     copy(children = c)
 }
 
+/** contour_lines(bytes, fmt, meta9, levels) → array<struct<level:double,
+  * n_points:int, closed:boolean, wkb:binary>> — per-image marching-squares
+  * iso-lines in geo coordinates (§2.8 contour). */
+case class ContourLines(children: Seq[Expression]) extends Expression with ExpectsInputTypes with CodegenFallback {
+  require(children.length == 4, "contour_lines(bytes, fmt, meta9, levels)")
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(BinaryType, StringType, ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("level", DoubleType, nullable = false),
+    StructField("n_points", IntegerType, nullable = false),
+    StructField("closed", BooleanType, nullable = false),
+    StructField("wkb", BinaryType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "contour_lines"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    if (vals.exists(_ == null)) return null
+    val meta = vals(2).asInstanceOf[ArrayData].toDoubleArray()
+    val w = meta(0).toInt; val h = meta(1).toInt
+    val gt = java.util.Arrays.copyOfRange(meta, 3, 9)
+    val levels = vals(3).asInstanceOf[ArrayData].toDoubleArray()
+    val r = ImageCodec.decode(vals(0).asInstanceOf[Array[Byte]], vals(1).toString, w, h)
+    val lines = Contour.contours(r.bands(0), w, h, gt, levels.toSeq)
+    new GenericArrayData(lines.map { l =>
+      val bb = java.nio.ByteBuffer.allocate(9 + 8 * l.coords.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(1: Byte).putInt(Wkb.LineStringType).putInt(l.nPoints)
+      l.coords.foreach(bb.putDouble)
+      org.apache.spark.sql.catalyst.InternalRow(l.level, l.nPoints, l.closed, bb.array())
+    }.toArray[Any])
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): ContourLines =
+    copy(children = c)
+}
+
 /** sample_at(bytes, fmt, meta9, lon, lat) → int: band-0 value at a geo
   * point via inverse geotransform + nearest-neighbor kernel (the
   * GDALInterpolateAtPoint surface, alg/gdal_interpolateatpoint.cpp:415

@@ -104,6 +104,9 @@ object functions {
   def sample_at(bytes: Column, fmt: Column, meta9: Column, lon: Column, lat: Column): Column =
     toCol(SampleAt(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(lon), toExpr(lat))))
 
+  def contour_lines(bytes: Column, fmt: Column, meta9: Column, levels: Column): Column =
+    toCol(ContourLines(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(levels))))
+
   /** tile id accessors are plain bit ops — stay on Spark built-ins. */
   def tile_z(tile: Column): Column = org.apache.spark.sql.functions.shiftrightunsigned(tile, 58).cast("int")
   def tile_x(tile: Column): Column =
@@ -183,7 +186,9 @@ object GraftExtensions {
     "focal_op" -> ((info("focal_op", "focal_op(bytes, fmt, meta9, op) - hillshade/slope/aspect/roughness/tpi/tri"),
       (e: Seq[Expression]) => FocalOp(e))),
     "sample_at" -> ((info("sample_at", "sample_at(bytes, fmt, meta9, lon, lat) - nearest value at point"),
-      (e: Seq[Expression]) => SampleAt(e))))
+      (e: Seq[Expression]) => SampleAt(e))),
+    "contour_lines" -> ((info("contour_lines", "contour_lines(bytes, fmt, meta9, levels) - marching-squares iso-lines"),
+      (e: Seq[Expression]) => ContourLines(e))))
 
   /** Imperative registration for sessions built without extensions. */
   def register(spark: SparkSession): Unit =

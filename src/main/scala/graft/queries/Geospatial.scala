@@ -298,6 +298,18 @@ object Geospatial {
         SELECT DISTINCT CAST(c_nationkey AS INT) AS nk FROM customer
         EXCEPT SELECT DISTINCT CAST(s_nationkey AS INT) AS nk FROM supplier)""")),
 
+    // §2.8 contour: marching-squares iso-lines per image
+    ("q38_contour", (s: SparkSession, dir: String) => {
+      Fixtures.imagesFromParts(s, dir)
+        .filter(col("w") <= 64 && col("fmt") =!= "jpeg")
+        .withColumn("c", explode(contour_lines(col("bytes"), col("fmt"), Tiling.meta9,
+          array(lit(64.0), lit(128.0), lit(192.0)))))
+        .groupBy(col("c.level").as("level"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("c.n_points").cast("bigint")).as("n_points"),
+          sum(when(col("c.closed"), 1L).otherwise(0L)).as("n_closed"))
+    }, None),
+
     // §2.5 focal/DEM derivatives per image (hillshade/slope/roughness)
     ("q35_focal_dem", (s: SparkSession, dir: String) => {
       val imgs = Fixtures.imagesFromParts(s, dir).filter(col("w") <= 64)
