@@ -14,6 +14,7 @@ object Bench {
     "q16_events_window", "q20_cell_encode", "q21_tile_assign", "q22_pip_join",
     "q24_crs_3857", "q25_knn", "q26_grid_metrics", "q27_tile_pyramid_counts",
     "q28_rasterize_count", "q30_image_stats", "q31_tile_pyramid",
+    "q35_focal_dem", "q36_sample_at", "q38_contour",
     "q40_dedup_exact", "q44_cosine_topk", "q46_minhash_lsh", "q50_ann_lsh")
 
   def buildSession(cpus: String): SparkSession = {

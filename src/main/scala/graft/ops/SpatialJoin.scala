@@ -45,6 +45,28 @@ object SpatialJoin {
       .dropDuplicates(leftKey, polyKey)
   }
 
+  /** Salted PIP join for hot-cell skew: polygon cell rows replicate into
+    * `salt` buckets, each point picks one pseudo-random bucket, and the
+    * equi-join key becomes (cell, salt). Hot cells (a world-spanning
+    * region, a dense metro cell) split across `salt` reducers instead of
+    * one. Semantics identical to pipJoin (each point still meets each
+    * polygon exactly once — on the point's cell and the point's salt).
+    * Use when AQE skew splitting isn't enough (e.g. the build side is too
+    * big to broadcast AND one cell dominates). */
+  def pipJoinSalted(points: DataFrame, polys: DataFrame, level: Int = 7, salt: Int = 8,
+                    lonCol: String = "lon", latCol: String = "lat",
+                    wkbCol: String = "wkb"): DataFrame = {
+    val p = polys
+      .withColumn("__cell", explode(cells_at(st_env(col(wkbCol)), level)))
+      .withColumn("__salt", explode(org.apache.spark.sql.functions.array((0 until salt).map(lit): _*)))
+    val q = points
+      .withColumn("__cell", cell_of(col(lonCol), col(latCol), level))
+      .withColumn("__salt", pmod(hash(col(lonCol), col(latCol)), lit(salt)))
+    q.join(p, Seq("__cell", "__salt"))
+      .filter(st_contains_point(col(wkbCol), col(lonCol), col(latCol)))
+      .drop("__cell", "__salt")
+  }
+
   /** Spatial semi-join: rows of `lefts` whose point falls in ANY polygon
     * (Clip §2.3); anti = rows in none (Erase §2.3). */
   def pipSemi(points: DataFrame, polys: DataFrame, level: Int = 7,

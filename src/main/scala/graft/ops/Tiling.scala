@@ -130,4 +130,13 @@ object Tiling {
       quadkey(tile_z(col("tile")), tile_x(col("tile")), tile_y(col("tile"))).as("qk"),
       col("n_images"),
       encode_png_planes(col("buf")).as("png"))
+
+  /** Materialize the z/x/y tree: explicit RANGE partitioning on (z,
+    * quadkey) — the Hilbert/locality-sort story of SURVEY §2.6 — so each
+    * output file holds spatially adjacent tiles, then a hive-style
+    * partitionBy(z) layout (the tile app's directory convention). */
+  def writeTiles(tiles: DataFrame, path: String, filesPerZoom: Int = 8): Unit =
+    rendered(tiles)
+      .repartitionByRange(filesPerZoom, col("z"), col("qk"))
+      .write.mode("overwrite").partitionBy("z").parquet(path)
 }

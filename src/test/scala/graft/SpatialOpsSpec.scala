@@ -80,6 +80,27 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(brute.nonEmpty)
   }
 
+  test("salted PIP join equals the unsalted join exactly") {
+    val pts = Fixtures.pointsFromOrders(spark, TestSpark.Sf).select("point_id", "lon", "lat")
+    val polys = Fixtures.regionBoxes(spark, TestSpark.Sf)
+    val plain = SpatialJoin.pipJoin(pts, polys).select("point_id", "region_id")
+      .as[(Long, Long)].collect().toSet
+    val salted = SpatialJoin.pipJoinSalted(pts, polys, salt = 5)
+      .select("point_id", "region_id").as[(Long, Long)].collect().toSet
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("writeTiles lays out a hive-partitioned z/x/y tree") {
+    val images = Fixtures.imagesFromParts(spark, TestSpark.Sf).filter(col("key") % 11 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tiles").toString
+    graft.ops.Tiling.writeTiles(graft.ops.Tiling.pyramid(images, 2, 4), dir)
+    val back = spark.read.parquet(dir)
+    assert(back.select("z").distinct().count() == 3)
+    assert(back.columns.toSet == Set("z", "x", "y", "qk", "n_images", "png"))
+    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("z=")))
+  }
+
   test("cell join plan broadcasts the small polygon side and stays codegen'd") {
     val pts = Fixtures.pointsFromOrders(spark, TestSpark.Sf).select("point_id", "lon", "lat")
     val polys = Fixtures.regionBoxes(spark, TestSpark.Sf)
