@@ -60,9 +60,20 @@ object Wkb {
   private def order(b: Array[Byte], off: Int): ByteOrder =
     if (b(off) == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
 
+  /** 2-D type code. EWKB Z/M/SRID flag bits (0x80000000/0x40000000/
+    * 0x20000000) and ISO Z/M offsets (1000/2000/3000) are REJECTED rather
+    * than silently parsed as 2-D (coords would be misread otherwise). */
+  private def checkedType(raw: Int): Int = {
+    if ((raw & 0xE0000000) != 0)
+      throw new IllegalArgumentException(f"unsupported EWKB flags in type 0x$raw%08x")
+    if (raw > 0xFFFF || raw >= 1000)
+      throw new IllegalArgumentException(s"unsupported wkb type $raw (Z/M variants not handled)")
+    raw
+  }
+
   def geomType(wkb: Array[Byte]): Int = {
     val bb = ByteBuffer.wrap(wkb, 1, 4).order(order(wkb, 0))
-    bb.getInt & 0xFFFF // mask Z/M/SRID flag variants
+    checkedType(bb.getInt)
   }
 
   def readPoint(wkb: Array[Byte]): (Double, Double) = {
@@ -96,7 +107,7 @@ object Wkb {
   def read(wkb: Array[Byte]): Geom = {
     val bb = ByteBuffer.wrap(wkb).order(order(wkb, 0))
     bb.get()
-    val t = bb.getInt & 0xFFFF
+    val t = checkedType(bb.getInt)
     t match {
       case PointType =>
         Geom(t, Array.empty, Array(bb.getDouble, bb.getDouble))
@@ -107,7 +118,10 @@ object Wkb {
         val polys = new Array[Polygon](n)
         var i = 0
         while (i < n) {
-          bb.get(); bb.getInt() // inner byte order + type (assume same order)
+          // honor each inner geometry's own byte-order byte
+          val innerOrder = if (bb.get() == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+          bb.order(innerOrder)
+          checkedType(bb.getInt)
           polys(i) = readPolygonBody(bb)
           i += 1
         }
@@ -143,7 +157,7 @@ object Wkb {
         r += 1
       }
     }
-    bb.getInt & 0xFFFF match {
+    checkedType(bb.getInt) match {
       case PointType => take()
       case LineStringType =>
         val n = bb.getInt; var i = 0
@@ -151,7 +165,13 @@ object Wkb {
       case PolygonType => rings()
       case MultiPolygonType =>
         val n = bb.getInt; var i = 0
-        while (i < n) { bb.get(); bb.getInt(); rings(); i += 1 }
+        while (i < n) {
+          val innerOrder = if (bb.get() == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+          bb.order(innerOrder)
+          checkedType(bb.getInt)
+          rings()
+          i += 1
+        }
       case other => throw new IllegalArgumentException(s"unsupported wkb type $other")
     }
     (minx, miny, maxx, maxy)

@@ -59,17 +59,36 @@ object GeoKernels {
   }
 
   /** Footprint: (gt[6], w, h, srid) → lon/lat envelope array<double>[4].
-    * Corner-walk + CRS transform (GDALSuggestedWarpOutput-style edge
-    * sampling is unnecessary for affine corners-only footprints). */
+    * For srid=4326 the affine envelope IS the lon/lat envelope (corners
+    * suffice). For projected srids, constant-northing edges CURVE in
+    * lat/lon (max lat occurs mid-edge near the zone's central meridian),
+    * so the boundary is sampled at 8 steps per edge before transforming —
+    * the GDALSuggestedWarpOutput2 edge-walk (alg/gdaltransformer.cpp:851). */
   def footprint(gt: ArrayData, w: Int, h: Int, srid: Int): ArrayData = {
     val g = gt.toDoubleArray()
     val (minx, miny, maxx, maxy) = GeoTransform.envelope(g, w, h)
     if (srid == 4326) new GenericArrayData(Array(minx, miny, maxx, maxy))
     else {
-      val corners = Array((minx, miny), (minx, maxy), (maxx, miny), (maxx, maxy))
-        .map { case (x, y) => CrsTransform.toLonLat(srid, x, y) }
-      val lons = corners.map(_._1); val lats = corners.map(_._2)
-      new GenericArrayData(Array(lons.min, lats.min, lons.max, lats.max))
+      val steps = 8
+      var minLon = Double.MaxValue; var minLat = Double.MaxValue
+      var maxLon = -Double.MaxValue; var maxLat = -Double.MaxValue
+      @inline def sample(x: Double, y: Double): Unit = {
+        val (lon, lat) = CrsTransform.toLonLat(srid, x, y)
+        if (lon < minLon) minLon = lon
+        if (lon > maxLon) maxLon = lon
+        if (lat < minLat) minLat = lat
+        if (lat > maxLat) maxLat = lat
+      }
+      var i = 0
+      while (i <= steps) {
+        val t = i.toDouble / steps
+        val x = minx + t * (maxx - minx)
+        val y = miny + t * (maxy - miny)
+        sample(x, miny); sample(x, maxy) // south + north edges
+        sample(minx, y); sample(maxx, y) // west + east edges
+        i += 1
+      }
+      new GenericArrayData(Array(minLon, minLat, maxLon, maxLat))
     }
   }
 

@@ -25,47 +25,70 @@ import graft.expr.functions._
 object Knn {
 
   /** targets(t_id, t_lon, t_lat) × points(p_id, p_lon, p_lat)
-    * → (t_id, p_id, dist2, rank), rank 1..k per target. */
+    * → (t_id, p_id, dist2, rank), rank 1..k per target.
+    *
+    * Plan discipline (the driver loop is over a SMALL, shrinking target
+    * frontier — the candidate point table is touched only through the cell
+    * equi-join): `pts` (cell-keyed points) and each round's `cand` are
+    * persisted so resolvedIds/resolvedParts never recompute the join, and
+    * the frontier is persisted+counted each round so its lineage never
+    * re-derives previous rounds. Targets still unresolved when the doubling
+    * loop ends get one final FULL-COVER round (r = 2^level covers the whole
+    * grid), so the bit-exact-vs-brute-force contract holds for every
+    * target regardless of maxRounds/level. */
   def knnJoin(targets: DataFrame, points: DataFrame, k: Int, level: Int = 6,
               maxRounds: Int = 8): DataFrame = {
     val spark = targets.sparkSession
     val cellH = 180.0 / (1 << level) // min cell dimension in degrees
     val pts = points
       .withColumn("__cell", cell_of(col("p_lon"), col("p_lat"), level))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = Window.partitionBy(col("t_id")).orderBy(col("dist2"), col("p_id"))
+    val fullCoverR = 1 << level
 
-    var frontier = targets
+    def candidatesAt(frontier: DataFrame, r: Int): DataFrame = frontier
+      .withColumn("__tc", cell_of(col("t_lon"), col("t_lat"), level))
+      .withColumn("__cell", explode(cell_block(col("__tc"), lit(r).cast("int"))))
+      .join(pts, Seq("__cell"))
+      .withColumn("dist2",
+        (col("p_lon") - col("t_lon")) * (col("p_lon") - col("t_lon"))
+          + (col("p_lat") - col("t_lat")) * (col("p_lat") - col("t_lat")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("t_id"), col("p_id"), col("dist2"), col("rank"))
+
+    var frontier = targets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var frontierN = frontier.count()
     var resolvedParts = List.empty[DataFrame]
+    var toUnpersist = List.empty[DataFrame]
     var r = 1
     var round = 0
-    val fullCoverR = 1 << level
-    while (round < maxRounds && !frontier.isEmpty) {
-      val cand = frontier
-        .withColumn("__tc", cell_of(col("t_lon"), col("t_lat"), level))
-        .withColumn("__cell", explode(cell_block(col("__tc"), lit(r).cast("int"))))
-        .join(pts, Seq("__cell"))
-        .withColumn("dist2",
-          (col("p_lon") - col("t_lon")) * (col("p_lon") - col("t_lon"))
-            + (col("p_lat") - col("t_lat")) * (col("p_lat") - col("t_lat")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .select(col("t_id"), col("p_id"), col("dist2"), col("rank"))
+    while (round < maxRounds && frontierN > 0 && r < fullCoverR) {
+      val cand = candidatesAt(frontier, r)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      toUnpersist ::= cand
       val safe = (r - 1).toDouble * cellH
-      val resolvedIds =
-        if (r >= fullCoverR) cand.select(col("t_id")).distinct()
-        else cand.groupBy(col("t_id"))
-          .agg(count(lit(1)).as("__n"), max(col("dist2")).as("__maxd2"))
-          .filter(col("__n") === k && col("__maxd2") <= lit(safe * safe))
-          .select(col("t_id"))
+      val resolvedIds = cand.groupBy(col("t_id"))
+        .agg(count(lit(1)).as("__n"), max(col("dist2")).as("__maxd2"))
+        .filter(col("__n") === k && col("__maxd2") <= lit(safe * safe))
+        .select(col("t_id"))
       resolvedParts ::= cand.join(resolvedIds, Seq("t_id"), "left_semi")
       // rename to dodge self-join attribute ambiguity (cand derives from frontier)
       val rid = resolvedIds.withColumnRenamed("t_id", "__rt_id")
-      frontier = frontier.join(rid, col("t_id") === col("__rt_id"), "left_anti")
+      val next = frontier.join(rid, col("t_id") === col("__rt_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      frontierN = next.count()
+      frontier.unpersist()
+      frontier = next
       r *= 2
       round += 1
     }
+    // exactness backstop: whatever is left gets the whole grid in one round
+    if (frontierN > 0) resolvedParts ::= candidatesAt(frontier, fullCoverR)
     val all = resolvedParts.reduceOption(_ union _)
       .getOrElse(spark.emptyDataFrame)
+    // materialization note: cand persists stay referenced by `all`'s plan;
+    // caller consumes promptly (the driver writes results per query)
     all
   }
 

@@ -89,9 +89,12 @@ object Pipeline {
       .count().orderBy(col("pid"))
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     val rowCount = perPart.map(_._2).sum
-    val files = Files.list(Paths.get(dataDir)).toArray.map(_.asInstanceOf[java.nio.file.Path])
-      .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
-      .map(p => (p.getFileName.toString, Files.size(p)))
+    val listing = Files.list(Paths.get(dataDir))
+    val files =
+      try listing.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
+        .map(p => (p.getFileName.toString, Files.size(p)))
+      finally listing.close()
     val json = new StringBuilder
     json ++= "{\n"
     json ++= s"  ${q("stage")}: ${q(st.name)},\n"

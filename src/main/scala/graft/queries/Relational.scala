@@ -38,12 +38,19 @@ object Relational {
           max(col("l_quantity")).as("max_qty"),
           sum(cents("l_quantity")).as("sum_qty_c"),
           sum(cents("l_quantity") * cents("l_quantity")).as("sum_qty_c2"))
+        // stddev from int64 sums via the E[x²]−E[x]² form with every
+        // intermediate an exact-int64-derived double and a fixed IEEE op
+        // order (no cnt*sum2 int64 product → no ANSI overflow at sf≥0.2;
+        // both engines produce bit-identical doubles)
         .select(
           col("cnt"), col("cnt_distinct_rf"), col("min_qty"), col("max_qty"),
           (col("sum_qty_c") / lit(100.0)).as("sum_qty"),
           (col("sum_qty_c") / (col("cnt") * lit(100.0))).as("avg_qty"),
-          sqrt((col("cnt") * col("sum_qty_c2") - col("sum_qty_c") * col("sum_qty_c")) /
-            (col("cnt") * (col("cnt") - lit(1)))).as("stddev_qty_c"))
+          sqrt(
+            (col("sum_qty_c2").cast("double") / col("cnt").cast("double")
+              - (col("sum_qty_c").cast("double") / col("cnt").cast("double"))
+                * (col("sum_qty_c").cast("double") / col("cnt").cast("double")))
+              * (col("cnt").cast("double") / (col("cnt") - lit(1)).cast("double"))).as("stddev_qty_c"))
     }, Some("""
       WITH s AS (
         SELECT count(*) AS cnt,
@@ -56,7 +63,10 @@ object Relational {
       SELECT cnt, cnt_distinct_rf, min_qty, max_qty,
              sum_qty_c / 100.0 AS sum_qty,
              sum_qty_c / (cnt * 100.0) AS avg_qty,
-             sqrt((cnt * sum_qty_c2 - sum_qty_c * sum_qty_c) / (cnt * (cnt - 1))) AS stddev_qty_c
+             sqrt((CAST(sum_qty_c2 AS DOUBLE) / CAST(cnt AS DOUBLE)
+                   - (CAST(sum_qty_c AS DOUBLE) / CAST(cnt AS DOUBLE))
+                     * (CAST(sum_qty_c AS DOUBLE) / CAST(cnt AS DOUBLE)))
+                  * (CAST(cnt AS DOUBLE) / CAST(cnt - 1 AS DOUBLE))) AS stddev_qty_c
       FROM s""")),
 
     // §2.4 GROUP BY aggregation (zonal-statistics relational analog)
