@@ -14,7 +14,8 @@ object SparkEntry {
     queries_registry
 
   private def queries_registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    graft.queries.Relational.defs ++ graft.queries.Geospatial.defs ++ graft.queries.TrainingData.defs
+    graft.queries.Relational.defs ++ graft.queries.Geospatial.defs ++
+      graft.queries.TrainingData.defs ++ graft.queries.Geometry.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the decode→footprint→cell→PIP-join→tile pipeline at small scale. */

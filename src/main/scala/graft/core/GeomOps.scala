@@ -1,0 +1,352 @@
+package graft.core
+
+/** Geometry measures over WKB geometries (SURVEY.md §2.7 "Geometry
+  * measures/ops"): area, centroid, length/perimeter, min distance, convex
+  * hull, vertex count. Behavioral reference: ogr/ogrgeometry.cpp —
+  * get_Area (ring shoelace, holes subtract), Centroid (:6526, GEOS
+  * area-weighted), Distance (:3818), ConvexHull (:4449).
+  *
+  * Determinism note: every accumulation runs in a FIXED order (ring order,
+  * vertex order) so results are reproducible bit-for-bit across partitions
+  * and against oracle SQL that spells out the same IEEE op sequence.
+  */
+object GeomOps {
+
+  /** Signed double-area (2×shoelace) of one ring, fixed accumulation order:
+    * Σ (x_i·y_{i+1} − x_{i+1}·y_i). Positive = counter-clockwise. */
+  def ringCross2(ring: Array[Double]): Double = {
+    var s = 0.0
+    val n = ring.length / 2
+    var i = 0
+    while (i < n - 1) {
+      s += ring(2 * i) * ring(2 * i + 3) - ring(2 * i + 2) * ring(2 * i + 1)
+      i += 1
+    }
+    // rings are stored closed (first == last) so the wrap term is already in
+    s
+  }
+
+  def ringArea(ring: Array[Double]): Double = math.abs(ringCross2(ring)) * 0.5
+
+  /** Polygon area: |outer| − Σ|holes| (OGR get_Area semantics); multipolygon
+    * sums parts; points/lines → 0. */
+  def area(wkb: Array[Byte]): Double = {
+    val g = Wkb.read(wkb)
+    var total = 0.0
+    var p = 0
+    while (p < g.polygons.length) {
+      val rings = g.polygons(p).rings
+      if (rings.nonEmpty) {
+        total += ringArea(rings(0))
+        var r = 1
+        while (r < rings.length) { total -= ringArea(rings(r)); r += 1 }
+      }
+      p += 1
+    }
+    total
+  }
+
+  /** Perimeter of polygons / length of linestrings. */
+  def length(wkb: Array[Byte]): Double = {
+    val g = Wkb.read(wkb)
+    var total = 0.0
+    @inline def pathLen(coords: Array[Double]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < coords.length - 2) {
+        val dx = coords(i + 2) - coords(i)
+        val dy = coords(i + 3) - coords(i + 1)
+        s += math.sqrt(dx * dx + dy * dy)
+        i += 2
+      }
+      s
+    }
+    g.geomType match {
+      case Wkb.LineStringType => total = pathLen(g.points)
+      case Wkb.PolygonType | Wkb.MultiPolygonType =>
+        var p = 0
+        while (p < g.polygons.length) {
+          val rings = g.polygons(p).rings
+          var r = 0
+          while (r < rings.length) { total += pathLen(rings(r)); r += 1 }
+          p += 1
+        }
+      case _ => ()
+    }
+    total
+  }
+
+  /** Area-weighted centroid (cx, cy). Polygon formula with holes carrying
+    * negative weight; degenerate (zero-area) input falls back to the vertex
+    * mean. Point → itself. */
+  def centroid(wkb: Array[Byte]): (Double, Double) = {
+    val g = Wkb.read(wkb)
+    if (g.geomType == Wkb.PointType) return (g.points(0), g.points(1))
+    if (g.geomType == Wkb.LineStringType) {
+      // length-weighted midpoint accumulation
+      var sx = 0.0; var sy = 0.0; var sl = 0.0
+      var i = 0
+      while (i < g.points.length - 2) {
+        val x0 = g.points(i); val y0 = g.points(i + 1)
+        val x1 = g.points(i + 2); val y1 = g.points(i + 3)
+        val l = math.sqrt((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0))
+        sx += (x0 + x1) * 0.5 * l; sy += (y0 + y1) * 0.5 * l; sl += l
+        i += 2
+      }
+      return if (sl == 0.0) (g.points(0), g.points(1)) else (sx / sl, sy / sl)
+    }
+    var cross = 0.0; var cx = 0.0; var cy = 0.0
+    var vx = 0.0; var vy = 0.0; var vn = 0
+    var p = 0
+    while (p < g.polygons.length) {
+      val rings = g.polygons(p).rings
+      var r = 0
+      while (r < rings.length) {
+        val ring = rings(r)
+        // holes wind opposite in valid data; rely on sign of the cross terms
+        // only within a ring; apply hole sign explicitly for robustness
+        val sign = if (r == 0) 1.0 else -1.0
+        var localCross = 0.0; var localCx = 0.0; var localCy = 0.0
+        val n = ring.length / 2
+        var i = 0
+        while (i < n - 1) {
+          val x0 = ring(2 * i); val y0 = ring(2 * i + 1)
+          val x1 = ring(2 * i + 2); val y1 = ring(2 * i + 3)
+          val c = x0 * y1 - x1 * y0
+          localCross += c
+          localCx += (x0 + x1) * c
+          localCy += (y0 + y1) * c
+          i += 1
+        }
+        // normalize ring orientation so outer adds, holes subtract
+        val orient = if (localCross >= 0) 1.0 else -1.0
+        cross += sign * orient * localCross
+        cx += sign * orient * localCx
+        cy += sign * orient * localCy
+        var k = 0
+        while (k < n - 1) { vx += ring(2 * k); vy += ring(2 * k + 1); vn += 1; k += 1 }
+        r += 1
+      }
+      p += 1
+    }
+    if (cross == 0.0) {
+      if (vn == 0) (0.0, 0.0) else (vx / vn, vy / vn)
+    } else (cx / (3.0 * cross), cy / (3.0 * cross))
+  }
+
+  /** Vertex count (closing vertices included, OGR getNumPoints style). */
+  def numPoints(wkb: Array[Byte]): Int = {
+    val g = Wkb.read(wkb)
+    g.geomType match {
+      case Wkb.PointType => 1
+      case Wkb.LineStringType => g.points.length / 2
+      case _ =>
+        var n = 0
+        var p = 0
+        while (p < g.polygons.length) {
+          val rings = g.polygons(p).rings
+          var r = 0
+          while (r < rings.length) { n += rings(r).length / 2; r += 1 }
+          p += 1
+        }
+        n
+    }
+  }
+
+  // ---- distance ------------------------------------------------------------
+
+  @inline private def d2(x0: Double, y0: Double, x1: Double, y1: Double): Double = {
+    val dx = x1 - x0; val dy = y1 - y0
+    dx * dx + dy * dy
+  }
+
+  /** Squared point→segment distance. */
+  def pointSegD2(px: Double, py: Double, x0: Double, y0: Double, x1: Double, y1: Double): Double = {
+    val dx = x1 - x0; val dy = y1 - y0
+    val len2 = dx * dx + dy * dy
+    if (len2 == 0.0) return d2(px, py, x0, y0)
+    var t = ((px - x0) * dx + (py - y0) * dy) / len2
+    if (t < 0.0) t = 0.0 else if (t > 1.0) t = 1.0
+    d2(px, py, x0 + t * dx, y0 + t * dy)
+  }
+
+  /** Squared segment→segment distance (0 when they intersect). */
+  def segSegD2(ax0: Double, ay0: Double, ax1: Double, ay1: Double,
+               bx0: Double, by0: Double, bx1: Double, by1: Double): Double = {
+    if (segmentsIntersect(ax0, ay0, ax1, ay1, bx0, by0, bx1, by1)) return 0.0
+    var m = pointSegD2(ax0, ay0, bx0, by0, bx1, by1)
+    m = math.min(m, pointSegD2(ax1, ay1, bx0, by0, bx1, by1))
+    m = math.min(m, pointSegD2(bx0, by0, ax0, ay0, ax1, ay1))
+    math.min(m, pointSegD2(bx1, by1, ax0, ay0, ax1, ay1))
+  }
+
+  private def segmentsIntersect(ax0: Double, ay0: Double, ax1: Double, ay1: Double,
+                                bx0: Double, by0: Double, bx1: Double, by1: Double): Boolean = {
+    @inline def orient(ox: Double, oy: Double, px: Double, py: Double, qx: Double, qy: Double): Double =
+      (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
+    val d1 = orient(bx0, by0, bx1, by1, ax0, ay0)
+    val d2o = orient(bx0, by0, bx1, by1, ax1, ay1)
+    val d3 = orient(ax0, ay0, ax1, ay1, bx0, by0)
+    val d4 = orient(ax0, ay0, ax1, ay1, bx1, by1)
+    if (((d1 > 0 && d2o < 0) || (d1 < 0 && d2o > 0)) &&
+        ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))) return true
+    @inline def onSeg(ox: Double, oy: Double, px: Double, py: Double, qx: Double, qy: Double): Boolean =
+      math.min(ox, px) <= qx && qx <= math.max(ox, px) &&
+        math.min(oy, py) <= qy && qy <= math.max(oy, py)
+    (d1 == 0 && onSeg(bx0, by0, bx1, by1, ax0, ay0)) ||
+      (d2o == 0 && onSeg(bx0, by0, bx1, by1, ax1, ay1)) ||
+      (d3 == 0 && onSeg(ax0, ay0, ax1, ay1, bx0, by0)) ||
+      (d4 == 0 && onSeg(ax0, ay0, ax1, ay1, bx1, by1))
+  }
+
+  private def boundarySegments(g: Wkb.Geom): Iterator[(Double, Double, Double, Double)] = {
+    g.geomType match {
+      case Wkb.LineStringType =>
+        (0 until g.points.length / 2 - 1).iterator.map(i =>
+          (g.points(2 * i), g.points(2 * i + 1), g.points(2 * i + 2), g.points(2 * i + 3)))
+      case _ =>
+        g.polygons.iterator.flatMap(_.rings.iterator.flatMap { ring =>
+          (0 until ring.length / 2 - 1).iterator.map(i =>
+            (ring(2 * i), ring(2 * i + 1), ring(2 * i + 2), ring(2 * i + 3)))
+        })
+    }
+  }
+
+  private def insideTest(wkb: Array[Byte], g: Wkb.Geom, x: Double, y: Double): Boolean =
+    g.polygons.nonEmpty && Pip.contains(wkb, x, y)
+
+  /** Min euclidean distance between two geometries (OGR Distance
+    * semantics): 0 when they touch/overlap, else min over boundary pairs. */
+  def distance(aWkb: Array[Byte], bWkb: Array[Byte]): Double = {
+    val a = Wkb.read(aWkb)
+    val b = Wkb.read(bWkb)
+    (a.geomType, b.geomType) match {
+      case (Wkb.PointType, Wkb.PointType) =>
+        val dx = b.points(0) - a.points(0)
+        val dy = b.points(1) - a.points(1)
+        math.sqrt(dx * dx + dy * dy)
+      case (Wkb.PointType, _) => pointToGeom(a.points(0), a.points(1), bWkb, b)
+      case (_, Wkb.PointType) => pointToGeom(b.points(0), b.points(1), aWkb, a)
+      case _ =>
+        // containment ⇒ 0 (sample one vertex of each against the other)
+        val aSegs = boundarySegments(a).toArray
+        val bSegs = boundarySegments(b).toArray
+        if (aSegs.isEmpty || bSegs.isEmpty) return 0.0
+        if (insideTest(bWkb, b, aSegs(0)._1, aSegs(0)._2)) return 0.0
+        if (insideTest(aWkb, a, bSegs(0)._1, bSegs(0)._2)) return 0.0
+        var m = Double.MaxValue
+        var i = 0
+        while (i < aSegs.length) {
+          val (ax0, ay0, ax1, ay1) = aSegs(i)
+          var j = 0
+          while (j < bSegs.length) {
+            val (bx0, by0, bx1, by1) = bSegs(j)
+            val dd = segSegD2(ax0, ay0, ax1, ay1, bx0, by0, bx1, by1)
+            if (dd < m) m = dd
+            if (m == 0.0) return 0.0
+            j += 1
+          }
+          i += 1
+        }
+        math.sqrt(m)
+    }
+  }
+
+  private def pointToGeom(px: Double, py: Double, gWkb: Array[Byte], g: Wkb.Geom): Double = {
+    if (insideTest(gWkb, g, px, py)) return 0.0
+    var m = Double.MaxValue
+    val it = boundarySegments(g)
+    while (it.hasNext) {
+      val (x0, y0, x1, y1) = it.next()
+      val dd = pointSegD2(px, py, x0, y0, x1, y1)
+      if (dd < m) m = dd
+    }
+    if (m == Double.MaxValue) 0.0 else math.sqrt(m)
+  }
+
+  // ---- convex hull ---------------------------------------------------------
+
+  /** Convex hull of all vertices (Andrew monotone chain) → polygon WKB.
+    * Degenerate inputs (<3 distinct points) return a polygon collapsing to
+    * the available points (matching the practical use: hull of footprints). */
+  def convexHull(wkb: Array[Byte]): Array[Byte] = {
+    val g = Wkb.read(wkb)
+    val ptsBuf = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    if (g.points.nonEmpty) {
+      var i = 0
+      while (i < g.points.length) { ptsBuf += ((g.points(i), g.points(i + 1))); i += 2 }
+    }
+    g.polygons.foreach(_.rings.foreach { ring =>
+      var i = 0
+      while (i < ring.length - 2) { ptsBuf += ((ring(i), ring(i + 1))); i += 2 }
+    })
+    val pts = ptsBuf.distinct.sorted.toArray
+    if (pts.length < 3) {
+      val ring = (pts ++ pts.reverse ++ pts.take(1)).flatMap(p => Array(p._1, p._2))
+      return Wkb.writePolygon(Array(ring))
+    }
+    @inline def cross(o: (Double, Double), a: (Double, Double), b: (Double, Double)): Double =
+      (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+    val lower = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    pts.foreach { p =>
+      while (lower.length >= 2 && cross(lower(lower.length - 2), lower.last, p) <= 0) lower.remove(lower.length - 1)
+      lower += p
+    }
+    val upper = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    pts.reverseIterator.foreach { p =>
+      while (upper.length >= 2 && cross(upper(upper.length - 2), upper.last, p) <= 0) upper.remove(upper.length - 1)
+      upper += p
+    }
+    val hull = (lower.dropRight(1) ++ upper.dropRight(1)).toArray
+    val ring = new Array[Double](2 * (hull.length + 1))
+    var i = 0
+    while (i < hull.length) { ring(2 * i) = hull(i)._1; ring(2 * i + 1) = hull(i)._2; i += 1 }
+    ring(2 * hull.length) = hull(0)._1; ring(2 * hull.length + 1) = hull(0)._2
+    Wkb.writePolygon(Array(ring))
+  }
+
+  // ---- vertex-wise CRS reprojection ---------------------------------------
+
+  /** st_transform: reproject every vertex (the OGRWarpedLayer analog,
+    * ogr/ogrsf_frmts/generic/ogrwarpedlayer.h:33 — geometry decorator
+    * transforming coordinates on the fly). Straight edges are NOT
+    * densified (same as the reference's per-vertex transform). */
+  def transform(wkb: Array[Byte], fromSrid: Int, toSrid: Int): Array[Byte] = {
+    if (fromSrid == toSrid) return wkb
+    @inline def tx(x: Double, y: Double): (Double, Double) =
+      CrsTransform.transform(fromSrid, toSrid, x, y)
+    val g = Wkb.read(wkb)
+    g.geomType match {
+      case Wkb.PointType =>
+        val (x, y) = tx(g.points(0), g.points(1))
+        Wkb.writePoint(x, y)
+      case Wkb.LineStringType =>
+        val out = new Array[Double](g.points.length)
+        var i = 0
+        while (i < g.points.length) {
+          val (x, y) = tx(g.points(i), g.points(i + 1))
+          out(i) = x; out(i + 1) = y; i += 2
+        }
+        val bb = java.nio.ByteBuffer.allocate(9 + 8 * out.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put(1: Byte).putInt(Wkb.LineStringType).putInt(out.length / 2)
+        out.foreach(bb.putDouble)
+        bb.array()
+      case Wkb.PolygonType =>
+        Wkb.writePolygon(g.polygons(0).rings.map(transformRing(_, tx)))
+      case Wkb.MultiPolygonType =>
+        Wkb.writeMultiPolygon(g.polygons.map(_.rings.map(transformRing(_, tx))))
+      case other => throw new IllegalArgumentException(s"st_transform: unsupported type $other")
+    }
+  }
+
+  private def transformRing(ring: Array[Double], tx: (Double, Double) => (Double, Double)): Array[Double] = {
+    val out = new Array[Double](ring.length)
+    var i = 0
+    while (i < ring.length) {
+      val (x, y) = tx(ring(i), ring(i + 1))
+      out(i) = x; out(i + 1) = y; i += 2
+    }
+    out
+  }
+}

@@ -1,0 +1,325 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import graft.core.{Clip, GeomOps}
+
+/** Geometry measure + overlay expressions (SURVEY.md §2.7 measures,
+  * §2.3 layer-algebra kernels). Scalar measures are codegen'd static
+  * calls; geometry-output overlays use CodegenFallback (per-row cost is
+  * the kernel, and empty results must surface as SQL NULL). */
+
+/** st_area(wkb) → double (shoelace; holes subtract; ogrgeometry get_Area). */
+case class StArea(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_area"
+  override protected def nullSafeEval(wkb: Any): Any = GeomOps.area(wkb.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, wkb => s"graft.core.GeomOps.area($wkb)")
+  override protected def withNewChildInternal(c: Expression): StArea = copy(child = c)
+}
+
+/** st_length(wkb) → double (perimeter for areal geometries). */
+case class StLength(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_length"
+  override protected def nullSafeEval(wkb: Any): Any = GeomOps.length(wkb.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, wkb => s"graft.core.GeomOps.length($wkb)")
+  override protected def withNewChildInternal(c: Expression): StLength = copy(child = c)
+}
+
+/** st_centroid(wkb) → array<double>[cx, cy] (area-weighted, ogrgeometry
+  * Centroid :6526 semantics). */
+case class StCentroid(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_centroid"
+  override protected def nullSafeEval(wkb: Any): Any =
+    GeomKernels.centroidArr(wkb.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, wkb => s"graft.expr.GeomKernels.centroidArr($wkb)")
+  override protected def withNewChildInternal(c: Expression): StCentroid = copy(child = c)
+}
+
+/** st_num_points(wkb) → int (OGR getNumPoints; closing vertices counted). */
+case class StNumPoints(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(BinaryType)
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_num_points"
+  override protected def nullSafeEval(wkb: Any): Any = GeomOps.numPoints(wkb.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, wkb => s"graft.core.GeomOps.numPoints($wkb)")
+  override protected def withNewChildInternal(c: Expression): StNumPoints = copy(child = c)
+}
+
+/** st_distance(a, b) → double (min euclidean; 0 when touching/overlapping;
+  * ogrgeometry Distance :3818). */
+case class StDistance(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_distance"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeomOps.distance(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.core.GeomOps.distance($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StDistance =
+    copy(left = l, right = r)
+}
+
+/** st_convexhull(wkb) → polygon WKB (Andrew monotone chain over vertices;
+  * ogrgeometry ConvexHull :4449). */
+case class StConvexHull(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_convexhull"
+  override protected def nullSafeEval(wkb: Any): Any =
+    GeomOps.convexHull(wkb.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, wkb => s"graft.core.GeomOps.convexHull($wkb)")
+  override protected def withNewChildInternal(c: Expression): StConvexHull = copy(child = c)
+}
+
+/** st_intersection(subject, convexClip) → WKB | NULL when empty
+  * (ogrlayer.cpp:5385 Intersection's per-pair geometry step). */
+case class StIntersection(left: Expression, right: Expression)
+    extends Expression with ExpectsInputTypes with CodegenFallback {
+  override def children: Seq[Expression] = Seq(left, right)
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_intersection"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input); val b = right.eval(input)
+    if (a == null || b == null) null
+    else Clip.intersection(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]]).orNull
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): StIntersection =
+    StIntersection(c(0), c(1))
+}
+
+/** st_difference(subject, convexClip) → WKB | NULL when fully erased
+  * (ogrlayer.cpp:7846 Erase's per-pair geometry step). */
+case class StDifference(left: Expression, right: Expression)
+    extends Expression with ExpectsInputTypes with CodegenFallback {
+  override def children: Seq[Expression] = Seq(left, right)
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_difference"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input); val b = right.eval(input)
+    if (a == null || b == null) null
+    else Clip.difference(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]]).orNull
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): StDifference =
+    StDifference(c(0), c(1))
+}
+
+/** st_difference_all(subject, array<convexClip>) → WKB | NULL — subject
+  * minus every clip geometry in sequence (the Erase inner loop when one
+  * feature overlaps several erase polygons). */
+case class StDifferenceAll(left: Expression, right: Expression)
+    extends Expression with ExpectsInputTypes with CodegenFallback {
+  override def children: Seq[Expression] = Seq(left, right)
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(BinaryType, ArrayType(BinaryType))
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_difference_all"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input); val b = right.eval(input)
+    if (a == null) return null
+    if (b == null) return a
+    val clips = b.asInstanceOf[ArrayData]
+    var cur: Option[Array[Byte]] = Some(a.asInstanceOf[Array[Byte]])
+    var i = 0
+    while (i < clips.numElements() && cur.nonEmpty) {
+      val c = clips.getBinary(i)
+      if (c != null) cur = Clip.difference(cur.get, c)
+      i += 1
+    }
+    cur.orNull
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): StDifferenceAll =
+    StDifferenceAll(c(0), c(1))
+}
+
+/** st_transform(wkb, fromSrid, toSrid) → WKB with every vertex
+  * reprojected (OGRWarpedLayer analog, ogrwarpedlayer.h:33). */
+case class StTransform(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(BinaryType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_transform"
+  override protected def nullSafeEval(wkb: Any, from: Any, to: Any): Any =
+    GeomOps.transform(wkb.asInstanceOf[Array[Byte]], from.asInstanceOf[Int], to.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, f, t) => s"graft.core.GeomOps.transform($w, $f, $t)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): StTransform =
+    copy(first = f, second = s, third = t)
+}
+
+/** st_union_agg: typed Aggregator dissolving convex hole-free polygons into
+  * a disjoint-piece multipolygon (gdalalg_vector_dissolve.cpp semantics:
+  * GROUP BY field + union of geometries). The buffer carries the running
+  * disjoint decomposition so partial aggregation (map-side combine) works
+  * and the result is partitioning-order invariant in AREA (piece layout
+  * may differ by merge order; area and coverage are exact). */
+object UnionAgg extends org.apache.spark.sql.expressions.Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+  import graft.core.Wkb
+  // buffer = multipolygon WKB of current disjoint pieces; empty array = ∅
+  override def zero: Array[Byte] = Array.emptyByteArray
+  override def reduce(buf: Array[Byte], geom: Array[Byte]): Array[Byte] = {
+    if (geom == null || geom.isEmpty) return buf
+    if (buf.isEmpty) return normalize(geom)
+    merge(buf, normalize(geom))
+  }
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val aParts = Wkb.read(a).polygons.map(p => Wkb.writePolygon(p.rings))
+    val bParts = Wkb.read(b).polygons.map(p => Wkb.writePolygon(p.rings))
+    Clip.unionAll(aParts ++ bParts).getOrElse(Array.emptyByteArray)
+  }
+  override def finish(buf: Array[Byte]): Array[Byte] = if (buf.isEmpty) null else buf
+  private def normalize(geom: Array[Byte]): Array[Byte] =
+    Clip.unionAll(Seq(geom)).getOrElse(Array.emptyByteArray)
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+    org.apache.spark.sql.Encoders.BINARY
+  override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+    org.apache.spark.sql.Encoders.BINARY
+}
+
+/** st_make_box(minx, miny, maxx, maxy) → polygon WKB (axis-aligned box). */
+case class StMakeBox(first: Expression, second: Expression, third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(DoubleType, DoubleType, DoubleType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_make_box"
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    graft.core.Wkb.writeBox(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) => s"graft.core.Wkb.writeBox($a, $b, $c, $d)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression, q: Expression): StMakeBox =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
+/** st_make_point(x, y) → point WKB. */
+case class StMakePoint(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_make_point"
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    graft.core.Wkb.writePoint(x.asInstanceOf[Double], y.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) => s"graft.core.Wkb.writePoint($x, $y)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StMakePoint =
+    copy(left = l, right = r)
+}
+
+/** st_collect(array<wkb>) → multipolygon WKB collecting every polygon part
+  * (no dissolve — parts may overlap; the Clip op's piece gatherer for
+  * DISJOINT method layers). NULL elements skipped; empty → NULL. */
+case class StCollect(child: Expression)
+    extends Expression with ExpectsInputTypes with CodegenFallback {
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(ArrayType(BinaryType))
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_collect"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val arr = v.asInstanceOf[ArrayData]
+    val parts = scala.collection.mutable.ArrayBuffer.empty[Array[Array[Double]]]
+    var i = 0
+    while (i < arr.numElements()) {
+      val w = arr.getBinary(i)
+      if (w != null) graft.core.Wkb.read(w).polygons.foreach(p => parts += p.rings)
+      i += 1
+    }
+    if (parts.isEmpty) null
+    else if (parts.length == 1) graft.core.Wkb.writePolygon(parts(0))
+    else graft.core.Wkb.writeMultiPolygon(parts.toArray)
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): StCollect =
+    StCollect(c(0))
+}
+
+/** st_area2_q(wkb, scale) → bigint: DOUBLE the polygon area in quantized
+  * integer units — every vertex is rounded to long(round(coord·scale)) and
+  * the shoelace runs in exact int64 arithmetic (outer |sum| minus hole
+  * |sum|s, parts add). Order-free and engine-independent: any overlay
+  * whose output coordinates are copies of quantized-consistent inputs
+  * (box clips) yields EXACTLY additive areas, which is what the DuckDB
+  * oracle rows compare. scale·|coord| must stay < ~3e8 to keep ring sums
+  * inside int64 (1e6 over lon/lat is the intended use). */
+case class StArea2Q(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_area2_q"
+  override protected def nullSafeEval(wkb: Any, scale: Any): Any =
+    GeomKernels.area2Q(wkb.asInstanceOf[Array[Byte]], scale.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, s) => s"graft.expr.GeomKernels.area2Q($w, $s)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StArea2Q =
+    copy(left = l, right = r)
+}
+
+/** Static kernels for codegen call sites. */
+object GeomKernels {
+  def centroidArr(wkb: Array[Byte]): ArrayData = {
+    val (cx, cy) = GeomOps.centroid(wkb)
+    new GenericArrayData(Array(cx, cy))
+  }
+
+  def area2Q(wkb: Array[Byte], scale: Double): Long = {
+    val g = graft.core.Wkb.read(wkb)
+    var total = 0L
+    var p = 0
+    while (p < g.polygons.length) {
+      val rings = g.polygons(p).rings
+      var r = 0
+      while (r < rings.length) {
+        val ring = rings(r)
+        val n = ring.length / 2
+        var s = 0L
+        var i = 0
+        while (i < n - 1) {
+          val x0 = Math.round(ring(2 * i) * scale)
+          val y0 = Math.round(ring(2 * i + 1) * scale)
+          val x1 = Math.round(ring(2 * i + 2) * scale)
+          val y1 = Math.round(ring(2 * i + 3) * scale)
+          s += x0 * y1 - x1 * y0
+          i += 1
+        }
+        val a = math.abs(s)
+        total += (if (r == 0) a else -a)
+        r += 1
+      }
+      p += 1
+    }
+    total
+  }
+}

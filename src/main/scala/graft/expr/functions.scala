@@ -107,6 +107,33 @@ object functions {
   def contour_lines(bytes: Column, fmt: Column, meta9: Column, levels: Column): Column =
     toCol(ContourLines(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(levels))))
 
+  // ---- geometry measures + overlay kernels (§2.7 / §2.3) ----
+  def st_area(wkb: Column): Column = toCol(StArea(toExpr(wkb)))
+  def st_length(wkb: Column): Column = toCol(StLength(toExpr(wkb)))
+  def st_centroid(wkb: Column): Column = toCol(StCentroid(toExpr(wkb)))
+  def st_num_points(wkb: Column): Column = toCol(StNumPoints(toExpr(wkb)))
+  def st_distance(a: Column, b: Column): Column = toCol(StDistance(toExpr(a), toExpr(b)))
+  def st_convexhull(wkb: Column): Column = toCol(StConvexHull(toExpr(wkb)))
+  def st_intersection(subject: Column, convexClip: Column): Column =
+    toCol(StIntersection(toExpr(subject), toExpr(convexClip)))
+  def st_difference(subject: Column, convexClip: Column): Column =
+    toCol(StDifference(toExpr(subject), toExpr(convexClip)))
+  def st_difference_all(subject: Column, convexClips: Column): Column =
+    toCol(StDifferenceAll(toExpr(subject), toExpr(convexClips)))
+  def st_transform(wkb: Column, fromSrid: Column, toSrid: Column): Column =
+    toCol(StTransform(toExpr(wkb), toExpr(fromSrid), toExpr(toSrid)))
+  def st_make_box(minx: Column, miny: Column, maxx: Column, maxy: Column): Column =
+    toCol(StMakeBox(toExpr(minx), toExpr(miny), toExpr(maxx), toExpr(maxy)))
+  def st_collect(wkbs: Column): Column = toCol(StCollect(toExpr(wkbs)))
+  def st_area2_q(wkb: Column, scale: Column): Column =
+    toCol(StArea2Q(toExpr(wkb), toExpr(scale)))
+  def st_make_point(x: Column, y: Column): Column =
+    toCol(StMakePoint(toExpr(x), toExpr(y)))
+
+  /** Dissolve aggregate: union of convex hole-free polygons per group. */
+  def st_union_agg(wkb: Column): Column =
+    org.apache.spark.sql.functions.udaf(UnionAgg, org.apache.spark.sql.Encoders.BINARY).apply(wkb)
+
   /** tile id accessors are plain bit ops — stay on Spark built-ins. */
   def tile_z(tile: Column): Column = org.apache.spark.sql.functions.shiftrightunsigned(tile, 58).cast("int")
   def tile_x(tile: Column): Column =
@@ -188,7 +215,35 @@ object GraftExtensions {
     "sample_at" -> ((info("sample_at", "sample_at(bytes, fmt, meta9, lon, lat) - nearest value at point"),
       (e: Seq[Expression]) => SampleAt(e))),
     "contour_lines" -> ((info("contour_lines", "contour_lines(bytes, fmt, meta9, levels) - marching-squares iso-lines"),
-      (e: Seq[Expression]) => ContourLines(e))))
+      (e: Seq[Expression]) => ContourLines(e))),
+    "st_area" -> ((info("st_area", "st_area(wkb) - shoelace area, holes subtract"),
+      (e: Seq[Expression]) => StArea(e(0)))),
+    "st_length" -> ((info("st_length", "st_length(wkb) - perimeter/length"),
+      (e: Seq[Expression]) => StLength(e(0)))),
+    "st_centroid" -> ((info("st_centroid", "st_centroid(wkb) - [cx, cy]"),
+      (e: Seq[Expression]) => StCentroid(e(0)))),
+    "st_num_points" -> ((info("st_num_points", "st_num_points(wkb)"),
+      (e: Seq[Expression]) => StNumPoints(e(0)))),
+    "st_distance" -> ((info("st_distance", "st_distance(a, b) - min euclidean distance"),
+      (e: Seq[Expression]) => StDistance(e(0), e(1)))),
+    "st_convexhull" -> ((info("st_convexhull", "st_convexhull(wkb) - monotone-chain hull"),
+      (e: Seq[Expression]) => StConvexHull(e(0)))),
+    "st_intersection" -> ((info("st_intersection", "st_intersection(subject, convexClip)"),
+      (e: Seq[Expression]) => StIntersection(e(0), e(1)))),
+    "st_difference" -> ((info("st_difference", "st_difference(subject, convexClip)"),
+      (e: Seq[Expression]) => StDifference(e(0), e(1)))),
+    "st_difference_all" -> ((info("st_difference_all", "st_difference_all(subject, array<convexClip>)"),
+      (e: Seq[Expression]) => StDifferenceAll(e(0), e(1)))),
+    "st_transform" -> ((info("st_transform", "st_transform(wkb, fromSrid, toSrid) - per-vertex reprojection"),
+      (e: Seq[Expression]) => StTransform(e(0), e(1), e(2)))),
+    "st_make_box" -> ((info("st_make_box", "st_make_box(minx, miny, maxx, maxy) - box polygon wkb"),
+      (e: Seq[Expression]) => StMakeBox(e(0), e(1), e(2), e(3)))),
+    "st_collect" -> ((info("st_collect", "st_collect(array<wkb>) - gather parts into a multipolygon"),
+      (e: Seq[Expression]) => StCollect(e(0)))),
+    "st_area2_q" -> ((info("st_area2_q", "st_area2_q(wkb, scale) - 2x area in exact quantized int units"),
+      (e: Seq[Expression]) => StArea2Q(e(0), e(1)))),
+    "st_make_point" -> ((info("st_make_point", "st_make_point(x, y) - point wkb"),
+      (e: Seq[Expression]) => StMakePoint(e(0), e(1)))))
 
   /** Imperative registration for sessions built without extensions. */
   def register(spark: SparkSession): Unit =

@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.expr.functions._
+import graft.gen.Fixtures
+import graft.ops.LayerAlgebra
+
+/** Geometry measures + geometry-output layer algebra under the DuckDB
+  * oracle (SURVEY.md §2.3 layer algebra, §2.7 measures; reference:
+  * ogrlayer.cpp:5385-7900, ogrgeometry.cpp:3818/4449/6526).
+  *
+  * EXACTNESS DISCIPLINE: areas compare as `st_area2_q` integers (every
+  * vertex quantized to round(coord·1e6) and shoelace run in exact int64 —
+  * order-free, so any box-overlay area is exactly additive on both
+  * engines); doubles (perimeter) mirror the kernel's IEEE op sequence in
+  * the SQL; transcendental outputs (Mercator y) compare after floor();
+  * centroids/distances compare as round(v·1e6) with quantization margins
+  * ≫ double error (fixture coordinates live on a 5·10⁻⁴ grid).
+  */
+object Geometry {
+
+  /** Region box CTE — must mirror Fixtures.regionBoxesSpec verbatim.
+    * Every literal is CAST to DOUBLE: DuckDB parses bare decimals as
+    * DECIMAL and would otherwise do exact-decimal arithmetic whose
+    * rounding differs from the Scala kernel's IEEE doubles. */
+  private val BoxCte =
+    """box AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS region_id,
+      |         (((n_nationkey % 5) * CAST(72.0 AS DOUBLE)) - CAST(180.0 AS DOUBLE)) + CAST(0.0005 AS DOUBLE) AS minx,
+      |         (((((n_nationkey - (n_nationkey % 5)) / 5) * CAST(34.0 AS DOUBLE)) - CAST(85.0 AS DOUBLE)) + CAST(0.0005 AS DOUBLE)) AS miny
+      |  FROM nation),
+      |boxes AS (
+      |  SELECT region_id, minx, miny, (minx + CAST(57.6 AS DOUBLE)) AS maxx, (miny + CAST(27.2 AS DOUBLE)) AS maxy FROM box)""".stripMargin
+
+  /** Image envelope CTE (4326 branch), mirroring Fixtures.genImage —
+    * same derivation as Geospatial.ImgCte. */
+  private val EnvCte =
+    """img AS (
+      |  SELECT p_partkey AS key,
+      |    CASE (p_partkey % 4) WHEN 0 THEN 16 WHEN 1 THEN 20 WHEN 2 THEN 64 ELSE 256 END AS sz,
+      |    (CAST(0.01 AS DOUBLE) * (1 + (p_partkey % 499))) AS span,
+      |    ((((p_partkey * 9973) % 350000) / 1000.0) - 180.0) AS lon0,
+      |    ((((p_partkey * 7919) % 160000) / 1000.0) - 80.0) AS lat0
+      |  FROM part WHERE (p_partkey % 8) <> 1),
+      |env AS (
+      |  SELECT key, lon0 AS aminx, (lat0 + (sz * (-(span / sz)))) AS aminy,
+      |         (lon0 + (sz * (span / sz))) AS amaxx, lat0 AS amaxy
+      |  FROM img)""".stripMargin
+
+  private def q(v: String) = s"CAST(round($v * 1000000.0) AS BIGINT)"
+
+  /** 4326 image-envelope boxes as a WKB layer (key, wkb_a). */
+  private def imageBoxes(s: SparkSession, dir: String): DataFrame =
+    Fixtures.imagesFromParts(s, dir)
+      .filter(col("srid") === 4326)
+      .withColumn("env", footprint(col("gt"), col("w"), col("h"), col("srid")))
+      .withColumn("wkb_a", st_make_box(col("env")(0), col("env")(1), col("env")(2), col("env")(3)))
+      .select(col("key"), col("wkb_a"))
+
+  private def regionLayer(s: SparkSession, dir: String): DataFrame =
+    Fixtures.regionBoxes(s, dir).withColumnRenamed("wkb", "wkb_b")
+
+  val defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // §2.7 measures: area (exact int), perimeter (IEEE-mirrored double),
+    // centroid (quantized), vertex count
+    ("q60_geom_measures", (s: SparkSession, dir: String) => {
+      Fixtures.regionBoxes(s, dir).select(
+        col("region_id"),
+        st_area2_q(col("wkb"), lit(1e6)).as("area2q"),
+        st_length(col("wkb")).as("perim"),
+        round(st_centroid(col("wkb"))(0) * 1e6).cast("bigint").as("cx_q"),
+        round(st_centroid(col("wkb"))(1) * 1e6).cast("bigint").as("cy_q"),
+        st_num_points(col("wkb")).as("npoints"))
+    }, Some(s"""
+      WITH $BoxCte
+      SELECT region_id,
+        ((${q("maxx")} - ${q("minx")}) * (${q("maxy")} - ${q("miny")})) * 2 AS area2q,
+        ((sqrt(((maxx - minx) * (maxx - minx)) + ((miny - miny) * (miny - miny)))
+           + sqrt(((maxx - maxx) * (maxx - maxx)) + ((maxy - miny) * (maxy - miny))))
+           + sqrt(((minx - maxx) * (minx - maxx)) + ((maxy - maxy) * (maxy - maxy))))
+           + sqrt(((minx - minx) * (minx - minx)) + ((miny - maxy) * (miny - maxy))) AS perim,
+        CAST(round(((minx + maxx) / 2.0) * 1000000.0) AS BIGINT) AS cx_q,
+        CAST(round(((miny + maxy) / 2.0) * 1000000.0) AS BIGINT) AS cy_q,
+        5 AS npoints
+      FROM boxes""")),
+
+    // §2.3 Intersection with geometry output: image envelopes × region
+    // boxes; per-pair clipped geometry, exact quantized area
+    ("q61_layer_intersection", (s: SparkSession, dir: String) => {
+      LayerAlgebra.intersection(imageBoxes(s, dir), regionLayer(s, dir),
+        "key", "region_id", "wkb_a", "wkb_b", level = 5)
+        .select(col("key"), col("region_id"), st_area2_q(col("geom"), lit(1e6)).as("iarea2q"))
+    }, Some(s"""
+      WITH $EnvCte, $BoxCte
+      SELECT e.key AS key, b.region_id AS region_id,
+        ((${q("least(e.amaxx, b.maxx)")} - ${q("greatest(e.aminx, b.minx)")})
+         * (${q("least(e.amaxy, b.maxy)")} - ${q("greatest(e.aminy, b.miny)")})) * 2 AS iarea2q
+      FROM env e, boxes b
+      WHERE greatest(e.aminx, b.minx) < least(e.amaxx, b.maxx)
+        AND greatest(e.aminy, b.miny) < least(e.amaxy, b.maxy)""")),
+
+    // §2.3 Erase with geometry output: remainder area is exactly
+    // env − Σ(disjoint region overlaps) in quantized units
+    ("q62_layer_erase", (s: SparkSession, dir: String) => {
+      LayerAlgebra.erase(imageBoxes(s, dir), regionLayer(s, dir),
+        "key", "region_id", "wkb_a", "wkb_b", level = 5)
+        .select(col("key"), st_area2_q(col("geom"), lit(1e6)).as("rem2q"))
+    }, Some(s"""
+      WITH $EnvCte, $BoxCte,
+      cover AS (
+        SELECT e.key,
+          CAST(SUM(((${q("least(e.amaxx, b.maxx)")} - ${q("greatest(e.aminx, b.minx)")})
+               * (${q("least(e.amaxy, b.maxy)")} - ${q("greatest(e.aminy, b.miny)")})) * 2) AS BIGINT) AS c2q
+        FROM env e, boxes b
+        WHERE greatest(e.aminx, b.minx) < least(e.amaxx, b.maxx)
+          AND greatest(e.aminy, b.miny) < least(e.amaxy, b.maxy)
+        GROUP BY e.key)
+      SELECT e.key AS key,
+        CAST((((${q("e.amaxx")} - ${q("e.aminx")}) * (${q("e.amaxy")} - ${q("e.aminy")})) * 2
+          - COALESCE(c.c2q, 0)) AS BIGINT) AS rem2q
+      FROM env e LEFT JOIN cover c ON e.key = c.key
+      WHERE (((${q("e.amaxx")} - ${q("e.aminx")}) * (${q("e.amaxy")} - ${q("e.aminy")})) * 2
+          - COALESCE(c.c2q, 0)) > 0""")),
+
+    // §2.7 Distance: kNN targets to region boxes (point→polygon min
+    // distance; 0 when inside)
+    ("q63_geom_distance", (s: SparkSession, dir: String) => {
+      val t = Fixtures.targetsFromRegions(s, dir)
+        .withColumn("pt", st_make_point(col("t_lon"), col("t_lat")))
+      t.crossJoin(Fixtures.regionBoxes(s, dir))
+        .select(col("t_id"), col("region_id"),
+          round(st_distance(col("pt"), col("wkb")) * 1e6).cast("bigint").as("dist_q"))
+    }, Some(s"""
+      WITH $BoxCte,
+      tgt AS (
+        SELECT CAST(r_regionkey AS BIGINT) AS t_id,
+               ((((r_regionkey * 67) % 360) - 180) + 0.5) AS t_lon,
+               ((((r_regionkey * 43) % 160) - 80) + 0.5) AS t_lat
+        FROM region)
+      SELECT t.t_id, b.region_id,
+        CAST(round(sqrt((greatest(greatest(b.minx - t.t_lon, 0.0), t.t_lon - b.maxx)
+                         * greatest(greatest(b.minx - t.t_lon, 0.0), t.t_lon - b.maxx))
+                      + (greatest(greatest(b.miny - t.t_lat, 0.0), t.t_lat - b.maxy)
+                         * greatest(greatest(b.miny - t.t_lat, 0.0), t.t_lat - b.maxy)))
+                   * 1000000.0) AS BIGINT) AS dist_q
+      FROM tgt t, boxes b""")),
+
+    // §2.8 Dissolve: group regions by column, union geometry (disjoint
+    // boxes ⇒ additive area), count members
+    ("q64_dissolve", (s: SparkSession, dir: String) => {
+      LayerAlgebra.dissolve(
+        Fixtures.regionBoxes(s, dir).withColumn("grp", (col("region_id") % 5).cast("int")),
+        Seq("grp"), "wkb")
+        .select(col("grp"), st_area2_q(col("geom"), lit(1e6)).as("area2q"), col("n_features"))
+    }, Some(s"""
+      WITH $BoxCte
+      SELECT CAST(region_id % 5 AS INT) AS grp,
+             CAST(SUM(((${q("maxx")} - ${q("minx")}) * (${q("maxy")} - ${q("miny")})) * 2) AS BIGINT) AS area2q,
+             count(*) AS n_features
+      FROM boxes GROUP BY 1""")),
+
+    // §2.8 st_transform over WKB geometry (OGRWarpedLayer analog):
+    // reproject region boxes to 3857, floor-quantized envelope
+    ("q65_transform_geom", (s: SparkSession, dir: String) => {
+      Fixtures.regionBoxes(s, dir)
+        .withColumn("e", st_env(st_transform(col("wkb"), lit(4326), lit(3857))))
+        .select(col("region_id"),
+          floor(col("e")(0)).cast("bigint").as("mx0"),
+          floor(col("e")(1)).cast("bigint").as("my0"),
+          floor(col("e")(2)).cast("bigint").as("mx1"),
+          floor(col("e")(3)).cast("bigint").as("my1"))
+    }, Some(s"""
+      WITH $BoxCte
+      SELECT region_id,
+        CAST(floor(minx * ((6378137.0 * pi()) / 180.0)) AS BIGINT) AS mx0,
+        CAST(floor(6378137.0 * ln(tan((pi() / 4.0) + ((miny * (pi() / 180.0)) / 2.0)))) AS BIGINT) AS my0,
+        CAST(floor(maxx * ((6378137.0 * pi()) / 180.0)) AS BIGINT) AS mx1,
+        CAST(floor(6378137.0 * ln(tan((pi() / 4.0) + ((maxy * (pi() / 180.0)) / 2.0)))) AS BIGINT) AS my1
+      FROM boxes""")),
+
+    // §2.7 ConvexHull: hull of each horizontally-adjacent region-box pair
+    // (same-row boxes ⇒ hull is their bounding rectangle, closed-form)
+    ("q66_convexhull", (s: SparkSession, dir: String) => {
+      val b = Fixtures.regionBoxes(s, dir)
+      val a = b.filter(col("region_id") % 5 < 4)
+      val partner = b.withColumnRenamed("wkb", "wkb2").withColumnRenamed("region_id", "rid2")
+      a.join(partner, col("region_id") + 1 === col("rid2"))
+        .withColumn("hull", st_convexhull(st_collect(array(col("wkb"), col("wkb2")))))
+        .select(col("region_id"),
+          st_area2_q(col("hull"), lit(1e6)).as("hull2q"),
+          st_num_points(col("hull")).as("npoints"))
+    }, Some(s"""
+      WITH $BoxCte
+      SELECT a.region_id AS region_id,
+        ((${q("b.maxx")} - ${q("a.minx")}) * (${q("a.maxy")} - ${q("a.miny")})) * 2 AS hull2q,
+        5 AS npoints
+      FROM boxes a JOIN boxes b ON a.region_id + 1 = b.region_id
+      WHERE a.region_id % 5 < 4"""))
+  )
+}
