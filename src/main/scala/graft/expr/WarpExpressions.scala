@@ -323,6 +323,66 @@ case class FocalOp(children: Seq[Expression]) extends Expression with ExpectsInp
     copy(children = c)
 }
 
+/** focal_multi(bytes, fmt, meta9, ops) → array<struct<op:string,
+  * mean:double, checksum:int>> — EVERY requested focal/DEM derivative from
+  * ONE decode (the fusion rule: never decode a payload twice in a pass;
+  * same shape as image_profile). Ops as in focal_op. */
+case class FocalMulti(children: Seq[Expression]) extends Expression with ExpectsInputTypes with CodegenFallback {
+  require(children.length == 4, "focal_multi(bytes, fmt, meta9, ops)")
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(BinaryType, StringType, ArrayType(DoubleType), ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("op", StringType, nullable = false),
+    StructField("mean", DoubleType, nullable = false),
+    StructField("checksum", IntegerType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "focal_multi"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    if (vals.exists(_ == null)) return null
+    val meta = vals(2).asInstanceOf[ArrayData].toDoubleArray()
+    val w = meta(0).toInt; val h = meta(1).toInt
+    val ewRes = math.abs(meta(4)); val nsRes = math.abs(meta(8))
+    val r = ImageCodec.decode(vals(0).asInstanceOf[Array[Byte]], vals(1).toString, w, h)
+    val b0 = r.bands(0)
+    val ops = vals(3).asInstanceOf[ArrayData]
+    val out = new Array[Any](ops.numElements())
+    var k = 0
+    while (k < ops.numElements()) {
+      val op = ops.getUTF8String(k).toString
+      val (mean, cks) = op match {
+        case "hillshade" =>
+          val hs = Focal.hillshade(b0, w, h, ewRes, nsRes)
+          var s = 0L; var i = 0
+          while (i < hs.length) { s += hs(i); i += 1 }
+          (s.toDouble / hs.length, GdalChecksum.ofInts(hs, w, h))
+        case "roughness" =>
+          val rg = Focal.roughness(b0, w, h)
+          var s = 0L; var i = 0
+          while (i < rg.length) { s += rg(i); i += 1 }
+          (s.toDouble / rg.length, GdalChecksum.ofInts(rg, w, h))
+        case other =>
+          val d = other match {
+            case "slope" => Focal.slope(b0, w, h, ewRes, nsRes)
+            case "aspect" => Focal.aspect(b0, w, h, ewRes, nsRes)
+            case "tpi" => Focal.tpi(b0, w, h)
+            case "tri" => Focal.tri(b0, w, h)
+            case bad => throw new IllegalArgumentException(s"unknown focal op $bad")
+          }
+          (d.sum / d.length, GdalChecksum.ofDoubles(d, w, h))
+      }
+      out(k) = org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(op), mean, cks)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): FocalMulti =
+    copy(children = c)
+}
+
 /** zone_stats(bytes, fmt, meta9, zoneWkb) → array<double>
   * [count, min, max, sum] of band-0 pixels whose centers fall inside the
   * zone polygon (zonal statistics inner kernel, alg/zonal.cpp:274

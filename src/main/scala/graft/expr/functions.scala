@@ -89,6 +89,9 @@ object functions {
   def zone_stats(bytes: Column, fmt: Column, meta9: Column, zoneWkb: Column): Column =
     toCol(ZoneStats(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(zoneWkb))))
 
+  def zone_stats_full(bytes: Column, fmt: Column, meta9: Column, zoneWkb: Column, weightsBand: Column): Column =
+    toCol(ZoneStatsFull(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(zoneWkb), toExpr(weightsBand))))
+
   def polygonize_regions(bytes: Column, fmt: Column, meta9: Column, connect8: Column, shift: Column): Column =
     toCol(PolygonizeRegions(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(connect8), toExpr(shift))))
 
@@ -100,6 +103,9 @@ object functions {
 
   def focal_op(bytes: Column, fmt: Column, meta9: Column, op: Column): Column =
     toCol(FocalOp(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(op))))
+
+  def focal_multi(bytes: Column, fmt: Column, meta9: Column, ops: Column): Column =
+    toCol(FocalMulti(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(ops))))
 
   def sample_at(bytes: Column, fmt: Column, meta9: Column, lon: Column, lat: Column): Column =
     toCol(SampleAt(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(lon), toExpr(lat))))
@@ -243,7 +249,11 @@ object GraftExtensions {
     "st_area2_q" -> ((info("st_area2_q", "st_area2_q(wkb, scale) - 2x area in exact quantized int units"),
       (e: Seq[Expression]) => StArea2Q(e(0), e(1)))),
     "st_make_point" -> ((info("st_make_point", "st_make_point(x, y) - point wkb"),
-      (e: Seq[Expression]) => StMakePoint(e(0), e(1)))))
+      (e: Seq[Expression]) => StMakePoint(e(0), e(1)))),
+    "zone_stats_full" -> ((info("zone_stats_full", "zone_stats_full(bytes, fmt, meta9, zone_wkb, weights_band) - full zonal stat record"),
+      (e: Seq[Expression]) => ZoneStatsFull(e))),
+    "focal_multi" -> ((info("focal_multi", "focal_multi(bytes, fmt, meta9, ops) - all focal derivatives from one decode"),
+      (e: Seq[Expression]) => FocalMulti(e))))
 
   /** Imperative registration for sessions built without extensions. */
   def register(spark: SparkSession): Unit =

@@ -24,7 +24,7 @@ object Geometry {
     * Every literal is CAST to DOUBLE: DuckDB parses bare decimals as
     * DECIMAL and would otherwise do exact-decimal arithmetic whose
     * rounding differs from the Scala kernel's IEEE doubles. */
-  private val BoxCte =
+  private[queries] val BoxCte =
     """box AS (
       |  SELECT CAST(n_nationkey AS BIGINT) AS region_id,
       |         (((n_nationkey % 5) * CAST(72.0 AS DOUBLE)) - CAST(180.0 AS DOUBLE)) + CAST(0.0005 AS DOUBLE) AS minx,

@@ -48,6 +48,60 @@ object Geospatial {
       |         (lon0 + (sz * (span / sz))) AS maxx, lat0 AS maxy
       |  FROM img)""".stripMargin
 
+  /** Pixel-level enumeration of the oracle-scoped zonal corpus (raw/png,
+    * sz ≤ 64, srid 4326) crossed with the region boxes: one row per pixel
+    * whose center falls in a zone, v = the closed-form pattern value.
+    * Expects Geometry.BoxCte (`boxes`) in the same WITH. */
+  private val ZPixCte =
+    """zimg AS (
+      |  SELECT p_partkey AS key,
+      |    CASE (p_partkey % 4) WHEN 0 THEN 16 WHEN 1 THEN 20 ELSE 64 END AS sz,
+      |    (CAST(0.01 AS DOUBLE) * (1 + (p_partkey % 499))) AS span,
+      |    ((((p_partkey * 9973) % 350000) / 1000.0) - 180.0) AS lon0,
+      |    ((((p_partkey * 7919) % 160000) / 1000.0) - 80.0) AS lat0
+      |  FROM part
+      |  WHERE (p_partkey % 8) <> 1 AND (p_partkey % 3) <> 2 AND (p_partkey % 4) <> 3),
+      |zres AS (SELECT key, sz, (span / sz) AS res, lon0, lat0 FROM zimg),
+      |zrows AS (SELECT key, sz, res, lon0, lat0, unnest(generate_series(0, sz - 1)) AS py FROM zres),
+      |zpx AS (SELECT key, sz, res, lon0, lat0, py, unnest(generate_series(0, sz - 1)) AS px FROM zrows),
+      |zc AS (
+      |  SELECT z.key, z.sz, b.region_id, z.px, z.py,
+      |         CAST(((z.px * 7) + (z.py * 13) + (z.key * 31)) % 256 AS INT) AS v
+      |  FROM zpx z, boxes b
+      |  WHERE (z.lon0 + ((CAST(z.px AS DOUBLE) + 0.5) * z.res)) > b.minx
+      |    AND (z.lon0 + ((CAST(z.px AS DOUBLE) + 0.5) * z.res)) < b.maxx
+      |    AND (z.lat0 + ((CAST(z.py AS DOUBLE) + 0.5) * (-(z.res)))) > b.miny
+      |    AND (z.lat0 + ((CAST(z.py AS DOUBLE) + 0.5) * (-(z.res)))) < b.maxy)""".stripMargin
+
+  /** Full-image pixel enumeration of the exactly-decodable (raw/png) sz≤64
+    * corpus — no zone join; used by the image-stat / polygonize / focal
+    * oracles. */
+  private val PixCte =
+    """pimg AS (
+      |  SELECT p_partkey AS key,
+      |    CASE (p_partkey % 4) WHEN 0 THEN 16 WHEN 1 THEN 20 ELSE 64 END AS sz
+      |  FROM part WHERE (p_partkey % 3) <> 2 AND (p_partkey % 4) <> 3),
+      |prows AS (SELECT key, sz, unnest(generate_series(0, sz - 1)) AS py FROM pimg),
+      |ppx AS (SELECT key, sz, py, unnest(generate_series(0, sz - 1)) AS px FROM prows),
+      |pv AS (SELECT key, sz, px, py, ((px * 7) + (py * 13) + (key * 31)) % 256 AS v FROM ppx)""".stripMargin
+
+  /** GDAL checksum as SQL over enumerated pixel values: per-line &0xFFFF of
+    * non-negative sums ≡ one final mod 65536. */
+  private def checksumSql(v: String) =
+    s"CAST(sum(($v) % ([7,11,13,17,19,23,29,31,37,41,43])[(((py * sz) + px) % 11) + 1]) % 65536 AS INT)"
+
+  /** Quantized pattern class at an (expr, expr) pixel offset. */
+  private def clsSql(px: String, py: String) =
+    s"((((($px) * 7) + (($py) * 13) + (key * 31)) % 256) >> 6)"
+
+  /** Pattern value at a CLAMPED neighbor offset (edge-replicated, the
+    * focal kernels' at() rule). */
+  private def clampedV(dx: Int, dy: Int) = {
+    val cx = s"least(greatest(px + ${dx}, 0), sz - 1)"
+    val cy = s"least(greatest(py + ${dy}, 0), sz - 1)"
+    s"((($cx * 7) + ($cy * 13) + (key * 31)) % 256)"
+  }
+
   private def quadkeySql(tx: String, ty: String, z: Int): String =
     (z - 1).to(0, -1).map(b =>
       s"CAST((($tx >> $b) & 1) + (2 * (($ty >> $b) & 1)) AS VARCHAR)").mkString(" || ")
@@ -208,13 +262,37 @@ object Geospatial {
            - ceil(((90.0 - (((((((n_nationkey - (n_nationkey % 5)) / 5) * 34.0) - 85.0) + 0.0005)) + 27.2)) / 0.703125) - 0.5)) AS ny
         FROM nation)""")),
 
-    // ---- rows-only checks below (raster kernels not SQL-expressible;
-    // ---- ScalaTest goldens cover exactness) ----
-
-    // §2.1 decode inside an expression + §2.7 checksum/phash (ONE fused
-    // decode via image_profile)
+    // §2.1 decode inside an expression + §2.7 GDAL checksum / stats —
+    // oracle scope: exactly-decodable formats (raw/png) at sz≤64, with the
+    // checksum itself re-derived in SQL from the closed-form pattern
     ("q30_image_stats", (s: SparkSession, dir: String) => {
       Fixtures.imagesFromParts(s, dir)
+        .filter(col("fmt") =!= "jpeg" && col("w") <= 64)
+        .withColumn("p", image_profile(col("bytes"), col("fmt"), col("w"), col("h")))
+        .select(col("key"), col("fmt"),
+          col("p.nbands").as("nbands"),
+          col("p.pmin").as("pmin"),
+          col("p.pmax").as("pmax"),
+          col("p.mean").as("mean"),
+          col("p.checksums")(0).as("checksum_b0"))
+    }, Some(s"""
+      WITH $PixCte
+      SELECT key,
+        CASE (key % 3) WHEN 0 THEN 'raw' ELSE 'png' END AS fmt,
+        CAST(CASE WHEN (key % 2) = 0 THEN 1 ELSE 3 END AS INT) AS nbands,
+        CAST(min(v) AS INT) AS pmin, CAST(max(v) AS INT) AS pmax,
+        (CAST(sum(v) AS DOUBLE) / CAST(CAST(sz AS BIGINT) * sz AS DOUBLE)) AS mean,
+        ${checksumSql("v")} AS checksum_b0
+      FROM pv GROUP BY key, sz""")),
+
+    // ---- rows-only checks below (lossy decode / hash internals not
+    // ---- SQL-expressible; ScalaTest goldens cover exactness) ----
+
+    // jpeg decode + perceptual-hash surface (PSNR≥40 contract; phash must
+    // roundtrip the stored column) — lossy, so rows-only + goldens
+    ("q30j_jpeg_profile", (s: SparkSession, dir: String) => {
+      Fixtures.imagesFromParts(s, dir)
+        .filter(col("fmt") === "jpeg" || col("w") > 64)
         .withColumn("p", image_profile(col("bytes"), col("fmt"), col("w"), col("h")))
         .select(col("key"), col("image_id"), col("fmt"), col("caption"),
           col("p.nbands").as("nbands"),
@@ -233,7 +311,11 @@ object Geospatial {
           length(col("png")).as("png_len"))
     }, None),
 
-    // §2.8 polygonize (quantized to 4 classes, 4-connected)
+    // §2.8 polygonize (quantized to 4 classes, 4-connected). Oracle: the
+    // region COUNT equals the Euler characteristic Σcells − Σadjacencies +
+    // Σ2×2-blocks because the diagonal-stripe pattern produces no holes
+    // (verified component-vs-χ over the full key range) — an exact
+    // closed-form DuckDB check of the connected-component sweep.
     ("q32_polygonize", (s: SparkSession, dir: String) => {
       Fixtures.imagesFromParts(s, dir)
         .filter(col("w") <= 64 && col("fmt") =!= "jpeg")
@@ -242,11 +324,32 @@ object Geospatial {
         .groupBy(col("key"))
         .agg(count(lit(1)).as("n_regions"), sum(col("r.pixels")).as("total_pixels"),
           max(col("r.value")).as("max_class"))
-    }, None),
+    }, Some(s"""
+      WITH $PixCte
+      SELECT key,
+        CAST(((CAST(sz AS BIGINT) * sz)
+          - sum(CASE WHEN px < sz - 1
+                     AND ${clsSql("px", "py")} = ${clsSql("px + 1", "py")} THEN 1 ELSE 0 END)
+          - sum(CASE WHEN py < sz - 1
+                     AND ${clsSql("px", "py")} = ${clsSql("px", "py + 1")} THEN 1 ELSE 0 END)
+          + sum(CASE WHEN px < sz - 1 AND py < sz - 1
+                     AND ${clsSql("px", "py")} = ${clsSql("px + 1", "py")}
+                     AND ${clsSql("px", "py")} = ${clsSql("px", "py + 1")}
+                     AND ${clsSql("px", "py")} = ${clsSql("px + 1", "py + 1")} THEN 1 ELSE 0 END))
+          AS BIGINT) AS n_regions,
+        CAST(CAST(sz AS BIGINT) * sz AS BIGINT) AS total_pixels,
+        CAST(max(${clsSql("px", "py")}) AS INT) AS max_class
+      FROM ppx GROUP BY key, sz""")),
 
-    // §2.4 zonal statistics: footprint×zone env-join + per-zone pixel agg
+    // §2.4 zonal statistics: footprint×zone env-join + per-zone pixel agg.
+    // Oracle scope: exactly-decodable formats (raw/png) at sz≤64 so DuckDB
+    // can re-derive every pixel from the closed-form pattern
+    // ((x*7 + y*13 + key*31) % 256); jpeg decode exactness is covered by
+    // the PSNR goldens instead. Per-pair sums are integer-valued doubles
+    // < 2^53, so their aggregation is exact and order-free.
     ("q33_zonal_stats", (s: SparkSession, dir: String) => {
-      val images = Fixtures.imagesFromParts(s, dir).filter(col("srid") === 4326)
+      val images = Fixtures.imagesFromParts(s, dir)
+        .filter(col("srid") === 4326 && col("fmt") =!= "jpeg" && col("w") <= 64)
         .withColumn("env", footprint(col("gt"), col("w"), col("h"), col("srid")))
       val zones = Fixtures.regionBoxes(s, dir)
       SpatialJoin.envJoin(images, zones, "key", "region_id", level = 5)
@@ -255,9 +358,87 @@ object Geospatial {
         .groupBy(col("region_id"))
         .agg(count(lit(1)).as("n_images"),
           sum(col("zs")(0)).cast("bigint").as("n_pixels"),
-          min(col("zs")(1)).as("zmin"), max(col("zs")(2)).as("zmax"),
-          sum(col("zs")(3)).as("zsum"))
-    }, None),
+          min(col("zs")(1)).cast("int").as("zmin"), max(col("zs")(2)).cast("int").as("zmax"),
+          sum(col("zs")(3)).cast("bigint").as("zsum"))
+    }, Some(s"""
+      WITH ${Geometry.BoxCte}, $ZPixCte
+      SELECT region_id, CAST(count(DISTINCT key) AS BIGINT) AS n_images,
+             count(*) AS n_pixels,
+             CAST(min(v) AS INT) AS zmin, CAST(max(v) AS INT) AS zmax,
+             CAST(sum(v) AS BIGINT) AS zsum
+      FROM zc GROUP BY region_id""")),
+
+    // §2.4 the COMPLETE per-(image, zone) zonal-stat record (reference stat
+    // list apps/gdalalg_raster_zonal_stats.cpp:64-72): count/min/max/sum/
+    // mean/median/majority/minority/variety/stdev/variance/center/
+    // min-center/max-center/weighted — all under the DuckDB oracle
+    ("q67_zonal_full", (s: SparkSession, dir: String) => {
+      val images = Fixtures.imagesFromParts(s, dir)
+        .filter(col("srid") === 4326 && col("fmt") =!= "jpeg" && col("w") <= 64)
+        .withColumn("env", footprint(col("gt"), col("w"), col("h"), col("srid")))
+      val zones = Fixtures.regionBoxes(s, dir)
+      SpatialJoin.envJoin(images, zones, "key", "region_id", level = 5)
+        .withColumn("zs", zone_stats_full(col("bytes"), col("fmt"), Tiling.meta9, col("wkb"), lit(1)))
+        .filter(col("zs").isNotNull)
+        .select(col("key"), col("region_id"),
+          col("zs.count").as("cnt"), col("zs.vmin"), col("zs.vmax"),
+          col("zs.sum").as("vsum"), col("zs.mean"), col("zs.median"),
+          col("zs.majority"), col("zs.minority"), col("zs.variety"),
+          col("zs.stdev"), col("zs.variance"),
+          col("zs.center_x"), col("zs.center_y"),
+          col("zs.min_cx"), col("zs.min_cy"), col("zs.max_cx"), col("zs.max_cy"),
+          col("zs.wsum"), col("zs.wmean"))
+    }, Some(s"""
+      WITH ${Geometry.BoxCte}, $ZPixCte,
+      zagg AS (
+        SELECT key, sz, region_id, count(*) AS cnt,
+               CAST(min(v) AS INT) AS vmin, CAST(max(v) AS INT) AS vmax,
+               CAST(sum(v) AS BIGINT) AS vsum,
+               CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS vsum2,
+               CAST(median(v) AS DOUBLE) AS vmedian,
+               CAST(count(DISTINCT v) AS INT) AS variety,
+               CAST(sum(px) AS BIGINT) AS sx, CAST(sum(py) AS BIGINT) AS sy
+        FROM zc GROUP BY 1, 2, 3),
+      vcnt AS (SELECT key, region_id, v, count(*) AS n FROM zc GROUP BY 1, 2, 3),
+      vmaj AS (SELECT key, region_id, CAST(v AS INT) AS majority FROM (
+          SELECT key, region_id, v,
+                 row_number() OVER (PARTITION BY key, region_id ORDER BY n DESC, v ASC) AS rn
+          FROM vcnt) WHERE rn = 1),
+      vmnr AS (SELECT key, region_id, CAST(v AS INT) AS minority FROM (
+          SELECT key, region_id, v,
+                 row_number() OVER (PARTITION BY key, region_id ORDER BY n ASC, v ASC) AS rn
+          FROM vcnt) WHERE rn = 1),
+      midx AS (SELECT c.key, c.region_id, min((c.py * c.sz) + c.px) AS minidx
+               FROM zc c JOIN zagg a ON c.key = a.key AND c.region_id = a.region_id AND c.v = a.vmin
+               GROUP BY 1, 2),
+      mxdx AS (SELECT c.key, c.region_id, min((c.py * c.sz) + c.px) AS maxidx
+               FROM zc c JOIN zagg a ON c.key = a.key AND c.region_id = a.region_id AND c.v = a.vmax
+               GROUP BY 1, 2)
+      SELECT a.key AS key, a.region_id AS region_id, a.cnt AS cnt, a.vmin, a.vmax, a.vsum,
+        (CAST(a.vsum AS DOUBLE) / CAST(a.cnt AS DOUBLE)) AS mean,
+        a.vmedian AS median,
+        j.majority, n.minority, a.variety,
+        sqrt((CAST(a.vsum2 AS DOUBLE) / CAST(a.cnt AS DOUBLE))
+             - ((CAST(a.vsum AS DOUBLE) / CAST(a.cnt AS DOUBLE))
+                * (CAST(a.vsum AS DOUBLE) / CAST(a.cnt AS DOUBLE)))) AS stdev,
+        ((CAST(a.vsum2 AS DOUBLE) / CAST(a.cnt AS DOUBLE))
+             - ((CAST(a.vsum AS DOUBLE) / CAST(a.cnt AS DOUBLE))
+                * (CAST(a.vsum AS DOUBLE) / CAST(a.cnt AS DOUBLE)))) AS variance,
+        (r.lon0 + (((CAST(a.sx AS DOUBLE) / CAST(a.cnt AS DOUBLE)) + 0.5) * r.res)) AS center_x,
+        (r.lat0 + (((CAST(a.sy AS DOUBLE) / CAST(a.cnt AS DOUBLE)) + 0.5) * (-(r.res)))) AS center_y,
+        (r.lon0 + ((CAST(mi.minidx % a.sz AS DOUBLE) + 0.5) * r.res)) AS min_cx,
+        (r.lat0 + ((CAST((mi.minidx - (mi.minidx % a.sz)) / a.sz AS DOUBLE) + 0.5) * (-(r.res)))) AS min_cy,
+        (r.lon0 + ((CAST(mx.maxidx % a.sz AS DOUBLE) + 0.5) * r.res)) AS max_cx,
+        (r.lat0 + ((CAST((mx.maxidx - (mx.maxidx % a.sz)) / a.sz AS DOUBLE) + 0.5) * (-(r.res)))) AS max_cy,
+        CASE WHEN a.key % 2 = 1 THEN a.vsum2 ELSE NULL END AS wsum,
+        CASE WHEN a.key % 2 = 1 THEN (CAST(a.vsum2 AS DOUBLE) / CAST(a.vsum AS DOUBLE))
+             ELSE NULL END AS wmean
+      FROM zagg a
+      JOIN zres r ON a.key = r.key
+      JOIN vmaj j ON a.key = j.key AND a.region_id = j.region_id
+      JOIN vmnr n ON a.key = n.key AND a.region_id = n.region_id
+      JOIN midx mi ON a.key = mi.key AND a.region_id = mi.region_id
+      JOIN mxdx mx ON a.key = mx.key AND a.region_id = mx.region_id""")),
 
     // §2.7 point sampling: decode + inverse geotransform + nearest kernel,
     // checked against the closed-form pattern value (raw rows: bit-exact;
@@ -310,17 +491,35 @@ object Geospatial {
           sum(when(col("c.closed"), 1L).otherwise(0L)).as("n_closed"))
     }, None),
 
-    // §2.5 focal/DEM derivatives per image (hillshade/slope/roughness)
+    // §2.5 focal/DEM derivatives per image (hillshade/slope/roughness) —
+    // ONE fused decode via focal_multi (transcendental outputs → rows-only;
+    // the integer roughness path carries the hard oracle in q68)
     ("q35_focal_dem", (s: SparkSession, dir: String) => {
-      val imgs = Fixtures.imagesFromParts(s, dir).filter(col("w") <= 64)
-      Seq("hillshade", "slope", "roughness").map { op =>
-        imgs.withColumn("f", focal_op(col("bytes"), col("fmt"), Tiling.meta9, lit(op)))
-          .select(col("key"), lit(op).as("op"),
-            col("f.checksum").as("checksum"))
-      }.reduce(_ union _)
-        .groupBy(col("op"))
-        .agg(count(lit(1)).as("n"), sum(col("checksum").cast("bigint")).as("checksum_sum"))
+      Fixtures.imagesFromParts(s, dir).filter(col("w") <= 64)
+        .withColumn("f", explode(focal_multi(col("bytes"), col("fmt"), Tiling.meta9,
+          array(lit("hillshade"), lit("slope"), lit("roughness")))))
+        .groupBy(col("f.op").as("op"))
+        .agg(count(lit(1)).as("n"), sum(col("f.checksum").cast("bigint")).as("checksum_sum"))
     }, None),
+
+    // §2.5 roughness (max−min of the clamped 3×3 window): pure integer
+    // arithmetic ⇒ full per-image DuckDB oracle incl. the GDAL checksum
+    ("q68_focal_roughness", (s: SparkSession, dir: String) => {
+      Fixtures.imagesFromParts(s, dir)
+        .filter(col("fmt") =!= "jpeg" && col("w") <= 64)
+        .withColumn("f", explode(focal_multi(col("bytes"), col("fmt"), Tiling.meta9,
+          array(lit("roughness")))))
+        .select(col("key"), col("f.mean").as("mean_rough"), col("f.checksum").as("checksum"))
+    }, Some {
+      val n9 = for { dy <- -1 to 1; dx <- -1 to 1 } yield clampedV(dx, dy)
+      val rough = s"(greatest(${n9.mkString(", ")}) - least(${n9.mkString(", ")}))"
+      s"""
+      WITH $PixCte
+      SELECT key,
+        (CAST(sum($rough) AS DOUBLE) / CAST(CAST(sz AS BIGINT) * sz AS DOUBLE)) AS mean_rough,
+        ${checksumSql(rough)} AS checksum
+      FROM ppx GROUP BY key, sz"""
+    }),
 
     // UTM footprint branch (CRS series not SQL-expressible)
     ("q34_footprint_utm", (s: SparkSession, dir: String) => {
