@@ -22,6 +22,21 @@ object Warp {
   val Bilinear = "bilinear"
   val Cubic = "cubic"
   val Average = "average"
+  val CubicSpline = "cubicspline"
+  val Lanczos = "lanczos"
+  val Mode = "mode"
+  val Min = "min"
+  val Max = "max"
+  val Med = "med"
+  val Q1 = "q1"
+  val Q3 = "q3"
+  val Sum = "sum"
+  val Rms = "rms"
+
+  /** Full resampler set of alg/gdalwarper.h:35-69 (near bilinear cubic
+    * cubicspline lanczos average mode min max med q1 q3 sum rms). */
+  val Kernels: Seq[String] =
+    Seq(Near, Bilinear, Cubic, CubicSpline, Lanczos, Average, Mode, Min, Max, Med, Q1, Q3, Sum, Rms)
 
   def warp(src: Raster, srcGt: Array[Double], srcSrid: Int,
            dstGt: Array[Double], dstSrid: Int, dw: Int, dh: Int,
@@ -95,6 +110,16 @@ object Warp {
       case Bilinear => 1
       case Cubic => 2
       case Average => 3
+      case CubicSpline => 4
+      case Lanczos => 5
+      case Mode => 6
+      case Min => 7
+      case Max => 8
+      case Med => 9
+      case Q1 => 10
+      case Q3 => 11
+      case Sum => 12
+      case Rms => 13
       case other => throw new IllegalArgumentException(s"unknown kernel $other")
     }
     val winW = px1 - px0 + 1
@@ -115,7 +140,9 @@ object Warp {
             case 0 => sampleNear(src.bands(b), src.w, src.h, sx, sy, nodata)
             case 1 => sampleBilinear(src.bands(b), src.w, src.h, sx, sy, nodata)
             case 2 => sampleCubic(src.bands(b), src.w, src.h, sx, sy, nodata)
-            case _ => sampleAverageAt(src, b, toSrc, px, py, nodata)
+            case 4 => sampleCubicSpline(src.bands(b), src.w, src.h, sx, sy, nodata)
+            case 5 => sampleLanczos(src.bands(b), src.w, src.h, sx, sy, nodata)
+            case _ => sampleAggAt(src, b, toSrc, px, py, nodata, kcode)
           }
           b += 1
         }
@@ -239,10 +266,81 @@ object Warp {
     clamp255(math.floor(acc + 0.5).toInt)
   }
 
-  /** Average of src pixels whose centers fall inside the dst pixel's source
-    * quad (for downsampling / overview builds). */
-  private def sampleAverageAt(src: Raster, b: Int, toSrc: (Double, Double) => (Double, Double),
-                              px: Int, py: Int, nodata: Int): Int = {
+  /** Cubic B-spline (the reference's "cubicspline", a SMOOTHING — not
+    * interpolating — 4-tap kernel; weight polynomial per the published
+    * uniform cubic B-spline basis, GWKBSpline semantics). Separable,
+    * normalized by the weight sum so edges stay unbiased. */
+  def sampleCubicSpline(band: Array[Int], w: Int, h: Int, sx: Double, sy: Double, nodata: Int): Int = {
+    if (sx < 0 || sx > w || sy < 0 || sy > h) return nodata
+    @inline def bspline(x: Double): Double = {
+      val xp2 = x + 2.0; val xp1 = x + 1.0; val xm1 = x - 1.0
+      var v = 0.0
+      if (xp2 > 0.0) v += xp2 * xp2 * xp2
+      if (xp1 > 0.0) v -= 4.0 * xp1 * xp1 * xp1
+      if (x > 0.0) v += 6.0 * x * x * x
+      if (xm1 > 0.0) v -= 4.0 * xm1 * xm1 * xm1
+      v // scaled by 6; normalization below cancels the factor
+    }
+    separable4plus(band, w, h, sx, sy, 2, bspline)
+  }
+
+  /** Lanczos windowed sinc, 3 lobes (6×6 taps), weight-normalized. */
+  def sampleLanczos(band: Array[Int], w: Int, h: Int, sx: Double, sy: Double, nodata: Int): Int = {
+    if (sx < 0 || sx > w || sy < 0 || sy > h) return nodata
+    @inline def lanczos(x: Double): Double = {
+      if (x == 0.0) 1.0
+      else if (math.abs(x) >= 3.0) 0.0
+      else {
+        val px = math.Pi * x
+        (math.sin(px) * math.sin(px / 3.0)) / (px * (px / 3.0))
+      }
+    }
+    separable4plus(band, w, h, sx, sy, 3, lanczos)
+  }
+
+  /** Shared separable convolution over taps within `radius` of the sample
+    * point (pixel-center convention), normalized by the weight sum. */
+  private def separable4plus(band: Array[Int], w: Int, h: Int, sx: Double, sy: Double,
+                             radius: Int, weight: Double => Double): Int = {
+    val fx = sx - 0.5
+    val fy = sy - 0.5
+    val x0 = math.floor(fx).toInt
+    val y0 = math.floor(fy).toInt
+    val tx = fx - x0
+    val ty = fy - y0
+    var acc = 0.0
+    var wAcc = 0.0
+    var j = -radius + 1
+    while (j <= radius) {
+      val wy = weight(j - ty)
+      if (wy != 0.0) {
+        var rowAcc = 0.0
+        var rowW = 0.0
+        var i = -radius + 1
+        while (i <= radius) {
+          val wx = weight(i - tx)
+          if (wx != 0.0) {
+            rowAcc += wx * pix(band, w, h, x0 + i, y0 + j)
+            rowW += wx
+          }
+          i += 1
+        }
+        acc += wy * rowAcc
+        wAcc += wy * rowW
+      }
+      j += 1
+    }
+    if (wAcc == 0.0) pix(band, w, h, x0, y0)
+    else clamp255(math.floor(acc / wAcc + 0.5).toInt)
+  }
+
+  /** Footprint-aggregate resamplers (GWKAverageOrMode family): statistic
+    * over the src pixels whose centers fall inside the dst pixel's source
+    * quad. Quantiles pick sorted[ceil(q·n − 1)] (the reference's rule,
+    * gdalwarpkernel.cpp:8338); mode ties resolve to the value FIRST
+    * reaching the max count in row-major scan order. */
+  private def sampleAggAt(src: Raster, b: Int, toSrc: (Double, Double) => (Double, Double),
+                          px: Int, py: Int, nodata: Int, kcode: Int): Int = {
     val (x0, y0) = toSrc(px.toDouble, py.toDouble)
     val (x1, y1) = toSrc(px + 1.0, py + 1.0)
     val minx = math.min(x0, x1); val maxx = math.max(x0, x1)
@@ -253,19 +351,86 @@ object Warp {
     val iy1 = math.min(src.h - 1, math.ceil(maxy).toInt - 1)
     if (ix1 < ix0 || iy1 < iy0)
       return sampleNear(src.bands(b), src.w, src.h, (minx + maxx) / 2, (miny + maxy) / 2, nodata)
-    var sum = 0L
-    var cnt = 0
-    var y = iy0
-    while (y <= iy1) {
-      var x = ix0
-      while (x <= ix1) {
-        sum += src.bands(b)(y * src.w + x)
-        cnt += 1
-        x += 1
-      }
-      y += 1
+    val band = src.bands(b)
+    kcode match {
+      case 3 => // average
+        var sum = 0L; var cnt = 0
+        var y = iy0
+        while (y <= iy1) {
+          var x = ix0
+          while (x <= ix1) { sum += band(y * src.w + x); cnt += 1; x += 1 }
+          y += 1
+        }
+        clamp255(math.floor(sum.toDouble / cnt + 0.5).toInt)
+      case 6 => // mode, first-to-reach tie rule
+        val counts = new Array[Int](256)
+        var best = -1; var bestN = 0
+        var y = iy0
+        while (y <= iy1) {
+          var x = ix0
+          while (x <= ix1) {
+            val v = band(y * src.w + x) & 0xFF
+            counts(v) += 1
+            if (counts(v) > bestN) { bestN = counts(v); best = v }
+            x += 1
+          }
+          y += 1
+        }
+        best
+      case 7 => // min
+        var m = Int.MaxValue
+        var y = iy0
+        while (y <= iy1) {
+          var x = ix0
+          while (x <= ix1) { val v = band(y * src.w + x); if (v < m) m = v; x += 1 }
+          y += 1
+        }
+        m
+      case 8 => // max
+        var m = Int.MinValue
+        var y = iy0
+        while (y <= iy1) {
+          var x = ix0
+          while (x <= ix1) { val v = band(y * src.w + x); if (v > m) m = v; x += 1 }
+          y += 1
+        }
+        m
+      case 12 => // sum (clamped to dtype range like the reference)
+        var sum = 0L
+        var y = iy0
+        while (y <= iy1) {
+          var x = ix0
+          while (x <= ix1) { sum += band(y * src.w + x); x += 1 }
+          y += 1
+        }
+        clamp255(if (sum > Int.MaxValue) Int.MaxValue else sum.toInt)
+      case 13 => // rms
+        var sum2 = 0L; var cnt = 0
+        var y = iy0
+        while (y <= iy1) {
+          var x = ix0
+          while (x <= ix1) {
+            val v = band(y * src.w + x).toLong
+            sum2 += v * v; cnt += 1; x += 1
+          }
+          y += 1
+        }
+        clamp255(math.floor(math.sqrt(sum2.toDouble / cnt) + 0.5).toInt)
+      case q => // med / q1 / q3
+        val quant = q match { case 9 => 0.5; case 10 => 0.25; case 11 => 0.75
+          case other => throw new IllegalArgumentException(s"bad agg kcode $other") }
+        val n = (ix1 - ix0 + 1) * (iy1 - iy0 + 1)
+        val vals = new Array[Int](n)
+        var k = 0
+        var y = iy0
+        while (y <= iy1) {
+          var x = ix0
+          while (x <= ix1) { vals(k) = band(y * src.w + x); k += 1; x += 1 }
+          y += 1
+        }
+        java.util.Arrays.sort(vals)
+        vals(math.max(0, math.ceil(quant * n - 1).toInt))
     }
-    if (cnt == 0) nodata else clamp255(math.floor(sum.toDouble / cnt + 0.5).toInt)
   }
 
   /** 2× box-average downsample, the overview/pyramid reduce step
@@ -294,6 +459,148 @@ object Warp {
             dy += 1
           }
           out(b)(y * dw + x) = math.floor(sum.toDouble / cnt + 0.5).toInt
+          x += 1
+        }
+        y += 1
+      }
+      b += 1
+    }
+    Raster(dw, dh, out)
+  }
+
+  // ---- at-point interpolation (GDALInterpolateAtPoint surface,
+  // ---- alg/gdal_interpolateatpoint.cpp:415: near/bilinear/cubicspline;
+  // ---- unrounded double results) ----
+
+  def samplePointBilinear(band: Array[Int], w: Int, h: Int, sx: Double, sy: Double): Double = {
+    val fx = sx - 0.5
+    val fy = sy - 0.5
+    val x0 = math.floor(fx).toInt
+    val y0 = math.floor(fy).toInt
+    val tx = fx - x0
+    val ty = fy - y0
+    pix(band, w, h, x0, y0) * (1 - tx) * (1 - ty) +
+      pix(band, w, h, x0 + 1, y0) * tx * (1 - ty) +
+      pix(band, w, h, x0, y0 + 1) * (1 - tx) * ty +
+      pix(band, w, h, x0 + 1, y0 + 1) * tx * ty
+  }
+
+  def samplePointCubicSpline(band: Array[Int], w: Int, h: Int, sx: Double, sy: Double): Double = {
+    val fx = sx - 0.5
+    val fy = sy - 0.5
+    val x0 = math.floor(fx).toInt
+    val y0 = math.floor(fy).toInt
+    val tx = fx - x0
+    val ty = fy - y0
+    @inline def bspline(x: Double): Double = {
+      val xp2 = x + 2.0; val xp1 = x + 1.0; val xm1 = x - 1.0
+      var v = 0.0
+      if (xp2 > 0.0) v += xp2 * xp2 * xp2
+      if (xp1 > 0.0) v -= 4.0 * xp1 * xp1 * xp1
+      if (x > 0.0) v += 6.0 * x * x * x
+      if (xm1 > 0.0) v -= 4.0 * xm1 * xm1 * xm1
+      v
+    }
+    var acc = 0.0
+    var wAcc = 0.0
+    var j = -1
+    while (j <= 2) {
+      val wy = bspline(j - ty)
+      var rowAcc = 0.0
+      var rowW = 0.0
+      var i = -1
+      while (i <= 2) {
+        val wx = bspline(i - tx)
+        rowAcc += wx * pix(band, w, h, x0 + i, y0 + j)
+        rowW += wx
+        i += 1
+      }
+      acc += wy * rowAcc
+      wAcc += wy * rowW
+      j += 1
+    }
+    acc / wAcc
+  }
+
+  /** 2× Gaussian overview (gcore/overview.cpp Gauss semantics for ratio 2:
+    * 3×3 kernel {1,2,1;2,4,2;1,2,1} anchored at (2x, 2y), weight-
+    * renormalized where the window clips the raster edge). */
+  def downsample2xGauss(r: Raster): Raster = {
+    val g = Array(1, 2, 1, 2, 4, 2, 1, 2, 1)
+    val dw = (r.w + 1) / 2
+    val dh = (r.h + 1) / 2
+    val out = Array.fill(r.nBands)(new Array[Int](dw * dh))
+    var b = 0
+    while (b < r.nBands) {
+      val band = r.bands(b)
+      var y = 0
+      while (y < dh) {
+        var x = 0
+        while (x < dw) {
+          var sum = 0L
+          var wsum = 0L
+          var j = 0
+          while (j < 3) {
+            val sy = 2 * y + j
+            if (sy < r.h) {
+              var i = 0
+              while (i < 3) {
+                val sx = 2 * x + i
+                if (sx < r.w) {
+                  val wgt = g(j * 3 + i)
+                  sum += wgt.toLong * band(sy * r.w + sx)
+                  wsum += wgt
+                }
+                i += 1
+              }
+            }
+            j += 1
+          }
+          out(b)(y * dw + x) = math.floor(sum.toDouble / wsum + 0.5).toInt
+          x += 1
+        }
+        y += 1
+      }
+      b += 1
+    }
+    Raster(dw, dh, out)
+  }
+
+  /** 2× mode overview (gcore/overview.cpp Mode): most frequent value of
+    * each 2×2 block, ties to the value first reaching the max count in
+    * row-major order. */
+  def downsample2xMode(r: Raster): Raster = {
+    val dw = (r.w + 1) / 2
+    val dh = (r.h + 1) / 2
+    val out = Array.fill(r.nBands)(new Array[Int](dw * dh))
+    val counts = new Array[Int](256)
+    var b = 0
+    while (b < r.nBands) {
+      val band = r.bands(b)
+      var y = 0
+      while (y < dh) {
+        var x = 0
+        while (x < dw) {
+          java.util.Arrays.fill(counts, 0)
+          var best = -1; var bestN = 0
+          var j = 0
+          while (j < 2) {
+            val sy = 2 * y + j
+            if (sy < r.h) {
+              var i = 0
+              while (i < 2) {
+                val sx = 2 * x + i
+                if (sx < r.w) {
+                  val v = band(sy * r.w + sx) & 0xFF
+                  counts(v) += 1
+                  if (counts(v) > bestN) { bestN = counts(v); best = v }
+                }
+                i += 1
+              }
+            }
+            j += 1
+          }
+          out(b)(y * dw + x) = best
           x += 1
         }
         y += 1

@@ -323,6 +323,46 @@ case class FocalOp(children: Seq[Expression]) extends Expression with ExpectsInp
     copy(children = c)
 }
 
+/** sample_at_alg(bytes, fmt, meta9, lon, lat, alg) → double: band-0 value
+  * at a geo point via the named interpolation kernel (GDALInterpolateAtPoint,
+  * alg/gdal_interpolateatpoint.cpp:415: near | bilinear | cubicspline —
+  * unrounded double result); null when the point misses the raster. */
+case class SampleAtAlg(children: Seq[Expression]) extends Expression with ExpectsInputTypes with CodegenFallback {
+  require(children.length == 6, "sample_at_alg(bytes, fmt, meta9, lon, lat, alg)")
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(BinaryType, StringType, ArrayType(DoubleType), DoubleType, DoubleType, StringType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sample_at_alg"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    if (vals.exists(_ == null)) return null
+    val meta = vals(2).asInstanceOf[ArrayData].toDoubleArray()
+    val w = meta(0).toInt; val h = meta(1).toInt
+    val gt = java.util.Arrays.copyOfRange(meta, 3, 9)
+    val inv = GeoTransform.invert(gt).getOrElse(return null)
+    val lon = vals(3).asInstanceOf[Double]
+    val lat = vals(4).asInstanceOf[Double]
+    val sx = GeoTransform.applyX(inv, lon, lat)
+    val sy = GeoTransform.applyY(inv, lon, lat)
+    if (sx < 0 || sx > w || sy < 0 || sy > h) return null
+    val r = ImageCodec.decode(vals(0).asInstanceOf[Array[Byte]], vals(1).toString, w, h)
+    vals(5).toString match {
+      case "near" =>
+        val px = math.min(w - 1, math.max(0, math.floor(sx).toInt))
+        val py = math.min(h - 1, math.max(0, math.floor(sy).toInt))
+        r.bands(0)(py * w + px).toDouble
+      case "bilinear" => Warp.samplePointBilinear(r.bands(0), w, h, sx, sy)
+      case "cubicspline" => Warp.samplePointCubicSpline(r.bands(0), w, h, sx, sy)
+      case other => throw new IllegalArgumentException(s"unknown sampling alg $other")
+    }
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): SampleAtAlg =
+    copy(children = c)
+}
+
 /** focal_multi(bytes, fmt, meta9, ops) → array<struct<op:string,
   * mean:double, checksum:int>> — EVERY requested focal/DEM derivative from
   * ONE decode (the fusion rule: never decode a payload twice in a pass;

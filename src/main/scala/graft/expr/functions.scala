@@ -110,6 +110,9 @@ object functions {
   def sample_at(bytes: Column, fmt: Column, meta9: Column, lon: Column, lat: Column): Column =
     toCol(SampleAt(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(lon), toExpr(lat))))
 
+  def sample_at_alg(bytes: Column, fmt: Column, meta9: Column, lon: Column, lat: Column, alg: Column): Column =
+    toCol(SampleAtAlg(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(lon), toExpr(lat), toExpr(alg))))
+
   def contour_lines(bytes: Column, fmt: Column, meta9: Column, levels: Column): Column =
     toCol(ContourLines(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(levels))))
 
@@ -253,7 +256,9 @@ object GraftExtensions {
     "zone_stats_full" -> ((info("zone_stats_full", "zone_stats_full(bytes, fmt, meta9, zone_wkb, weights_band) - full zonal stat record"),
       (e: Seq[Expression]) => ZoneStatsFull(e))),
     "focal_multi" -> ((info("focal_multi", "focal_multi(bytes, fmt, meta9, ops) - all focal derivatives from one decode"),
-      (e: Seq[Expression]) => FocalMulti(e))))
+      (e: Seq[Expression]) => FocalMulti(e))),
+    "sample_at_alg" -> ((info("sample_at_alg", "sample_at_alg(bytes, fmt, meta9, lon, lat, alg) - near/bilinear/cubicspline point interpolation"),
+      (e: Seq[Expression]) => SampleAtAlg(e))))
 
   /** Imperative registration for sessions built without extensions. */
   def register(spark: SparkSession): Unit =

@@ -40,7 +40,13 @@ object Ann {
   /** LSH-bucketed approximate top-k: both sides get an nBits random-
     * hyperplane signature; candidates are fetched from buckets agreeing on
     * ≥1 of `bands` signature bands, then ranked exactly. Recall < 1 by
-    * construction; the scale path when brute force is too wide. */
+    * construction; the scale path when brute force is too wide.
+    *
+    * Shuffle discipline: the banded frames carry ONLY (band, bkey, id) —
+    * embedding vectors never ride the band explode or act as shuffle/
+    * compare keys. Multi-band collisions dedup on the (q_id, c_id) id
+    * pair; embeddings re-attach afterwards by id equi-join (query side
+    * broadcast). */
   def lshTopK(queries: DataFrame, cands: DataFrame, k: Int,
               nBits: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
     val rowsPerBand = nBits / bands
@@ -48,15 +54,17 @@ object Ann {
     def banded(df: DataFrame, idCol: String, embCol: String) =
       df.withColumn("__sig", rademacher_sig(
           expr(s"transform($embCol, x -> cast(x as double))"), nBits, seed))
-        .select(col(idCol), col(embCol), posexplode(
+        .select(col(idCol), posexplode(
           expr(s"transform(sequence(0, ${bands - 1}), b -> (__sig >> (b * $rowsPerBand)) & $mask)"))
           .as(Seq("band", "bkey")))
     val qb = banded(queries, "q_id", "q_emb")
     val cb = banded(cands, "c_id", "c_emb")
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id"))
     qb.join(cb, Seq("band", "bkey"))
-      .select(col("q_id"), col("q_emb"), col("c_id"), col("c_emb"))
-      .distinct() // a pair may collide in several bands
+      .select(col("q_id"), col("c_id"))
+      .dropDuplicates("q_id", "c_id") // a pair may collide in several bands
+      .join(broadcast(queries), Seq("q_id"))
+      .join(cands, Seq("c_id"))
       .withColumn("score", qdot("q_emb", "c_emb"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -11,44 +11,87 @@ import graft.text.textfunctions._
   * generation (LSH bands, simhash chunks) bounds comparisons to colliding
   * buckets only. At 100 TB the band-explode factor (rows × bands) is the
   * only amplification, and bands are small ints.
+  *
+  * HOT-BUCKET GUARD: a mass-duplicate corpus (a million identical docs)
+  * puts every copy in one bucket and the banded self-join goes quadratic
+  * inside it. Both candidate generators therefore (a) expect exact dedup
+  * to run FIRST (it exists and is cheap), and (b) cap bucket size at
+  * `maxBucket`, dropping over-full buckets from pair generation. Dropped
+  * buckets are observable via [[hotBuckets]] — count/log them in the
+  * pipeline rather than silently truncating.
   */
 object Dedup {
 
   /** Exact dedup on content hash: one row per distinct text, keeping the
-    * minimum id (deterministic winner). */
+    * minimum id (deterministic winner). Run this BEFORE any near-dup
+    * candidate generator — it collapses the pathological buckets. */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.groupBy(md5(col(textCol)).as("text_md5"))
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"))
 
+  /** Buckets larger than `maxBucket` for a banded frame (band, bkey) —
+    * the observability hook for the hot-bucket cap. */
+  def hotBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
+    banded.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+
+  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) banded
+    else {
+      val ok = banded.groupBy(col("band"), col("bkey"))
+        .agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") <= maxBucket)
+        .drop("__bn")
+      banded.join(ok, Seq("band", "bkey"))
+    }
+
   /** MinHash-LSH candidate pairs: k-hash signature over char shingles,
     * banded into `bands` groups of k/bands rows; pairs colliding in ≥1 band
     * are candidates (classic Broder/LSH; each pair reported once with the
-    * number of colliding bands). */
+    * number of colliding bands). Buckets larger than `maxBucket` are
+    * dropped (see class doc). */
   def minhashCandidates(docs: DataFrame, k: Int = 64, bands: Int = 16, shingle: Int = 5,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                        idCol: String = "doc_id", textCol: String = "text",
+                        maxBucket: Int = 100000): DataFrame = {
     val rows = k / bands
     val sig = docs.select(col(idCol).as("id"), minhash_sig(col(textCol), k, shingle).as("sig"))
     val banded = sig.select(col("id"), posexplode(
       // hash each band's slice to one long key
       expr(s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b*$rows + 1, $rows)))")
     ).as(Seq("band", "bkey")))
-    banded.as("a").join(banded.as("b"),
+    val capped = capBuckets(banded, maxBucket)
+    capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
           && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_bands"))
   }
 
-  /** SimHash near-dup candidates: 64-bit simhash split into 4 16-bit
-    * chunks; Hamming distance ≤ 3 ⇒ some chunk equal (pigeonhole) — join
-    * on (chunk index, chunk value), verify Hamming ≤ maxHamming. */
-  def simhashCandidates(docs: DataFrame, maxHamming: Int = 3,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  /** SimHash near-dup candidates: the 64-bit simhash splits into
+    * `nChunks` nearly-equal bit ranges; by pigeonhole, Hamming distance ≤
+    * nChunks−1 ⇒ some chunk matches exactly — join on (chunk, value),
+    * verify Hamming ≤ maxHamming. Callers wanting a RECALL GUARANTEE must
+    * pass nChunks ≥ maxHamming+1 (more chunks = shorter chunk values =
+    * denser buckets: the selectivity/recall tradeoff). Over-full buckets
+    * are dropped per the hot-bucket cap. */
+  def simhashCandidates(docs: DataFrame, maxHamming: Int = 3, nChunks: Int = 4,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        maxBucket: Int = 100000): DataFrame = {
+    require(nChunks >= 1 && nChunks <= 64, "nChunks in [1, 64]")
     val sh = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
-    val chunked = sh.select(col("id"), col("sh"), posexplode(
-      expr("transform(sequence(0, 3), c -> (sh >> (c * 16)) & 65535)")).as(Seq("chunk", "ckey")))
-    chunked.as("a").join(chunked.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey")
+    // chunk c covers bits [64c/n, 64(c+1)/n)
+    val chunkExprs = (0 until nChunks).map { c =>
+      val s = 64 * c / nChunks
+      val len = 64 * (c + 1) / nChunks - s
+      val mask = if (len >= 64) -1L else (1L << len) - 1
+      expr(s"(sh >> $s) & ${mask}L")
+    }
+    val chunked = sh.select(col("id"), col("sh"),
+      posexplode(array(chunkExprs: _*)).as(Seq("band", "bkey")))
+    val capped = capBuckets(chunked, maxBucket)
+    capped.as("a").join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
           && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))

@@ -462,6 +462,47 @@ object Geospatial {
         FROM part
         WHERE (p_partkey % 8) <> 1 AND (p_partkey % 3) = 0)""")),
 
+    // §2.7 point sampling KERNELS (GDALInterpolateAtPoint near/bilinear/
+    // cubicspline): sample at pixel center + ¼px offset so tx=ty=0.25 and
+    // every weighted sum is an exact dyadic — outputs quantized to the
+    // exact integer weight-sums (bilinear ×256, B-spline ×384²) so the
+    // oracle is pure integer arithmetic over pattern values
+    ("q69_point_interp", (s: SparkSession, dir: String) => {
+      Fixtures.imagesFromParts(s, dir)
+        .filter(col("srid") === 4326 && col("fmt") === "raw")
+        .withColumn("cx", (col("key") % (col("w") - 3) + 1).cast("int"))
+        .withColumn("cy", ((col("key") * 7) % (col("h") - 3) + 1).cast("int"))
+        .withColumn("lon_s", col("gt")(0) + (col("cx") + 0.75) * col("gt")(1))
+        .withColumn("lat_s", col("gt")(3) + (col("cy") + 0.75) * col("gt")(5))
+        .select(col("key"), col("cx"), col("cy"),
+          round(sample_at_alg(col("bytes"), col("fmt"), Tiling.meta9,
+            col("lon_s"), col("lat_s"), lit("bilinear")) * 256).cast("bigint").as("bilin_q"),
+          round(sample_at_alg(col("bytes"), col("fmt"), Tiling.meta9,
+            col("lon_s"), col("lat_s"), lit("cubicspline")) * 147456).cast("bigint").as("cspline_q"),
+          sample_at_alg(col("bytes"), col("fmt"), Tiling.meta9,
+            col("lon_s"), col("lat_s"), lit("near")).cast("bigint").as("near_v"))
+    }, Some {
+      def v(i: Int, j: Int) = s"(((cx + (${i})) * 7 + (cy + (${j})) * 13 + (key * 31)) % 256)"
+      // unnormalized B-spline weights ×64 at tap distances i−0.25, i∈−1..2
+      val w64 = Map(-1 -> 27L, 0 -> 235L, 1 -> 121L, 2 -> 1L)
+      val cs = (for { j <- -1 to 2; i <- -1 to 2 } yield s"(${w64(i) * w64(j)} * ${v(i, j)})")
+        .mkString(" + ")
+      s"""
+      WITH pimgx AS (
+        SELECT p_partkey AS key,
+          CASE (p_partkey % 4) WHEN 0 THEN 16 WHEN 1 THEN 20 WHEN 2 THEN 64 ELSE 256 END AS sz
+        FROM part WHERE (p_partkey % 8) <> 1 AND (p_partkey % 3) = 0),
+      pt AS (SELECT key, sz,
+               CAST(1 + (key % (sz - 3)) AS INT) AS cx,
+               CAST(1 + ((key * 7) % (sz - 3)) AS INT) AS cy
+             FROM pimgx)
+      SELECT key, cx, cy,
+        CAST((144 * ${v(0, 0)}) + (48 * ${v(1, 0)}) + (48 * ${v(0, 1)}) + (16 * ${v(1, 1)}) AS BIGINT) AS bilin_q,
+        CAST($cs AS BIGINT) AS cspline_q,
+        CAST(${v(0, 0)} AS BIGINT) AS near_v
+      FROM pt"""
+    }),
+
     // §2.6 INTERSECT / EXCEPT set operations
     ("q37_intersect_except", (s: SparkSession, dir: String) => {
       val custNations = s.read.parquet(s"$dir/customer.parquet")

@@ -112,10 +112,13 @@ object TrainingData {
       Dedup.minhashCandidates(docs(s, dir), k = 64, bands = 16, shingle = 5)
     }, None),
 
+    // nChunks = 11 ⇒ pigeonhole guarantees recall for Hamming ≤ 10
     ("q47_simhash_neardup", (s: SparkSession, dir: String) => {
-      Dedup.simhashCandidates(docs(s, dir), maxHamming = 10)
+      Dedup.simhashCandidates(docs(s, dir), maxHamming = 10, nChunks = 11)
     }, None),
 
+    // 4-chunk simhash here is a HEURISTIC pre-filter (recall guaranteed
+    // only to Hamming ≤ 3) feeding the exact Jaccard verify
     ("q48_ngram_jaccard", (s: SparkSession, dir: String) => {
       val cand = Dedup.simhashCandidates(docs(s, dir), maxHamming = 16)
         .select(col("id_a"), col("id_b"))

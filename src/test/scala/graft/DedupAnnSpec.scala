@@ -86,6 +86,37 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("hot-bucket cap keeps a mass-duplicate corpus from going quadratic") {
+    // 2000 identical docs + a distinct pair: uncapped, the identical docs
+    // alone would emit ~2M candidate pairs; the cap drops their buckets
+    val dup = (1L to 2000L).map(i => (i, "identical mass duplicated document body text"))
+    val uniq = Seq((9001L, "a genuinely distinct document about raster tiles"),
+      (9002L, "a genuinely distinct document about raster tiling"))
+    val docs = (dup ++ uniq).toDF("doc_id", "text")
+    val cand = Dedup.minhashCandidates(docs, k = 64, bands = 16, shingle = 5, maxBucket = 100)
+    val n = cand.count()
+    assert(n < 1000, s"capped candidate count $n must exclude the hot buckets")
+    // the distinct near-dup pair still surfaces
+    assert(cand.filter(col("id_a") === 9001L && col("id_b") === 9002L).count() == 1)
+    // observability: the dropped buckets are countable
+    val sig = docs.select(col("doc_id").as("id"),
+      graft.text.textfunctions.minhash_sig(col("text"), 64, 5).as("sig"))
+    val banded = sig.select(col("id"), posexplode(
+      expr(s"transform(sequence(0, 15), b -> hash(slice(sig, b*4 + 1, 4)))")).as(Seq("band", "bkey")))
+    assert(Dedup.hotBuckets(banded, 100).count() == 16, "every band has one mass bucket")
+  }
+
+  test("simhash chunk count controls the pigeonhole recall bound") {
+    // two docs at hamming ~8: 4 chunks (bound 3) may miss, 11 chunks must hit
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq((1L, base), (2L, base + " lambda mu距")).toDF("doc_id", "text")
+    val h = java.lang.Long.bitCount(
+      TextKernels.simhash64(base) ^ TextKernels.simhash64(base + " lambda mu距"))
+    val cand11 = Dedup.simhashCandidates(docs, maxHamming = math.max(h, 10), nChunks = math.max(h, 10) + 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cand11.contains((1L, 2L)), s"guaranteed recall at hamming $h with ${math.max(h, 10) + 1} chunks")
+  }
+
   test("language id picks stopword-matching language") {
     assert(TextKernels.langId("the cat sat on the mat with the hat") == "en")
     assert(TextKernels.langId("der hund und die katze ist nicht da") == "de")
