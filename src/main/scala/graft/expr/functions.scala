@@ -113,6 +113,21 @@ object functions {
   def sample_at_alg(bytes: Column, fmt: Column, meta9: Column, lon: Column, lat: Column, alg: Column): Column =
     toCol(SampleAtAlg(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(lon), toExpr(lat), toExpr(alg))))
 
+  def sieve_stats(bytes: Column, fmt: Column, meta9: Column, shift: Column, threshold: Column, connect8: Column): Column =
+    toCol(SieveStats(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(shift), toExpr(threshold), toExpr(connect8))))
+
+  def proximity_stats(bytes: Column, fmt: Column, meta9: Column, shift: Column, targetClass: Column): Column =
+    toCol(ProximityStats(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(shift), toExpr(targetClass))))
+
+  def fill_nodata_stats(bytes: Column, fmt: Column, meta9: Column, nodata: Column, maxDist: Column): Column =
+    toCol(FillNodataStats(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(nodata), toExpr(maxDist))))
+
+  def raster_histogram(bytes: Column, fmt: Column, w: Column, h: Column, nBuckets: Column, vmin: Column, vmax: Column): Column =
+    toCol(RasterHistogram(Seq(toExpr(bytes), toExpr(fmt), toExpr(w), toExpr(h), toExpr(nBuckets), toExpr(vmin), toExpr(vmax))))
+
+  def slice_raster(bytes: Column, fmt: Column, meta9: Column, x0: Column, y0: Column, winW: Column, winH: Column): Column =
+    toCol(SliceRaster(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(x0), toExpr(y0), toExpr(winW), toExpr(winH))))
+
   def contour_lines(bytes: Column, fmt: Column, meta9: Column, levels: Column): Column =
     toCol(ContourLines(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(levels))))
 
@@ -258,7 +273,17 @@ object GraftExtensions {
     "focal_multi" -> ((info("focal_multi", "focal_multi(bytes, fmt, meta9, ops) - all focal derivatives from one decode"),
       (e: Seq[Expression]) => FocalMulti(e))),
     "sample_at_alg" -> ((info("sample_at_alg", "sample_at_alg(bytes, fmt, meta9, lon, lat, alg) - near/bilinear/cubicspline point interpolation"),
-      (e: Seq[Expression]) => SampleAtAlg(e))))
+      (e: Seq[Expression]) => SampleAtAlg(e))),
+    "sieve_stats" -> ((info("sieve_stats", "sieve_stats(bytes, fmt, meta9, shift, threshold, connect8)"),
+      (e: Seq[Expression]) => SieveStats(e))),
+    "proximity_stats" -> ((info("proximity_stats", "proximity_stats(bytes, fmt, meta9, shift, target_class)"),
+      (e: Seq[Expression]) => ProximityStats(e))),
+    "fill_nodata_stats" -> ((info("fill_nodata_stats", "fill_nodata_stats(bytes, fmt, meta9, nodata, max_dist)"),
+      (e: Seq[Expression]) => FillNodataStats(e))),
+    "raster_histogram" -> ((info("raster_histogram", "raster_histogram(bytes, fmt, w, h, nBuckets, vmin, vmax)"),
+      (e: Seq[Expression]) => RasterHistogram(e))),
+    "slice_raster" -> ((info("slice_raster", "slice_raster(bytes, fmt, meta9, x0, y0, winW, winH) - windowed read"),
+      (e: Seq[Expression]) => SliceRaster(e))))
 
   /** Imperative registration for sessions built without extensions. */
   def register(spark: SparkSession): Unit =

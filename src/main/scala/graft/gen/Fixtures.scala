@@ -115,6 +115,23 @@ object Fixtures {
       .toDF("region_id", "wkb")
   }
 
+  /** Grid-interpolation nodes from supplier keys, at +0.25° offsets so no
+    * point ever coincides with a node (bounds the inverse-distance
+    * weights; see ops.Grid). */
+  def nodesFromSuppliers(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/supplier.parquet")
+      .select(col("s_suppkey").cast("bigint").as("t_id"),
+        ((((col("s_suppkey") * 31) % 360) - 180) + 0.25).cast("double").as("t_lon"),
+        ((((col("s_suppkey") * 17) % 160) - 80) + 0.25).cast("double").as("t_lat"))
+
+  /** Orders points carrying an exact integer value (whole dollars). */
+  def valuedPointsFromOrders(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").as("p_id"),
+        (((col("o_orderkey") * 9973) % 360000) / 1000.0 - 180.0).as("p_lon"),
+        (((col("o_orderkey") * 7919) % 170000) / 1000.0 - 85.0).as("p_lat"),
+        round(col("o_totalprice")).cast("bigint").as("value_i"))
+
   /** 5 kNN targets from region keys (exact integer-derived coordinates). */
   def targetsFromRegions(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/region.parquet")

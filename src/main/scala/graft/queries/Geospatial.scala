@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.expr.functions._
 import graft.gen.Fixtures
-import graft.ops.{Knn, SpatialJoin, Tiling}
+import graft.ops.{Grid, Knn, SpatialJoin, Tiling}
 
 /** Geospatial operator surface (SURVEY.md §2.3/§2.8) under the driver's
   * DuckDB oracle. Geometry derives deterministically from the TPC-H keys
@@ -47,6 +47,29 @@ object Geospatial {
       |  SELECT key, lon0 AS minx, (lat0 + (sz * (-(span / sz)))) AS miny,
       |         (lon0 + (sz * (span / sz))) AS maxx, lat0 AS maxy
       |  FROM img)""".stripMargin
+
+  /** Grid-interpolation oracle: supplier nodes × valued order points with
+    * the exact dist2 predicate (mirrors Fixtures.nodesFromSuppliers /
+    * valuedPointsFromOrders and ops.Grid.candidates at radius 5). */
+  private val GridCte =
+    """gnodes AS (
+      |  SELECT CAST(s_suppkey AS BIGINT) AS t_id,
+      |         CAST(((((s_suppkey * 31) % 360) - 180) + 0.25) AS DOUBLE) AS t_lon,
+      |         CAST(((((s_suppkey * 17) % 160) - 80) + 0.25) AS DOUBLE) AS t_lat
+      |  FROM supplier),
+      |gpts AS (
+      |  SELECT o_orderkey AS p_id,
+      |         ((((o_orderkey * 9973) % 360000) / 1000.0) - 180.0) AS p_lon,
+      |         ((((o_orderkey * 7919) % 170000) / 1000.0) - 85.0) AS p_lat,
+      |         CAST(round(o_totalprice) AS BIGINT) AS value_i
+      |  FROM orders),
+      |cand AS (
+      |  SELECT n.t_id, p.p_id, p.value_i,
+      |         (((p.p_lon - n.t_lon) * (p.p_lon - n.t_lon))
+      |          + ((p.p_lat - n.t_lat) * (p.p_lat - n.t_lat))) AS dist2
+      |  FROM gnodes n, gpts p
+      |  WHERE (((p.p_lon - n.t_lon) * (p.p_lon - n.t_lon))
+      |         + ((p.p_lat - n.t_lat) * (p.p_lat - n.t_lat))) <= 25.0)""".stripMargin
 
   /** Pixel-level enumeration of the oracle-scoped zonal corpus (raw/png,
     * sz ≤ 64, srid 4326) crossed with the region boxes: one row per pixel
@@ -219,6 +242,63 @@ object Geospatial {
              count(*) AS cnt,
              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
       FROM pts GROUP BY 1, 2""")),
+
+    // §2.4 grid interpolation (gdalgrid metrics over cell-binned candidate
+    // fetch): nearest / invdist / invdistnn / moving-average, quantized
+    // integer weights so the oracle is exact
+    ("q70_grid_nearest", (s: SparkSession, dir: String) => {
+      Grid.nearest(Fixtures.nodesFromSuppliers(s, dir), Fixtures.valuedPointsFromOrders(s, dir),
+        radius = 5.0)
+        .select(col("t_id"), col("p_id"), col("value_i"), col("dist2"))
+    }, Some(s"""
+      WITH $GridCte
+      SELECT t_id, p_id, value_i, dist2 FROM (
+        SELECT t_id, p_id, value_i, dist2,
+               row_number() OVER (PARTITION BY t_id ORDER BY dist2, p_id) AS rn
+        FROM cand) WHERE rn = 1""")),
+
+    ("q71_grid_invdist", (s: SparkSession, dir: String) => {
+      Grid.invdist(Fixtures.nodesFromSuppliers(s, dir), Fixtures.valuedPointsFromOrders(s, dir),
+        radius = 5.0)
+    }, Some(s"""
+      WITH $GridCte
+      SELECT t_id,
+        CAST(sum(wq * value_i) AS BIGINT) AS num,
+        CAST(sum(wq) AS BIGINT) AS den,
+        count(*) AS n_pts,
+        (CAST(CAST(sum(wq * value_i) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(sum(wq) AS BIGINT) AS DOUBLE)) AS est
+      FROM (SELECT t_id, value_i,
+              CAST(least(round(1000000.0 / dist2), 1000000000000.0) AS BIGINT) AS wq FROM cand)
+      GROUP BY t_id""")),
+
+    ("q72_grid_moving_avg", (s: SparkSession, dir: String) => {
+      Grid.movingAverage(Fixtures.nodesFromSuppliers(s, dir), Fixtures.valuedPointsFromOrders(s, dir),
+        radius = 5.0)
+    }, Some(s"""
+      WITH $GridCte
+      SELECT t_id, CAST(sum(value_i) AS BIGINT) AS sum_v, count(*) AS n_pts,
+             (CAST(CAST(sum(value_i) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS avg_v
+      FROM cand GROUP BY t_id""")),
+
+    ("q73_grid_invdistnn", (s: SparkSession, dir: String) => {
+      Grid.invdistnn(Fixtures.nodesFromSuppliers(s, dir), Fixtures.valuedPointsFromOrders(s, dir),
+        radius = 5.0, maxPoints = 8)
+    }, Some(s"""
+      WITH $GridCte,
+      nn AS (SELECT t_id, p_id, value_i, dist2,
+                    row_number() OVER (PARTITION BY t_id ORDER BY dist2, p_id) AS rn
+             FROM cand)
+      SELECT t_id,
+        CAST(sum(wq * value_i) AS BIGINT) AS num,
+        CAST(sum(wq) AS BIGINT) AS den,
+        count(*) AS n_pts,
+        (CAST(CAST(sum(wq * value_i) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(sum(wq) AS BIGINT) AS DOUBLE)) AS est
+      FROM (SELECT t_id, value_i,
+              CAST(least(round(1000000.0 / dist2), 1000000000000.0) AS BIGINT) AS wq
+            FROM nn WHERE rn <= 8)
+      GROUP BY t_id""")),
 
     // §2.8 tile pyramid assignment counts across zooms 0..6
     ("q27_tile_pyramid_counts", (s: SparkSession, dir: String) => {
@@ -561,6 +641,63 @@ object Geospatial {
         ${checksumSql(rough)} AS checksum
       FROM ppx GROUP BY key, sz"""
     }),
+
+    // §2.8 sieve + proximity + fill-nodata morphology (per-image kernels;
+    // component/EDT internals not SQL-expressible → rows-only + ScalaTest)
+    ("q74_morphology", (s: SparkSession, dir: String) => {
+      Fixtures.imagesFromParts(s, dir)
+        .filter(col("w") <= 64 && col("fmt") =!= "jpeg")
+        .withColumn("sv", sieve_stats(col("bytes"), col("fmt"), Tiling.meta9, lit(6), lit(8), lit(false)))
+        .withColumn("px", proximity_stats(col("bytes"), col("fmt"), Tiling.meta9, lit(6), lit(0)))
+        .withColumn("fl", fill_nodata_stats(col("bytes"), col("fmt"), Tiling.meta9, lit(37), lit(8)))
+        .select(col("key"),
+          col("sv.n_before"), col("sv.n_after"), col("sv.checksum").as("sieve_cks"),
+          col("px.dmax"), col("px.dsum_q"), col("px.checksum").as("prox_cks"),
+          col("fl.n_nodata_before"), col("fl.n_nodata_after"), col("fl.checksum").as("fill_cks"))
+    }, None),
+
+    // §2.4 raster histogram (GetHistogram analog): 8 equal buckets over
+    // [0,256) — exact bucket counts under the oracle
+    ("q75_histogram", (s: SparkSession, dir: String) => {
+      val hcol = raster_histogram(col("bytes"), col("fmt"), col("w"), col("h"), lit(8), lit(0.0), lit(256.0))
+      Fixtures.imagesFromParts(s, dir)
+        .filter(col("w") <= 64 && col("fmt") =!= "jpeg")
+        .withColumn("hist", hcol)
+        .select(col("key") +: (0 until 8).map(i => col("hist")(i).as(s"h$i")): _*)
+    }, Some(s"""
+      WITH $PixCte
+      SELECT key,
+        ${(0 until 8).map(i => s"CAST(sum(CASE WHEN (v >> 5) = $i THEN 1 ELSE 0 END) AS BIGINT) AS h$i").mkString(",\n        ")}
+      FROM pv GROUP BY key""")),
+
+    // §2.1 windowed read (IRasterIO analog): slice checksum re-derived in
+    // SQL over the window's local coordinates
+    ("q76_windowed_read", (s: SparkSession, dir: String) => {
+      val winW = (col("w") / 4).cast("int")
+      val winH = (col("h") / 4).cast("int")
+      val x0 = (col("key") % (col("w") / 2)).cast("int")
+      val y0 = ((col("key") * 3) % (col("h") / 2)).cast("int")
+      Fixtures.imagesFromParts(s, dir)
+        .filter(col("w") <= 64 && col("fmt") =!= "jpeg")
+        .withColumn("slice", slice_raster(col("bytes"), col("fmt"), Tiling.meta9, x0, y0, winW, winH))
+        .select(col("key"),
+          checksum_bands(col("slice"), lit("raw"), winW, winH)(0).as("win_cks"))
+    }, Some(s"""
+      WITH pimg AS (
+        SELECT p_partkey AS key,
+          CASE (p_partkey % 4) WHEN 0 THEN 16 WHEN 1 THEN 20 ELSE 64 END AS sz
+        FROM part WHERE (p_partkey % 3) <> 2 AND (p_partkey % 4) <> 3),
+      wspec AS (
+        SELECT key, sz, (sz // 4) AS winw, (sz // 4) AS winh,
+               CAST(key % (sz // 2) AS BIGINT) AS x0,
+               CAST((key * 3) % (sz // 2) AS BIGINT) AS y0
+        FROM pimg),
+      wrows AS (SELECT key, sz, winw, winh, x0, y0, unnest(generate_series(0, winh - 1)) AS wy FROM wspec),
+      wpx AS (SELECT key, sz, winw, winh, x0, y0, wy, unnest(generate_series(0, winw - 1)) AS wx FROM wrows)
+      SELECT key,
+        CAST(sum((((x0 + wx) * 7) + ((y0 + wy) * 13) + (key * 31)) % 256
+                 % ([7,11,13,17,19,23,29,31,37,41,43])[(((wy * winw) + wx) % 11) + 1]) % 65536 AS INT) AS win_cks
+      FROM wpx GROUP BY key""")),
 
     // UTM footprint branch (CRS series not SQL-expressible)
     ("q34_footprint_utm", (s: SparkSession, dir: String) => {
