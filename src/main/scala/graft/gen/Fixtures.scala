@@ -70,11 +70,15 @@ object Fixtures {
   private val imagesCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  /** Image corpus keyed by part table keys (oracle-joinable). */
+  /** Image corpus keyed by part table keys (oracle-joinable). Repartitioned
+    * to the session's parallelism BEFORE synthesis: the part table arrives
+    * in a handful of parquet splits, and per-image kernels downstream
+    * (decode/focal/contour/polygonize) must fan across every core. */
   def imagesFromParts(s: SparkSession, dir: String): DataFrame =
     imagesCache.computeIfAbsent((s, dir), { _ =>
       import s.implicits._
       val df = s.read.parquet(s"$dir/part.parquet").select(col("p_partkey"))
+        .repartition(s.sparkContext.defaultParallelism)
         .as[Long].map(genImage).toDF()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count() // materialize so downstream stages never re-encode

@@ -67,10 +67,13 @@ object Knn {
       val cand = candidatesAt(frontier, r)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       toUnpersist ::= cand
-      val safe = (r - 1).toDouble * cellH
+      // every point OUTSIDE ring r is ≥ r·cellH away (its cell is ≥ r+1
+      // cells from the target's cell; worst case both sit on the facing
+      // boundaries). STRICT < keeps equal-distance outside ties safe.
+      val safe = r.toDouble * cellH
       val resolvedIds = cand.groupBy(col("t_id"))
         .agg(count(lit(1)).as("__n"), max(col("dist2")).as("__maxd2"))
-        .filter(col("__n") === k && col("__maxd2") <= lit(safe * safe))
+        .filter(col("__n") === k && col("__maxd2") < lit(safe * safe))
         .select(col("t_id"))
       resolvedParts ::= cand.join(resolvedIds, Seq("t_id"), "left_semi")
       // rename to dodge self-join attribute ambiguity (cand derives from frontier)
