@@ -559,6 +559,27 @@ object WarpKernels {
     buf
   }
 
+  /** Binary cutline mask (gdalcutline.cpp:224 analog): zero out pixels —
+    * bands AND validity — outside the rasterized cutline polygon (lon/lat
+    * WKB reprojected to the tile's 3857 grid). */
+  def applyCutline(buf: Array[Byte], tile: Long, cutWkb4326: Array[Byte]): Array[Byte] = {
+    val z = TileMath.unpackZ(tile); val x = TileMath.unpackX(tile); val y = TileMath.unpackY(tile)
+    val gt = TileMath.tileGeoTransform(z, x, y)
+    val cut = GeomOps.transform(cutWkb4326, 4326, 3857)
+    val mask = Rasterize.rasterize(TileSize, TileSize, gt, Seq((cut, 1)))
+    val out = buf.clone()
+    val planes = PlaneBuf.nPlanes(buf)
+    var i = 0
+    while (i < PlanePx) {
+      if (mask(i) == 0) {
+        var p = 0
+        while (p < planes) { out(p * PlanePx + i) = 0; p += 1 }
+      }
+      i += 1
+    }
+    out
+  }
+
   def downsampleToParent(buf: Array[Byte], tile: Long): Array[Byte] = {
     val z = TileMath.unpackZ(tile); val x = TileMath.unpackX(tile); val y = TileMath.unpackY(tile)
     val (r, validity) = PlaneBuf.toRaster(buf)

@@ -128,6 +128,17 @@ object functions {
   def slice_raster(bytes: Column, fmt: Column, meta9: Column, x0: Column, y0: Column, winW: Column, winH: Column): Column =
     toCol(SliceRaster(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(x0), toExpr(y0), toExpr(winW), toExpr(winH))))
 
+  def pixel_calc(bytes: Column, fmt: Column, w: Column, h: Column, calcExpr: Column): Column =
+    toCol(PixelCalcExpr(Seq(toExpr(bytes), toExpr(fmt), toExpr(w), toExpr(h), toExpr(calcExpr))))
+
+  def reclassify(bytes: Column, fmt: Column, w: Column, h: Column,
+                 lo: Column, hi: Column, values: Column, default: Column): Column =
+    toCol(ReclassifyExpr(Seq(toExpr(bytes), toExpr(fmt), toExpr(w), toExpr(h),
+      toExpr(lo), toExpr(hi), toExpr(values), toExpr(default))))
+
+  def warp_tile_cut(bytes: Column, fmt: Column, meta9: Column, tile: Column, kernel: Column, cutWkb: Column): Column =
+    toCol(WarpTileCut(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(tile), toExpr(kernel), toExpr(cutWkb))))
+
   def contour_lines(bytes: Column, fmt: Column, meta9: Column, levels: Column): Column =
     toCol(ContourLines(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(levels))))
 
@@ -283,7 +294,13 @@ object GraftExtensions {
     "raster_histogram" -> ((info("raster_histogram", "raster_histogram(bytes, fmt, w, h, nBuckets, vmin, vmax)"),
       (e: Seq[Expression]) => RasterHistogram(e))),
     "slice_raster" -> ((info("slice_raster", "slice_raster(bytes, fmt, meta9, x0, y0, winW, winH) - windowed read"),
-      (e: Seq[Expression]) => SliceRaster(e))))
+      (e: Seq[Expression]) => SliceRaster(e))),
+    "pixel_calc" -> ((info("pixel_calc", "pixel_calc(bytes, fmt, w, h, expr) - per-pixel expression plane (muParser analog)"),
+      (e: Seq[Expression]) => PixelCalcExpr(e))),
+    "reclassify" -> ((info("reclassify", "reclassify(bytes, fmt, w, h, lo, hi, values, default) - range-table reclassify"),
+      (e: Seq[Expression]) => ReclassifyExpr(e))),
+    "warp_tile_cut" -> ((info("warp_tile_cut", "warp_tile_cut(bytes, fmt, meta9, tile, kernel, cut_wkb) - cutline-masked warp"),
+      (e: Seq[Expression]) => WarpTileCut(e))))
 
   /** Imperative registration for sessions built without extensions. */
   def register(spark: SparkSession): Unit =

@@ -699,6 +699,58 @@ object Geospatial {
                  % ([7,11,13,17,19,23,29,31,37,41,43])[(((wy * winw) + wx) % 11) + 1]) % 65536 AS INT) AS win_cks
       FROM wpx GROUP BY key""")),
 
+    // §2.7 per-pixel expression surface (muParser analog): arbitrary
+    // arithmetic over bands compiled once, checksummed — oracle re-derives
+    // the integer-valued plane in SQL
+    ("q78_pixel_calc", (s: SparkSession, dir: String) => {
+      Fixtures.imagesFromParts(s, dir)
+        .filter(col("w") <= 64 && col("fmt") =!= "jpeg")
+        .withColumn("pc", pixel_calc(col("bytes"), col("fmt"), col("w"), col("h"),
+          lit("(b0 * 2 + 7) % 256")))
+        .select(col("key"), col("pc.mean").as("mean"), col("pc.checksum").as("checksum"))
+    }, Some(s"""
+      WITH $PixCte,
+      calc AS (SELECT key, sz, px, py, (((v * 2) + 7) % 256) AS vv FROM pv)
+      SELECT key,
+        (CAST(sum(vv) AS DOUBLE) / CAST(CAST(sz AS BIGINT) * sz AS DOUBLE)) AS mean,
+        ${checksumSql("vv")} AS checksum
+      FROM calc GROUP BY key, sz""")),
+
+    // §2.2 range-table reclassify (first matching closed range wins)
+    ("q79_reclassify", (s: SparkSession, dir: String) => {
+      Fixtures.imagesFromParts(s, dir)
+        .filter(col("w") <= 64 && col("fmt") =!= "jpeg")
+        .withColumn("rc", reclassify(col("bytes"), col("fmt"), col("w"), col("h"),
+          array(lit(0.0), lit(64.0), lit(128.0)), array(lit(63.0), lit(127.0), lit(191.0)),
+          array(lit(10), lit(20), lit(2)), lit(9)))
+        .select(col("key"), col("rc.checksum").as("checksum"), col("rc.sum_v").as("sum_v"))
+    }, Some(s"""
+      WITH $PixCte,
+      rc AS (SELECT key, sz, px, py,
+               CASE WHEN v <= 63 THEN 10 WHEN v <= 127 THEN 20
+                    WHEN v <= 191 THEN 2 ELSE 9 END AS vv
+             FROM pv)
+      SELECT key, ${checksumSql("vv")} AS checksum,
+             CAST(sum(vv) AS BIGINT) AS sum_v
+      FROM rc GROUP BY key, sz""")),
+
+    // §2.8 cutline-masked warp (GDALWarpCutlineMasker analog): per-pair
+    // tile render clipped to the region polygon (mask internals rows-only;
+    // TilingSpec pins the mask semantics)
+    ("q80_cutline_tile", (s: SparkSession, dir: String) => {
+      val images = Fixtures.imagesFromParts(s, dir)
+        .filter(col("srid") === 4326 && col("key") % 10 === 0)
+        .withColumn("env", footprint(col("gt"), col("w"), col("h"), col("srid")))
+      val zones = Fixtures.regionBoxes(s, dir)
+      SpatialJoin.envJoin(images, zones, "key", "region_id", level = 5)
+        .withColumn("tile", tile_cover(col("env"), 5, 5)(0))
+        .withColumn("buf", warp_tile_cut(col("bytes"), col("fmt"), Tiling.meta9,
+          col("tile"), lit("near"), col("wkb")))
+        .select(col("key"), col("region_id"),
+          planes_checksums(col("buf"))(0).as("cks_b0"),
+          planes_checksums(col("buf"))(3).as("cks_validity"))
+    }, None),
+
     // UTM footprint branch (CRS series not SQL-expressible)
     ("q34_footprint_utm", (s: SparkSession, dir: String) => {
       Fixtures.imagesFromParts(s, dir)

@@ -291,6 +291,29 @@ object Relational {
       SELECT user_id, cast(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
       FROM m GROUP BY user_id""")),
 
+    // §2.6 union layer (OGRUnionLayer schema merge, ogrunionlayer.h:116):
+    // concat frames with different schemas, absent columns null
+    ("q77_union_layer", (s: SparkSession, dir: String) => {
+      val c = t(s, dir, "customer").select(lit("customer").as("src"),
+        col("c_nationkey").cast("int").as("nk"), cents("c_acctbal").as("acctbal_c"))
+      val sup = t(s, dir, "supplier").select(lit("supplier").as("src"),
+        col("s_nationkey").cast("int").as("nk")) // no acctbal column
+      c.unionByName(sup, allowMissingColumns = true)
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("cnt"),
+          count(col("acctbal_c")).as("n_with_acctbal"),
+          coalesce(sum(col("acctbal_c")), lit(0L)).as("sum_acctbal_c"))
+    }, Some("""
+      SELECT src, count(*) AS cnt,
+             count(acctbal_c) AS n_with_acctbal,
+             coalesce(CAST(sum(acctbal_c) AS BIGINT), 0) AS sum_acctbal_c
+      FROM (
+        SELECT 'customer' AS src, CAST(c_nationkey AS INT) AS nk,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_c FROM customer
+        UNION ALL
+        SELECT 'supplier' AS src, CAST(s_nationkey AS INT) AS nk, NULL AS acctbal_c FROM supplier)
+      GROUP BY src""")),
+
     // §2.6 LIMIT/OFFSET (swq_parser.y:1129,1137)
     ("q18_offset_limit", (s: SparkSession, dir: String) => {
       t(s, dir, "orders")
