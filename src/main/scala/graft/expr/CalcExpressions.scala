@@ -72,6 +72,89 @@ case class ReclassifyExpr(children: Seq[Expression]) extends Expression with Exp
     copy(children = c)
 }
 
+/** pansharpen_profile(bytes, fmt, w, h) → struct<checksums:array<int>,
+  * mean:double> — weighted-Brovey self-fusion exercise: pan = per-pixel
+  * rounded band mean at full res, ms = the 2×-downsampled bands, fused
+  * back to full res (alg/gdalpansharpen.cpp:588 kernel). 3-band only
+  * (NULL otherwise). */
+case class PansharpenProfile(children: Seq[Expression]) extends Expression with ExpectsInputTypes with CodegenFallback {
+  require(children.length == 4, "pansharpen_profile(bytes, fmt, w, h)")
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(BinaryType, StringType, IntegerType, IntegerType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("checksums", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("mean", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "pansharpen_profile"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    if (vals.exists(_ == null)) return null
+    val w = vals(2).asInstanceOf[Int]; val h = vals(3).asInstanceOf[Int]
+    val r = ImageCodec.decode(vals(0).asInstanceOf[Array[Byte]], vals(1).toString, w, h)
+    if (r.nBands < 3) return null
+    val pan = new Array[Int](w * h)
+    var i = 0
+    while (i < pan.length) {
+      pan(i) = math.floor((r.bands(0)(i) + r.bands(1)(i) + r.bands(2)(i)) / 3.0 + 0.5).toInt
+      i += 1
+    }
+    val ms = Warp.downsample2x(r)
+    val sharp = Color.pansharpen(pan, w, h, ms, Array(1.0 / 3, 1.0 / 3, 1.0 / 3))
+    val cks = sharp.bands.map(b => GdalChecksum.ofInts(b, w, h))
+    var s = 0L
+    sharp.bands.foreach(b => b.foreach(s += _))
+    org.apache.spark.sql.catalyst.InternalRow(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(cks),
+      s.toDouble / (3.0 * w * h))
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): PansharpenProfile =
+    copy(children = c)
+}
+
+/** rgb_to_palette(bytes, fmt, w, h, nColors) → struct<n_colors:int,
+  * idx_checksum:int, mean_err:double> — median-cut palette + Floyd–
+  * Steinberg dither (alg/gdalmediancut.cpp + gdaldither.cpp behavior);
+  * mean_err = mean |rgb − palette[idx]| L2 after dithering. */
+case class RgbToPalette(children: Seq[Expression]) extends Expression with ExpectsInputTypes with CodegenFallback {
+  require(children.length == 5, "rgb_to_palette(bytes, fmt, w, h, nColors)")
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(BinaryType, StringType, IntegerType, IntegerType, IntegerType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_colors", IntegerType, nullable = false),
+    StructField("idx_checksum", IntegerType, nullable = false),
+    StructField("mean_err", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "rgb_to_palette"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    if (vals.exists(_ == null)) return null
+    val w = vals(2).asInstanceOf[Int]; val h = vals(3).asInstanceOf[Int]
+    val n = vals(4).asInstanceOf[Int]
+    val r = ImageCodec.decode(vals(0).asInstanceOf[Array[Byte]], vals(1).toString, w, h)
+    if (r.nBands < 3) return null
+    val palette = Color.medianCutPalette(r, n)
+    val idx = Color.ditherFS(r, palette)
+    var errSum = 0.0
+    var i = 0
+    while (i < idx.length) {
+      val p = palette(idx(i))
+      val dr = r.bands(0)(i) - p._1
+      val dg = r.bands(1)(i) - p._2
+      val db = r.bands(2)(i) - p._3
+      errSum += math.sqrt((dr * dr + dg * dg + db * db).toDouble)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      palette.length, GdalChecksum.ofInts(idx, w, h), errSum / idx.length)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): RgbToPalette =
+    copy(children = c)
+}
+
 /** warp_tile_cut(bytes, fmt, meta9, tile, kernel, cutWkb) → planes buffer:
   * warp_tile masked to the cutline polygon (alg/gdalcutline.cpp:224
   * GDALWarpCutlineMasker semantics, binary mask, no blend distance);

@@ -139,6 +139,12 @@ object functions {
   def warp_tile_cut(bytes: Column, fmt: Column, meta9: Column, tile: Column, kernel: Column, cutWkb: Column): Column =
     toCol(WarpTileCut(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(tile), toExpr(kernel), toExpr(cutWkb))))
 
+  def pansharpen_profile(bytes: Column, fmt: Column, w: Column, h: Column): Column =
+    toCol(PansharpenProfile(Seq(toExpr(bytes), toExpr(fmt), toExpr(w), toExpr(h))))
+
+  def rgb_to_palette(bytes: Column, fmt: Column, w: Column, h: Column, nColors: Column): Column =
+    toCol(RgbToPalette(Seq(toExpr(bytes), toExpr(fmt), toExpr(w), toExpr(h), toExpr(nColors))))
+
   def contour_lines(bytes: Column, fmt: Column, meta9: Column, levels: Column): Column =
     toCol(ContourLines(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(levels))))
 
@@ -300,7 +306,11 @@ object GraftExtensions {
     "reclassify" -> ((info("reclassify", "reclassify(bytes, fmt, w, h, lo, hi, values, default) - range-table reclassify"),
       (e: Seq[Expression]) => ReclassifyExpr(e))),
     "warp_tile_cut" -> ((info("warp_tile_cut", "warp_tile_cut(bytes, fmt, meta9, tile, kernel, cut_wkb) - cutline-masked warp"),
-      (e: Seq[Expression]) => WarpTileCut(e))))
+      (e: Seq[Expression]) => WarpTileCut(e))),
+    "pansharpen_profile" -> ((info("pansharpen_profile", "pansharpen_profile(bytes, fmt, w, h) - weighted-Brovey fusion metrics"),
+      (e: Seq[Expression]) => PansharpenProfile(e))),
+    "rgb_to_palette" -> ((info("rgb_to_palette", "rgb_to_palette(bytes, fmt, w, h, nColors) - median-cut + dither"),
+      (e: Seq[Expression]) => RgbToPalette(e))))
 
   /** Imperative registration for sessions built without extensions. */
   def register(spark: SparkSession): Unit =

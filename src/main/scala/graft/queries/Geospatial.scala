@@ -751,6 +751,19 @@ object Geospatial {
           planes_checksums(col("buf"))(3).as("cks_validity"))
     }, None),
 
+    // §2.8 pansharpen + palette/dither (Brovey / median-cut / F-S kernels;
+    // upsample/error-diffusion internals rows-only, semantics in ColorSpec)
+    ("q81_pansharpen_palette", (s: SparkSession, dir: String) => {
+      Fixtures.imagesFromParts(s, dir)
+        .filter(col("w") <= 64 && col("key") % 2 === 1) // 3-band subset
+        .withColumn("ps", pansharpen_profile(col("bytes"), col("fmt"), col("w"), col("h")))
+        .withColumn("pal", rgb_to_palette(col("bytes"), col("fmt"), col("w"), col("h"), lit(16)))
+        .filter(col("ps").isNotNull && col("pal").isNotNull)
+        .select(col("key"),
+          col("ps.checksums")(0).as("sharp_cks_b0"), col("ps.mean").as("sharp_mean"),
+          col("pal.n_colors"), col("pal.idx_checksum"), col("pal.mean_err"))
+    }, None),
+
     // UTM footprint branch (CRS series not SQL-expressible)
     ("q34_footprint_utm", (s: SparkSession, dir: String) => {
       Fixtures.imagesFromParts(s, dir)
