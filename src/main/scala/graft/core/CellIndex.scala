@@ -1,5 +1,71 @@
 package graft.core
 
+/** Hilbert curve code for locality-preserving ordering (SURVEY.md §2.6
+  * spatial sort; reference: apps/gdalalg_vector_sort.cpp:40 `hilbert`
+  * method over alg/hilbert.cpp GDALHilbertCode — implemented here from
+  * the published rotate/reflect d-index construction, and the same curve
+  * family FlatGeoBuf's packed R-tree sorts by, packedrtree.h:93-112). */
+object Hilbert {
+  /** (x, y) on a 2^order × 2^order grid → distance along the Hilbert
+    * curve. Standard bottom-up rotation accumulation. */
+  def xy2d(order: Int, x0: Int, y0: Int): Long = {
+    var rx = 0
+    var ry = 0
+    var d = 0L
+    var x = x0
+    var y = y0
+    var s = 1 << (order - 1)
+    while (s > 0) {
+      rx = if ((x & s) > 0) 1 else 0
+      ry = if ((y & s) > 0) 1 else 0
+      d += s.toLong * s.toLong * ((3 * rx) ^ ry)
+      // rotate quadrant
+      if (ry == 0) {
+        if (rx == 1) {
+          x = s - 1 - x
+          y = s - 1 - y
+        }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  /** Inverse: curve distance → (x, y). */
+  def d2xy(order: Int, d0: Long): (Int, Int) = {
+    var x = 0
+    var y = 0
+    var t = d0
+    var s = 1
+    while (s < (1 << order)) {
+      val rx = (1L & (t / 2)).toInt
+      val ry = (1L & (t ^ rx)).toInt
+      if (ry == 0) {
+        if (rx == 1) {
+          x = s - 1 - x
+          y = s - 1 - y
+        }
+        val tmp = x; x = y; y = tmp
+      }
+      x += s * rx
+      y += s * ry
+      t /= 4
+      s <<= 1
+    }
+    (x, y)
+  }
+
+  /** lon/lat → Hilbert code at `order` bits per axis (the engine's
+    * locality key for range partitioning). */
+  def ofLonLat(lon: Double, lat: Double, order: Int): Long = {
+    val n = 1 << order
+    val x = math.min(n - 1, math.max(0, math.floor((lon + 180.0) / 360.0 * n).toInt))
+    val y = math.min(n - 1, math.max(0, math.floor((90.0 - lat) / 180.0 * n).toInt))
+    xy2d(order, x, y)
+  }
+}
+
 /** Quadtree cell index over plain lon/lat (EPSG:4326) space.
   *
   * Plays the role H3/S2 plays in the north star: a deterministic,

@@ -225,6 +225,22 @@ case class QuadkeyExpr(first: Expression, second: Expression, third: Expression)
     copy(first = f, second = s, third = t)
 }
 
+/** hilbert_code(lon, lat, order) → long curve distance (spatial-sort key,
+  * apps/gdalalg_vector_sort.cpp:40 hilbert method). */
+case class HilbertCode(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(DoubleType, DoubleType, IntegerType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hilbert_code"
+  override protected def nullSafeEval(lon: Any, lat: Any, order: Any): Any =
+    graft.core.Hilbert.ofLonLat(lon.asInstanceOf[Double], lat.asInstanceOf[Double], order.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lon, lat, o) => s"graft.core.Hilbert.ofLonLat($lon, $lat, $o)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): HilbertCode =
+    copy(first = f, second = s, third = t)
+}
+
 /** Non-codegen helpers with primitive-friendly signatures. */
 object GeoExprHelpers {
   import org.apache.spark.sql.catalyst.util.GenericArrayData

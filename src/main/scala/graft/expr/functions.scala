@@ -70,6 +70,9 @@ object functions {
 
   def merc_xy(lon: Column, lat: Column): Column = toCol(MercXY(toExpr(lon), toExpr(lat)))
 
+  def hilbert_code(lon: Column, lat: Column, order: Int): Column =
+    toCol(HilbertCode(toExpr(lon), toExpr(lat), org.apache.spark.sql.catalyst.expressions.Literal(order)))
+
   def tile_xy(lon: Column, lat: Column, z: Int): Column =
     toCol(TileXY(toExpr(lon), toExpr(lat), org.apache.spark.sql.catalyst.expressions.Literal(z)))
 
@@ -310,7 +313,9 @@ object GraftExtensions {
     "pansharpen_profile" -> ((info("pansharpen_profile", "pansharpen_profile(bytes, fmt, w, h) - weighted-Brovey fusion metrics"),
       (e: Seq[Expression]) => PansharpenProfile(e))),
     "rgb_to_palette" -> ((info("rgb_to_palette", "rgb_to_palette(bytes, fmt, w, h, nColors) - median-cut + dither"),
-      (e: Seq[Expression]) => RgbToPalette(e))))
+      (e: Seq[Expression]) => RgbToPalette(e))),
+    "hilbert_code" -> ((info("hilbert_code", "hilbert_code(lon, lat, order) - locality-sort curve distance"),
+      (e: Seq[Expression]) => HilbertCode(e(0), e(1), e(2)))))
 
   /** Imperative registration for sessions built without extensions. */
   def register(spark: SparkSession): Unit =
