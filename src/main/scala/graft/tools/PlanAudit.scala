@@ -11,7 +11,9 @@ object PlanAudit {
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = graft.Bench.buildSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     val names = Seq("q05_filter_pred", "q02_groupby_agg", "q07_join_inner",
-      "q22_pip_join", "q44_cosine_topk", "q16_events_window")
+      "q22_pip_join", "q44_cosine_topk", "q16_events_window",
+      "q61_layer_intersection", "q64_dissolve", "q67_zonal_full",
+      "q70_grid_nearest", "q50_ann_lsh")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       val df = graft.SparkEntry.queries(n)(spark, sf)
