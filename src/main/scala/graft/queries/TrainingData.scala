@@ -126,12 +126,82 @@ object TrainingData {
         .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
     }, None),
 
+    // language ID is pure token/stopword counting — fully re-derived in
+    // SQL (tokens = whitespace split; score = stopword hits; tie → CJK
+    // share first, then max score with lexicographic tiebreak)
     ("q49_lang_id", (s: SparkSession, dir: String) => {
       docs(s, dir).select(col("doc_id"), col("lang").as("lang_labeled"),
-        lang_id(col("text")).as("lang_pred"),
+        lang_id(col("text")).as("lang_pred"))
+    }, Some {
+      val profiles = Map(
+        "en" -> Seq("the", "of", "and", "to", "in", "is", "it", "that", "for", "on", "with", "as", "at", "this"),
+        "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu", "den", "von", "für"),
+        "fr" -> Seq("le", "la", "les", "et", "est", "une", "un", "des", "du", "pour", "dans", "que", "pas"),
+        "es" -> Seq("el", "la", "los", "las", "y", "es", "una", "un", "de", "en", "que", "por", "para", "no"))
+      val scoreSelects = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+        val inList = words.map(w => s"'$w'").mkString(", ")
+        s"SELECT doc_id, '$lang' AS lang, len(list_filter(ts, x -> x IN ($inList))) AS score FROM toks"
+      }.mkString("\n        UNION ALL ")
+      s"""
+      WITH toks AS (
+        SELECT doc_id, lang AS lang_labeled, text,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ts
+        FROM documents),
+      scores AS (
+        $scoreSelects),
+      best AS (
+        SELECT doc_id, lang, score,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+        FROM scores)
+      SELECT t.doc_id, t.lang_labeled,
+        CASE
+          WHEN (length(t.text) - length(regexp_replace(t.text, '[\\x{4e00}-\\x{9fff}]', '', 'g'))) * 4
+               >= length(t.text) THEN 'zh'
+          WHEN len(t.ts) = 0 OR b.score = 0 THEN 'und'
+          ELSE b.lang
+        END AS lang_pred
+      FROM toks t JOIN best b ON t.doc_id = b.doc_id AND b.rn = 1"""
+    }),
+
+    // document fingerprinting + simhash (rolling/hash internals — not
+    // SQL-expressible; specs pin determinism and order sensitivity)
+    ("q52_fingerprints", (s: SparkSession, dir: String) => {
+      docs(s, dir).select(col("doc_id"),
         doc_fingerprint(col("text")).as("fingerprint"),
         simhash64(col("text")).as("simhash"))
     }, None),
+
+    // exact 3-gram Jaccard over a DETERMINISTIC pair list (consecutive
+    // doc ids) — the verify kernel itself under the oracle (distinct
+    // char-trigram set overlap re-derived in SQL)
+    ("q53_jaccard_oracle", (s: SparkSession, dir: String) => {
+      val d = docs(s, dir).filter(length(col("text")) >= 3)
+      val pairs = d.select(col("doc_id").as("id_a"))
+        .join(d.select(col("doc_id").as("id_b")), col("id_b") === col("id_a") + 1)
+      Dedup.jaccardVerify(pairs, docs(s, dir), shingle = 3)
+        .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
+    }, Some("""
+      WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 3),
+      tri AS (
+        SELECT DISTINCT doc_id, substr(text, i, 3) AS g
+        FROM d, LATERAL (SELECT unnest(generate_series(1, length(text) - 2)) AS i)),
+      sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM d a JOIN d b ON b.doc_id = a.doc_id + 1),
+      ov AS (
+        SELECT p.id_a, p.id_b, count(*) AS inter
+        FROM pairs p
+        JOIN tri ta ON ta.doc_id = p.id_a
+        JOIN tri tb ON tb.doc_id = p.id_b AND tb.g = ta.g
+        GROUP BY p.id_a, p.id_b)
+      SELECT p.id_a, p.id_b,
+        CAST(coalesce(o.inter, 0) AS INT) AS inter,
+        CAST(sa.n + sb.n - coalesce(o.inter, 0) AS INT) AS uni
+      FROM pairs p
+      JOIN sizes sa ON sa.doc_id = p.id_a
+      JOIN sizes sb ON sb.doc_id = p.id_b
+      LEFT JOIN ov o ON o.id_a = p.id_a AND o.id_b = p.id_b""")),
 
     ("q50_ann_lsh", (s: SparkSession, dir: String) => {
       val e = emb(s, dir)
