@@ -28,6 +28,12 @@ object Utm {
     7.0 * n2 / 3.0 - 8.0 * n3 / 5.0,
     56.0 * n3 / 15.0)
 
+  /** Series constants exposed so the oracle SQL is GENERATED from the
+    * same values (structural parity with `inverse`). */
+  private[graft] def kA: Double = k0 * A
+  private[graft] def betaCoeffs: Array[Double] = beta
+  private[graft] def deltaCoeffs: Array[Double] = delta
+
   @inline def zoneOf(srid: Int): Int = srid % 100
   @inline def isNorth(srid: Int): Boolean = srid / 100 == 326
   @inline def isUtm(srid: Int): Boolean = { val p = srid / 100; p == 326 || p == 327 }

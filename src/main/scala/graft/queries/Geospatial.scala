@@ -764,17 +764,83 @@ object Geospatial {
           col("pal.n_colors"), col("pal.idx_checksum"), col("pal.mean_err"))
     }, None),
 
-    // UTM footprint branch (CRS series not SQL-expressible)
+    // UTM footprint branch: the Karney inverse series is MIRRORED in SQL
+    // (coefficients emitted from core.Utm's own values; sinh/cosh spelled
+    // as exp forms), compared after floor-quantization at 1e4 whose
+    // quantum exceeds any cross-engine transcendental drift by ~10⁵×
     ("q34_footprint_utm", (s: SparkSession, dir: String) => {
       Fixtures.imagesFromParts(s, dir)
         .filter(col("srid") =!= 4326)
         .withColumn("env", footprint(col("gt"), col("w"), col("h"), col("srid")))
         .select(col("key"), col("srid"),
-          floor(col("env")(0) * 1e6).cast("bigint").as("minx_u"),
-          floor(col("env")(1) * 1e6).cast("bigint").as("miny_u"),
-          floor(col("env")(2) * 1e6).cast("bigint").as("maxx_u"),
-          floor(col("env")(3) * 1e6).cast("bigint").as("maxy_u"))
-    }, None)
+          floor(col("env")(0) * 1e4).cast("bigint").as("minx_u"),
+          floor(col("env")(1) * 1e4).cast("bigint").as("miny_u"),
+          floor(col("env")(2) * 1e4).cast("bigint").as("maxx_u"),
+          floor(col("env")(3) * 1e4).cast("bigint").as("maxy_u"))
+    }, Some {
+      def lit17(d: Double) = f"CAST($d%.17g AS DOUBLE)"
+      val kA = lit17(graft.core.Utm.kA)
+      val b = graft.core.Utm.betaCoeffs.map(lit17)
+      val d = graft.core.Utm.deltaCoeffs.map(lit17)
+      def ch(v: String) = s"((exp($v) + exp(-($v))) / 2.0)"
+      def sh(v: String) = s"((exp($v) - exp(-($v))) / 2.0)"
+      s"""
+      WITH uimg AS (
+        SELECT p_partkey AS key,
+          CASE (p_partkey % 4) WHEN 1 THEN 20 ELSE 256 END AS sz,
+          (CAST(300000.0 AS DOUBLE) + ((p_partkey % 401) * CAST(500.0 AS DOUBLE))) AS e0,
+          (CAST(3600000.0 AS DOUBLE) + ((p_partkey % 397) * CAST(500.0 AS DOUBLE))) AS n0,
+          (CAST(30.0 AS DOUBLE) + ((p_partkey % 7) * CAST(15.0 AS DOUBLE))) AS res,
+          CASE WHEN (((p_partkey - (p_partkey % 8)) / 8) % 2) = 0 THEN 32611 ELSE 32631 END AS srid
+        FROM part WHERE (p_partkey % 8) = 1),
+      ubox AS (
+        SELECT key, srid, e0 AS bminx, (n0 + (sz * (-(res)))) AS bminy,
+               (e0 + (sz * res)) AS bmaxx, n0 AS bmaxy
+        FROM uimg),
+      sm AS (SELECT key, srid, bminx, bminy, bmaxx, bmaxy,
+                    unnest(generate_series(0, 8)) AS i FROM ubox),
+      pts4 AS (
+        SELECT key, srid, bminx, bminy, bmaxx, bmaxy,
+               (bminx + ((CAST(i AS DOUBLE) / 8.0) * (bmaxx - bminx))) AS sx,
+               (bminy + ((CAST(i AS DOUBLE) / 8.0) * (bmaxy - bminy))) AS sy
+        FROM sm),
+      samp AS (
+        SELECT key, srid, sx AS x, bminy AS y FROM pts4
+        UNION ALL SELECT key, srid, sx, bmaxy FROM pts4
+        UNION ALL SELECT key, srid, bminx, sy FROM pts4
+        UNION ALL SELECT key, srid, bmaxx, sy FROM pts4),
+      s1 AS (
+        SELECT key, srid,
+               (y / $kA) AS xi, ((x - CAST(500000.0 AS DOUBLE)) / $kA) AS eta
+        FROM samp),
+      s2 AS (
+        SELECT key, srid,
+          (((xi - (${b(0)} * (sin(2.0 * xi) * ${ch("2.0 * eta")})))
+              - (${b(1)} * (sin(4.0 * xi) * ${ch("4.0 * eta")})))
+              - (${b(2)} * (sin(6.0 * xi) * ${ch("6.0 * eta")}))) AS xip,
+          (((eta - (${b(0)} * (cos(2.0 * xi) * ${sh("2.0 * eta")})))
+              - (${b(1)} * (cos(4.0 * xi) * ${sh("4.0 * eta")})))
+              - (${b(2)} * (cos(6.0 * xi) * ${sh("6.0 * eta")}))) AS etap
+        FROM s1),
+      s3 AS (
+        SELECT key, srid, xip, etap,
+               asin(sin(xip) / ${ch("etap")}) AS chi
+        FROM s2),
+      s4 AS (
+        SELECT key, srid,
+          ((CASE srid WHEN 32611 THEN -117.0 ELSE 3.0 END)
+            + ((atan2(${sh("etap")}, cos(xip)) * 180.0) / pi())) AS lon,
+          (((((chi + (${d(0)} * sin(2.0 * chi)))
+               + (${d(1)} * sin(4.0 * chi)))
+               + (${d(2)} * sin(6.0 * chi))) * 180.0) / pi()) AS lat
+        FROM s3)
+      SELECT key, CAST(srid AS INT) AS srid,
+        CAST(floor(min(lon) * 10000.0) AS BIGINT) AS minx_u,
+        CAST(floor(min(lat) * 10000.0) AS BIGINT) AS miny_u,
+        CAST(floor(max(lon) * 10000.0) AS BIGINT) AS maxx_u,
+        CAST(floor(max(lat) * 10000.0) AS BIGINT) AS maxy_u
+      FROM s4 GROUP BY key, srid"""
+    })
   )
 
   /** Flagship pipeline: decode→footprint→cells→PIP-join→tile-assign →
