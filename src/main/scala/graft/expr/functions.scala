@@ -197,10 +197,12 @@ object functions {
   * spark.sql.extensions=graft.expr.GraftExtensions. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     registry.foreach { case (name, (info, builder)) =>
       ext.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ => graft.sql.CellJoinRule())
+  }
 }
 
 object GraftExtensions {
@@ -318,9 +320,13 @@ object GraftExtensions {
       (e: Seq[Expression]) => HilbertCode(e(0), e(1), e(2)))))
 
   /** Imperative registration for sessions built without extensions. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     registry.foreach { case (name, (info, builder)) =>
       spark.sessionState.functionRegistry.registerFunction(
         org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
     }
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[graft.sql.CellJoinRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.sql.CellJoinRule()
+  }
 }

@@ -58,12 +58,14 @@ object Knn {
       .select(col("t_id"), col("p_id"), col("dist2"), col("rank"))
 
     var frontier = targets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var frontierN = frontier.count()
+    // -1 = unknown (skip the up-front count; round 1 runs unconditionally
+    // and the per-round count doubles as the loop-exit check)
+    var frontierN = -1L
     var resolvedParts = List.empty[DataFrame]
     var toUnpersist = List.empty[DataFrame]
     var r = 1
     var round = 0
-    while (round < maxRounds && frontierN > 0 && r < fullCoverR) {
+    while (round < maxRounds && frontierN != 0 && r < fullCoverR) {
       val cand = candidatesAt(frontier, r)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       toUnpersist ::= cand
@@ -87,7 +89,7 @@ object Knn {
       round += 1
     }
     // exactness backstop: whatever is left gets the whole grid in one round
-    if (frontierN > 0) resolvedParts ::= candidatesAt(frontier, fullCoverR)
+    if (frontierN != 0) resolvedParts ::= candidatesAt(frontier, fullCoverR)
     val all = resolvedParts.reduceOption(_ union _)
       .getOrElse(spark.emptyDataFrame)
     // materialization note: cand persists stay referenced by `all`'s plan;
