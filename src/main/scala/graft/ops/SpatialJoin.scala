@@ -67,6 +67,42 @@ object SpatialJoin {
       .drop("__cell", "__salt")
   }
 
+  /** Broadcast-indexed PIP join: the polygon side is collected, bulk-
+    * loaded into a packed STR R-tree (core.StrTree — the per-partition
+    * local-index plan of SURVEY §4: coarse cells globally, fine R-tree
+    * locally), broadcast, and each point partition probes the tree then
+    * refines exactly. No shuffle AT ALL on the point side — the
+    * alternative physical plan to pipJoin when the polygon side fits in
+    * memory (dims, region tables); semantics identical. */
+  def pipJoinIndexed(points: DataFrame, polys: DataFrame,
+                     lonCol: String = "lon", latCol: String = "lat",
+                     wkbCol: String = "wkb"): DataFrame = {
+    val spark = points.sparkSession
+    val polyRows = polys.collect()
+    val wkbIdx = polys.schema.fieldIndex(wkbCol)
+    val envs = polyRows.map { r =>
+      val (a, b, c, d) = graft.core.Wkb.envelope(r.getAs[Array[Byte]](wkbIdx))
+      (a, b, c, d)
+    }
+    val treeBc = spark.sparkContext.broadcast(
+      (graft.core.StrTree.build(envs), polyRows))
+    val outSchema = org.apache.spark.sql.types.StructType(points.schema ++ polys.schema)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val lonIdx = points.schema.fieldIndex(lonCol)
+    val latIdx = points.schema.fieldIndex(latCol)
+    val wkbIdxLocal = wkbIdx
+    points.mapPartitions { it =>
+      val (tree, rows) = treeBc.value
+      it.flatMap { p =>
+        val lon = p.getDouble(lonIdx)
+        val lat = p.getDouble(latIdx)
+        tree.queryPoint(lon, lat).iterator
+          .filter(i => graft.core.Pip.contains(rows(i).getAs[Array[Byte]](wkbIdxLocal), lon, lat))
+          .map(i => org.apache.spark.sql.Row.merge(p, rows(i)))
+      }
+    }(enc)
+  }
+
   /** Spatial semi-join: rows of `lefts` whose point falls in ANY polygon
     * (Clip §2.3); anti = rows in none (Erase §2.3). */
   def pipSemi(points: DataFrame, polys: DataFrame, level: Int = 7,
