@@ -566,6 +566,71 @@ object Warp {
     Raster(dw, dh, out)
   }
 
+  /** 2× lanczos overview (gcore/overview.cpp convolution path semantics:
+    * the kernel is SCALED by the ratio for downsampling — taps weighted
+    * lanczos(d/2) over a 12-tap support per axis, weight-normalized,
+    * separable). */
+  def downsample2xLanczos(r: Raster): Raster = {
+    val dw = (r.w + 1) / 2
+    val dh = (r.h + 1) / 2
+    @inline def lanczos(x: Double): Double = {
+      if (x == 0.0) 1.0
+      else if (math.abs(x) >= 3.0) 0.0
+      else {
+        val px = math.Pi * x
+        (math.sin(px) * math.sin(px / 3.0)) / (px * (px / 3.0))
+      }
+    }
+    val out = Array.fill(r.nBands)(new Array[Int](dw * dh))
+    // separable: horizontal pass into a temp, then vertical
+    val tmp = Array.ofDim[Double](r.h, dw)
+    var b = 0
+    while (b < r.nBands) {
+      val band = r.bands(b)
+      var y = 0
+      while (y < r.h) {
+        var x = 0
+        while (x < dw) {
+          val sc = 2 * x + 1.0 - 0.5 // dst center in src pixel-index space
+          var acc = 0.0; var wsum = 0.0
+          var i = math.max(0, math.ceil(sc - 6.0).toInt)
+          val iMax = math.min(r.w - 1, math.floor(sc + 6.0).toInt)
+          while (i <= iMax) {
+            val w = lanczos((i - sc) / 2.0)
+            acc += w * band(y * r.w + i)
+            wsum += w
+            i += 1
+          }
+          tmp(y)(x) = acc / wsum
+          x += 1
+        }
+        y += 1
+      }
+      var oy = 0
+      while (oy < dh) {
+        val sc = 2 * oy + 1.0 - 0.5
+        var x = 0
+        while (x < dw) {
+          var acc = 0.0; var wsum = 0.0
+          var j = math.max(0, math.ceil(sc - 6.0).toInt)
+          val jMax = math.min(r.h - 1, math.floor(sc + 6.0).toInt)
+          while (j <= jMax) {
+            val w = lanczos((j - sc) / 2.0)
+            acc += w * tmp(j)(x)
+            wsum += w
+            j += 1
+          }
+          val v = math.floor(acc / wsum + 0.5).toInt
+          out(b)(oy * dw + x) = if (v < 0) 0 else if (v > 255) 255 else v
+          x += 1
+        }
+        oy += 1
+      }
+      b += 1
+    }
+    Raster(dw, dh, out)
+  }
+
   /** 2× mode overview (gcore/overview.cpp Mode): most frequent value of
     * each 2×2 block, ties to the value first reaching the max count in
     * row-major order. */

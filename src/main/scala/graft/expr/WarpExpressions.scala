@@ -171,6 +171,7 @@ case class ImageProfile(children: Seq[Expression]) extends Expression with Expec
     StructField("pmin", IntegerType, nullable = false),
     StructField("pmax", IntegerType, nullable = false),
     StructField("mean", DoubleType, nullable = false),
+    StructField("stdev", DoubleType, nullable = false),
     StructField("checksums", ArrayType(IntegerType, containsNull = false), nullable = false),
     StructField("phash", LongType, nullable = false)))
   override def nullable: Boolean = true
@@ -182,18 +183,24 @@ case class ImageProfile(children: Seq[Expression]) extends Expression with Expec
     val r = ImageCodec.decode(vals(0).asInstanceOf[Array[Byte]], vals(1).toString,
       vals(2).asInstanceOf[Int], vals(3).asInstanceOf[Int])
     val b0 = r.bands(0)
-    var mn = Int.MaxValue; var mx = Int.MinValue; var sum = 0L
+    var mn = Int.MaxValue; var mx = Int.MinValue; var sum = 0L; var sum2 = 0L
     var i = 0
     while (i < b0.length) {
       val v = b0(i)
       if (v < mn) mn = v
       if (v > mx) mx = v
       sum += v
+      sum2 += v.toLong * v
       i += 1
     }
+    val nd = b0.length.toDouble
+    val mean = sum.toDouble / nd
+    // population stdev from exact int sums, fixed IEEE op order (the
+    // ComputeStatistics stddev analog; oracle mirrors this sequence)
+    val stdev = math.sqrt((sum2.toDouble / nd) - (mean * mean))
     val cks = r.bands.map(b => GdalChecksum.ofInts(b, r.w, r.h))
     org.apache.spark.sql.catalyst.InternalRow(
-      r.nBands, mn, mx, sum.toDouble / b0.length,
+      r.nBands, mn, mx, mean, stdev,
       new GenericArrayData(cks), GeoKernels.phashOfRaster(r))
   }
 

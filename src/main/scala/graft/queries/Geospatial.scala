@@ -354,6 +354,7 @@ object Geospatial {
           col("p.pmin").as("pmin"),
           col("p.pmax").as("pmax"),
           col("p.mean").as("mean"),
+          col("p.stdev").as("stdev"),
           col("p.checksums")(0).as("checksum_b0"))
     }, Some(s"""
       WITH $PixCte
@@ -362,6 +363,9 @@ object Geospatial {
         CAST(CASE WHEN (key % 2) = 0 THEN 1 ELSE 3 END AS INT) AS nbands,
         CAST(min(v) AS INT) AS pmin, CAST(max(v) AS INT) AS pmax,
         (CAST(sum(v) AS DOUBLE) / CAST(CAST(sz AS BIGINT) * sz AS DOUBLE)) AS mean,
+        sqrt((CAST(sum(CAST(v AS BIGINT) * v) AS DOUBLE) / CAST(CAST(sz AS BIGINT) * sz AS DOUBLE))
+             - ((CAST(sum(v) AS DOUBLE) / CAST(CAST(sz AS BIGINT) * sz AS DOUBLE))
+                * (CAST(sum(v) AS DOUBLE) / CAST(CAST(sz AS BIGINT) * sz AS DOUBLE)))) AS stdev,
         ${checksumSql("v")} AS checksum_b0
       FROM pv GROUP BY key, sz""")),
 

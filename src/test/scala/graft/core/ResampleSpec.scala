@@ -108,6 +108,19 @@ class ResampleSpec extends AnyFunSuite {
     assert(m.bands(0).toSeq == Seq(5, 2, 9, 4))
   }
 
+  test("lanczos overview: constant preserved, 2:1 ramp reproduced within 1") {
+    val c = Warp.downsample2xLanczos(const(16, 16, 77))
+    assert(c.bands(0).forall(_ == 77))
+    val r = Raster(16, 16, Array(Array.tabulate(256)(i => (i % 16) * 8)))
+    val d = Warp.downsample2xLanczos(r)
+    // dst pixel x covers src [2x, 2x+2): ideal value = ramp at center
+    for (y <- 1 until 7; x <- 1 until 7) {
+      val ideal = (2 * x + 0.5) * 8
+      val diff = math.abs(d.bands(0)(y * 8 + x) - ideal)
+      assert(diff <= 1.0, s"lanczos overview at ($x,$y): $diff")
+    }
+  }
+
   test("edge-clipped gauss window renormalizes (no darkening at borders)") {
     val r = ramp(9, 9) // odd size forces clipped windows at right/bottom
     val g = Warp.downsample2xGauss(r)
