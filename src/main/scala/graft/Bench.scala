@@ -15,7 +15,9 @@ object Bench {
     "q24_crs_3857", "q25_knn", "q26_grid_metrics", "q27_tile_pyramid_counts",
     "q28_rasterize_count", "q30_image_stats", "q31_tile_pyramid",
     "q35_focal_dem", "q36_sample_at", "q38_contour",
-    "q40_dedup_exact", "q44_cosine_topk", "q46_minhash_lsh", "q50_ann_lsh")
+    "q40_dedup_exact", "q44_cosine_topk", "q46_minhash_lsh", "q50_ann_lsh",
+    // round-2 operator families
+    "q61_layer_intersection", "q64_dissolve", "q67_zonal_full", "q70_grid_nearest")
 
   def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()

@@ -62,13 +62,11 @@ object Knn {
     // and the per-round count doubles as the loop-exit check)
     var frontierN = -1L
     var resolvedParts = List.empty[DataFrame]
-    var toUnpersist = List.empty[DataFrame]
     var r = 1
     var round = 0
     while (round < maxRounds && frontierN != 0 && r < fullCoverR) {
       val cand = candidatesAt(frontier, r)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      toUnpersist ::= cand
       // every point OUTSIDE ring r is ≥ r·cellH away (its cell is ≥ r+1
       // cells from the target's cell; worst case both sit on the facing
       // boundaries). STRICT < keeps equal-distance outside ties safe.
