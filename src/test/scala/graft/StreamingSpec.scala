@@ -33,6 +33,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark drops late data in append mode") {
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("graft_late").toString
+    def write(name: String, rows: Seq[(Long, String, Long, String, Double, String)]): Unit =
+      rows.map { case (id, ts, uid, et, v, p) => (id, Timestamp.valueOf(ts), uid, et, v, p) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+
+    // batch 1: one event at 10:15 and one at 13:00 → watermark advances
+    // to 11:00, closing (and emitting) the 10:00 window
+    write("b1", Seq(
+      (1L, "2024-01-01 10:15:00", 1L, "click", 1.0, ""),
+      (2L, "2024-01-01 13:00:00", 1L, "click", 1.0, "")))
+    val stream = spark.readStream.schema(Streams.EventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = Streams.hourlyCounts(stream).writeStream
+      .outputMode("append").format("memory").queryName("late_out").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a LATE event for the closed 10:00 window → must be dropped
+      write("b2", Seq(
+        (3L, "2024-01-01 10:30:00", 2L, "click", 1.0, ""),
+        (4L, "2024-01-01 16:00:00", 2L, "click", 1.0, "")))
+      q.processAllAvailable()
+      val out = spark.table("late_out")
+        .as[(Long, String, Long, Long)].collect()
+      val tenOClock = Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000
+      val tenRows = out.filter(_._1 == tenOClock)
+      assert(tenRows.length == 1, "closed window emitted exactly once")
+      assert(tenRows.head._3 == 1L, "late event did not join the closed window")
+    } finally q.stop()
+  }
+
   test("stateful sessionize final state equals the batch window computation") {
     val dir = eventsDir
     val stream = spark.readStream.schema(Streams.EventSchema)
