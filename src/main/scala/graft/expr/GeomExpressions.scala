@@ -221,6 +221,38 @@ case class StMakeBox(first: Expression, second: Expression, third: Expression, f
     copy(first = f, second = s, third = t, fourth = q)
 }
 
+/** st_intersects(a, b) → boolean — the canonical OGR predicate
+  * (ogrgeometry.cpp Intersects :575): envelope fast-path then exact
+  * (min-distance == 0 covers crossing, touching, and containment). */
+case class StIntersects(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_intersects"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeomKernels.intersects(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.GeomKernels.intersects($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StIntersects =
+    copy(left = l, right = r)
+}
+
+/** st_disjoint(a, b) = NOT st_intersects (ogrgeometry Disjoint :6009). */
+case class StDisjoint(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_disjoint"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    !GeomKernels.intersects(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"(!graft.expr.GeomKernels.intersects($a, $b))")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StDisjoint =
+    copy(left = l, right = r)
+}
+
 /** st_make_point(x, y) → point WKB. */
 case class StMakePoint(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
@@ -289,6 +321,16 @@ case class StArea2Q(left: Expression, right: Expression)
 
 /** Static kernels for codegen call sites. */
 object GeomKernels {
+  /** Exact intersects via envelope reject + min-distance == 0 (covers
+    * crossing, touching, and either-way containment; holes honored by
+    * the even-odd containment test inside distance). */
+  def intersects(a: Array[Byte], b: Array[Byte]): Boolean = {
+    val (ax0, ay0, ax1, ay1) = graft.core.Wkb.envelope(a)
+    val (bx0, by0, bx1, by1) = graft.core.Wkb.envelope(b)
+    if (!graft.core.Pip.bboxIntersects(ax0, ay0, ax1, ay1, bx0, by0, bx1, by1)) false
+    else GeomOps.distance(a, b) == 0.0
+  }
+
   def centroidArr(wkb: Array[Byte]): ArrayData = {
     val (cx, cy) = GeomOps.centroid(wkb)
     new GenericArrayData(Array(cx, cy))

@@ -157,6 +157,8 @@ object functions {
   def st_centroid(wkb: Column): Column = toCol(StCentroid(toExpr(wkb)))
   def st_num_points(wkb: Column): Column = toCol(StNumPoints(toExpr(wkb)))
   def st_distance(a: Column, b: Column): Column = toCol(StDistance(toExpr(a), toExpr(b)))
+  def st_intersects(a: Column, b: Column): Column = toCol(StIntersects(toExpr(a), toExpr(b)))
+  def st_disjoint(a: Column, b: Column): Column = toCol(StDisjoint(toExpr(a), toExpr(b)))
   def st_convexhull(wkb: Column): Column = toCol(StConvexHull(toExpr(wkb)))
   def st_intersection(subject: Column, convexClip: Column): Column =
     toCol(StIntersection(toExpr(subject), toExpr(convexClip)))
@@ -317,7 +319,11 @@ object GraftExtensions {
     "rgb_to_palette" -> ((info("rgb_to_palette", "rgb_to_palette(bytes, fmt, w, h, nColors) - median-cut + dither"),
       (e: Seq[Expression]) => RgbToPalette(e))),
     "hilbert_code" -> ((info("hilbert_code", "hilbert_code(lon, lat, order) - locality-sort curve distance"),
-      (e: Seq[Expression]) => HilbertCode(e(0), e(1), e(2)))))
+      (e: Seq[Expression]) => HilbertCode(e(0), e(1), e(2)))),
+    "st_intersects" -> ((info("st_intersects", "st_intersects(a, b) - exact geometry intersects"),
+      (e: Seq[Expression]) => StIntersects(e(0), e(1)))),
+    "st_disjoint" -> ((info("st_disjoint", "st_disjoint(a, b)"),
+      (e: Seq[Expression]) => StDisjoint(e(0), e(1)))))
 
   /** Imperative registration for sessions built without extensions. */
   def register(spark: SparkSession): Unit = {

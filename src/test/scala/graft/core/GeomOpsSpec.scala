@@ -180,6 +180,24 @@ class GeomOpsSpec extends AnyFunSuite {
     assert(math.abs(rt._1 - -117.25) < 1e-8 && math.abs(rt._2 - 33.75) < 1e-8)
   }
 
+  test("st_intersects covers crossing, touching, containment, holes") {
+    import graft.expr.GeomKernels.intersects
+    val big = Wkb.writeBox(0, 0, 10, 10)
+    assert(intersects(big, Wkb.writeBox(5, 5, 15, 15))) // overlap
+    assert(intersects(big, Wkb.writeBox(10, 0, 20, 10))) // shared edge
+    assert(intersects(big, Wkb.writeBox(3, 3, 4, 4))) // contained
+    assert(intersects(Wkb.writeBox(3, 3, 4, 4), big)) // container (swapped)
+    assert(!intersects(big, Wkb.writeBox(20, 20, 30, 30))) // disjoint
+    assert(intersects(big, Wkb.writePoint(5, 5)) && !intersects(big, Wkb.writePoint(50, 5)))
+    // a box inside a donut's hole does NOT intersect
+    val donut = Wkb.writePolygon(Array(
+      Array(0.0, 0, 20, 0, 20, 20, 0, 20, 0, 0),
+      Array(5.0, 5, 15, 5, 15, 15, 5, 15, 5, 5)))
+    assert(!intersects(donut, Wkb.writeBox(8, 8, 12, 12)))
+    assert(intersects(donut, Wkb.writeBox(1, 1, 3, 3)))
+    assert(intersects(donut, Wkb.writeBox(8, 8, 30, 12))) // spans hole + ring
+  }
+
   test("numPoints counts all vertices incl. closing") {
     assert(GeomOps.numPoints(Wkb.writeBox(0, 0, 1, 1)) == 5)
     assert(GeomOps.numPoints(Wkb.writePoint(1, 2)) == 1)
