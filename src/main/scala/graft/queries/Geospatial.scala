@@ -652,7 +652,13 @@ object Geospatial {
         SELECT DISTINCT CAST(c_nationkey AS INT) AS nk FROM customer
         EXCEPT SELECT DISTINCT CAST(s_nationkey AS INT) AS nk FROM supplier)""")),
 
-    // §2.8 contour: marching-squares iso-lines per image
+    // §2.8 contour: marching-squares iso-lines per image. Fully oracle-
+    // checked via level-set TOPOLOGY: in a simply-connected raster with
+    // hole-free threshold classes (the stripe pattern; Euler==union-find
+    // verified over the key range), the class-adjacency graph is a tree,
+    // so lines-per-image = C(v<L) + C(v≥L) − 1 with components from the
+    // Euler counts; points = marching-squares segments (mixed cells 1,
+    // diagonal saddles 2) + open lines; stripes never close a ring.
     ("q38_contour", (s: SparkSession, dir: String) => {
       Fixtures.imagesFromParts(s, dir)
         .filter(col("w") <= 64 && col("fmt") =!= "jpeg")
@@ -662,7 +668,38 @@ object Geospatial {
         .agg(count(lit(1)).as("n_lines"),
           sum(col("c.n_points").cast("bigint")).as("n_points"),
           sum(when(col("c.closed"), 1L).otherwise(0L)).as("n_closed"))
-    }, None),
+    }, Some {
+      def pv(dx: Int, dy: Int) = s"(((px + (${dx})) * 7 + (py + (${dy})) * 13 + (key * 31)) % 256)"
+      def b(dx: Int, dy: Int) = s"(${pv(dx, dy)} < l.level)"
+      def nb(dx: Int, dy: Int) = s"(NOT ${b(dx, dy)})"
+      def cnt(cond: String) = s"CAST(sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT)"
+      def euler(m: (Int, Int) => String) =
+        Seq(
+          cnt(m(0, 0)),
+          cnt(s"px < sz - 1 AND ${m(0, 0)} AND ${m(1, 0)}"),
+          cnt(s"py < sz - 1 AND ${m(0, 0)} AND ${m(0, 1)}"),
+          cnt(s"px < sz - 1 AND py < sz - 1 AND ${m(0, 0)} AND ${m(1, 0)} AND ${m(0, 1)} AND ${m(1, 1)}"))
+      val Seq(bc, bh, bv, bq) = euler(b)
+      val Seq(ac, ah, av, aq) = euler(nb)
+      val n4 = s"((CASE WHEN ${b(0, 0)} THEN 1 ELSE 0 END + CASE WHEN ${b(1, 0)} THEN 1 ELSE 0 END)" +
+        s" + (CASE WHEN ${b(0, 1)} THEN 1 ELSE 0 END + CASE WHEN ${b(1, 1)} THEN 1 ELSE 0 END))"
+      val segs = s"""CAST(sum(CASE WHEN px < sz - 1 AND py < sz - 1 THEN
+          (CASE WHEN $n4 IN (1, 3) THEN 1
+                WHEN $n4 = 2 AND (${b(0, 0)}) = (${b(1, 1)}) THEN 2
+                WHEN $n4 = 2 THEN 1 ELSE 0 END) ELSE 0 END) AS BIGINT)"""
+      s"""
+      WITH $PixCte,
+      lv AS (SELECT unnest([CAST(64.0 AS DOUBLE), CAST(128.0 AS DOUBLE), CAST(192.0 AS DOUBLE)]) AS level),
+      cc AS (
+        SELECT key, l.level AS level,
+               (($bc - $bh - $bv + $bq) + ($ac - $ah - $av + $aq)) - 1 AS lines_img,
+               $segs AS segs_img
+        FROM ppx, lv l GROUP BY key, sz, l.level)
+      SELECT level, CAST(sum(lines_img) AS BIGINT) AS n_lines,
+             CAST(sum(segs_img + lines_img) AS BIGINT) AS n_points,
+             CAST(0 AS BIGINT) AS n_closed
+      FROM cc GROUP BY level"""
+    }),
 
     // §2.5 focal/DEM derivatives per image (hillshade/slope/roughness) —
     // ONE fused decode via focal_multi (transcendental outputs → rows-only;
