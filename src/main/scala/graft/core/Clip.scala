@@ -5,21 +5,20 @@ package graft.core
   * SymDifference/Identity/Update/Clip/Erase, ogr/ogrsf_frmts/generic/
   * ogrlayer.cpp:5385-7900 — there implemented via GEOS overlays).
   *
-  * This engine implements the overlay family for CONVEX clip geometries
-  * (which covers the engine's operating surface: region boxes, tile
-  * boxes, envelopes, convex hulls):
-  *  - intersection(subject, convexClip): Sutherland–Hodgman against each
-  *    clip edge; subject may be any polygon/multipolygon incl. holes.
-  *  - difference(subject, convexClip): exact decomposition into the
+  * The overlay family is built from CONVEX primitives and generalized to
+  * arbitrary simple polygons by ear-clipping decomposition
+  * (core.Triangulate — a clip geometry splits into disjoint convex
+  * pieces, so every case below reduces to convex operations exactly):
+  *  - intersection(subject, clip): Sutherland–Hodgman against each convex
+  *    piece's edges; subject may be any polygon/multipolygon incl. holes.
+  *  - difference(subject, clip): per piece, the exact decomposition into
   *    progressive half-plane pieces  piece_i = S ∩ H₁ ∩ … ∩ H_{i−1} ∩ H_iᶜ
   *    (the complement of a convex region is the disjoint union of those
-  *    pieces), each piece produced by the same half-plane clipper.
-  *  - unionAll(convex polygons): maintained as a list of DISJOINT convex
-  *    pieces — each new polygon contributes (new − already-covered), so
+  *    pieces), applied sequentially over the clip pieces.
+  *  - unionAll(polygons): maintained as a list of DISJOINT convex
+  *    pieces — each new piece contributes (new − already-covered), so
   *    total area is exactly additive.
-  * Non-convex CLIP geometries are rejected (subjects may be anything);
-  * the fixtures and the tiling/zonal surface only ever clip by convex
-  * shapes. Axis-aligned clip edges place intersection coordinates EXACTLY
+  * Axis-aligned clip edges place intersection coordinates EXACTLY
   * (x or y copied from the clip line, no parametric rounding), so
   * box-clip results carry bit-exact coordinates into oracle comparisons.
   */
@@ -44,7 +43,11 @@ object Clip {
         // parametric t along the subject segment where it crosses the line
         val dx = x1 - x0; val dy = y1 - y0
         val denom = dx * (by - ay) - dy * (bx - ax)
-        val t = ((ax - x0) * dy - (ay - y0) * dx) / denom
+        val t0 = ((ax - x0) * dy - (ay - y0) * dx) / denom
+        // degenerate (near-collinear) crossing: rounding can classify a
+        // collinear segment's endpoints on opposite sides with denom≈0 —
+        // any point of the segment is on the line; take the midpoint
+        val t = if (java.lang.Double.isFinite(t0)) math.max(0.0, math.min(1.0, t0)) else 0.5
         (ax + t * (bx - ax), ay + t * (by - ay))
       }
     }
@@ -71,21 +74,48 @@ object Clip {
       i += 1
     }
     if (out.length < 6) return Array.empty
-    // close + drop consecutive duplicates
+    // close + drop NEAR-duplicate consecutive points: crossing points are
+    // recomputed parametrically and can differ from an original vertex in
+    // the last bits — exact-equality dedup would leave a micro-edge whose
+    // half-plane later clips everything (observed live); tolerance is
+    // relative to the coordinate magnitude
+    var magn = 0.0
+    var q = 0
+    while (q < out.length) {
+      val v = math.abs(out(q)); if (v > magn) magn = v
+      q += 1
+    }
+    val tol2 = {
+      val t = 1e-9 * math.max(magn, 1e-300)
+      t * t
+    }
+    @inline def near(x0: Double, y0: Double, x1: Double, y1: Double): Boolean = {
+      val dx = x1 - x0; val dy = y1 - y0
+      dx * dx + dy * dy <= tol2
+    }
     val dedup = new scala.collection.mutable.ArrayBuffer[Double](out.length + 2)
     var k = 0
     while (k < out.length) {
       val x = out(k); val y = out(k + 1)
-      if (dedup.isEmpty || dedup(dedup.length - 2) != x || dedup.last != y) dedup += x += y
+      if (dedup.isEmpty || !near(dedup(dedup.length - 2), dedup.last, x, y)) dedup += x += y
       k += 2
     }
-    if (dedup.length >= 4 && dedup(0) == dedup(dedup.length - 2) && dedup(1) == dedup.last) {
+    while (dedup.length >= 4 && near(dedup(0), dedup(1), dedup(dedup.length - 2), dedup.last)) {
       dedup.remove(dedup.length - 2, 2)
     }
     if (dedup.length < 6) return Array.empty
     dedup += dedup(0) += dedup(1)
     val arr = dedup.toArray
-    if (GeomOps.ringArea(arr) == 0.0) Array.empty else arr
+    // drop rounding slivers, not just exact-zero rings: fp crossings can
+    // leave pieces of area ~1e-13·coord² that explode downstream piece
+    // lists (union/difference are piecewise over these)
+    var maxAbs = 0.0
+    var m = 0
+    while (m < arr.length) {
+      val a = math.abs(arr(m)); if (a > maxAbs) maxAbs = a
+      m += 1
+    }
+    if (GeomOps.ringArea(arr) <= 1e-12 * maxAbs * maxAbs) Array.empty else arr
   }
 
   /** Ring orientation: true = counter-clockwise (signed area > 0). */
@@ -94,6 +124,15 @@ object Clip {
   def isConvexRing(ring: Array[Double]): Boolean = {
     val n = ring.length / 2 - 1
     if (n < 3) return false
+    // relative tolerance: clipped rings carry rounding-level cross
+    // products at corners created by intersection; treat them as straight
+    var maxAbs = 0.0
+    var k = 0
+    while (k < ring.length) {
+      val a = math.abs(ring(k)); if (a > maxAbs) maxAbs = a
+      k += 1
+    }
+    val tol = 1e-12 * maxAbs * maxAbs
     var sign = 0
     var i = 0
     while (i < n) {
@@ -101,7 +140,7 @@ object Clip {
       val x1 = ring(2 * ((i + 1) % n)); val y1 = ring(2 * ((i + 1) % n) + 1)
       val x2 = ring(2 * ((i + 2) % n)); val y2 = ring(2 * ((i + 2) % n) + 1)
       val c = (x1 - x0) * (y2 - y1) - (y1 - y0) * (x2 - x1)
-      if (c != 0.0) {
+      if (math.abs(c) > tol) {
         val s = if (c > 0) 1 else -1
         if (sign == 0) sign = s
         else if (s != sign) return false
@@ -111,12 +150,26 @@ object Clip {
     true
   }
 
-  /** Clip edges (interior-left) of a convex ring, normalized to CCW. */
+  /** Clip edges (interior-left) of a convex ring, normalized to CCW;
+    * degenerate micro-edges (length ~ rounding noise relative to the
+    * coordinate magnitude) are dropped — their half-plane direction is
+    * numerically random and would clip arbitrarily. */
   def convexEdges(ring: Array[Double]): Array[Edge] = {
     require(isConvexRing(ring), "clip geometry must be convex")
     val ccw = if (isCcw(ring)) ring else reverseRing(ring)
     val n = ccw.length / 2 - 1
+    var magn = 0.0
+    var i = 0
+    while (i < ccw.length) {
+      val v = math.abs(ccw(i)); if (v > magn) magn = v
+      i += 1
+    }
+    val tol2 = { val t = 1e-9 * math.max(magn, 1e-300); t * t }
     Array.tabulate(n)(i => Edge(ccw(2 * i), ccw(2 * i + 1), ccw(2 * i + 2), ccw(2 * i + 3)))
+      .filter { e =>
+        val dx = e.x1 - e.x0; val dy = e.y1 - e.y0
+        dx * dx + dy * dy > tol2
+      }
   }
 
   def reverseRing(ring: Array[Double]): Array[Double] = {
@@ -146,29 +199,40 @@ object Clip {
     Some(Wkb.Polygon(Array(outer) ++ holes))
   }
 
-  private def clipRingOfWkb(wkb: Array[Byte]): Array[Double] = {
-    val g = Wkb.read(wkb)
-    require(g.geomType == Wkb.PolygonType || (g.geomType == Wkb.MultiPolygonType && g.polygons.length == 1),
-      "clip geometry must be a single polygon")
-    require(g.polygons(0).rings.length == 1, "clip geometry must be hole-free")
-    g.polygons(0).rings(0)
-  }
+  /** Clip geometry → disjoint convex rings: a single convex hole-free
+    * polygon passes through; anything else (concave, holes, multi-part)
+    * decomposes via ear-clipping triangulation (Triangulate.convexPieces),
+    * making every overlay below fully general for simple polygons. */
+  private def clipPiecesOfWkb(wkb: Array[Byte]): Array[Array[Double]] =
+    Triangulate.convexPieces(wkb)
 
-  /** subject ∩ convexClip → Some(polygon|multipolygon WKB) or None (empty). */
+  /** subject ∩ clip → Some(polygon|multipolygon WKB) or None (empty).
+    * Clip may be any simple polygon/multipolygon (incl. holes): its
+    * disjoint convex pieces each clip the subject, and the piece results
+    * concatenate exactly. */
   def intersection(subjectWkb: Array[Byte], clipWkb: Array[Byte]): Option[Array[Byte]] = {
-    val edges = convexEdges(clipRingOfWkb(clipWkb))
     val subject = Wkb.read(subjectWkb)
-    val parts = subject.polygons.flatMap(clipPolygon(_, edges))
+    val parts = clipPiecesOfWkb(clipWkb).flatMap { piece =>
+      val edges = convexEdges(piece)
+      subject.polygons.flatMap(clipPolygon(_, edges))
+    }
     packParts(parts)
   }
 
-  /** subject − convexClip → Some(multipolygon WKB of the progressive
-    * half-plane pieces) or None (fully erased). */
+  /** subject − clip → Some(multipolygon WKB) or None (fully erased);
+    * clip generality as in intersection (sequential subtraction of its
+    * convex pieces). */
   def difference(subjectWkb: Array[Byte], clipWkb: Array[Byte]): Option[Array[Byte]] = {
-    val edges = convexEdges(clipRingOfWkb(clipWkb))
     val subject = Wkb.read(subjectWkb)
-    val pieces = subject.polygons.flatMap(differencePolygon(_, edges))
-    packParts(pieces)
+    var cur = subject.polygons
+    val pieces = clipPiecesOfWkb(clipWkb)
+    var i = 0
+    while (i < pieces.length && cur.nonEmpty) {
+      val edges = convexEdges(pieces(i))
+      cur = cur.flatMap(differencePolygon(_, edges))
+      i += 1
+    }
+    packParts(cur)
   }
 
   /** One polygon minus the convex region bounded by `edges`. */
@@ -185,15 +249,13 @@ object Clip {
     out.toArray
   }
 
-  /** Union of convex hole-free polygons as a list of disjoint convex
-    * pieces; exact additive area. */
+  /** Union of arbitrary simple polygons (decomposed to convex pieces) as
+    * a list of disjoint convex pieces; exact additive area. */
   def unionAll(wkbs: Iterable[Array[Byte]]): Option[Array[Byte]] = {
     val pieces = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
     wkbs.foreach { w =>
-      val g = Wkb.read(w)
-      g.polygons.foreach { p =>
-        require(p.rings.length == 1, "union: inputs must be hole-free")
-        var fresh = List(p.rings(0))
+      Triangulate.convexPieces(w).foreach { ring =>
+        var fresh = List(ring)
         // subtract every piece already in the union
         pieces.foreach { existing =>
           val exEdges = convexEdges(existing)
@@ -207,7 +269,7 @@ object Clip {
     else Some(Wkb.writeMultiPolygon(pieces.map(r => Array(r)).toArray))
   }
 
-  /** Total area of a union of convex hole-free polygons (no geometry
+  /** Total area of a union of simple polygons (no geometry
     * materialization). */
   def unionArea(wkbs: Iterable[Array[Byte]]): Double =
     unionAll(wkbs).map(GeomOps.area).getOrElse(0.0)

@@ -173,8 +173,9 @@ case class StTransform(first: Expression, second: Expression, third: Expression)
     copy(first = f, second = s, third = t)
 }
 
-/** st_union_agg: typed Aggregator dissolving convex hole-free polygons into
-  * a disjoint-piece multipolygon (gdalalg_vector_dissolve.cpp semantics:
+/** st_union_agg: typed Aggregator dissolving simple polygons (convex or
+  * not; ear-clip decomposed) into a disjoint-piece multipolygon
+  * (gdalalg_vector_dissolve.cpp semantics:
   * GROUP BY field + union of geometries). The buffer carries the running
   * disjoint decomposition so partial aggregation (map-side combine) works
   * and the result is partitioning-order invariant in AREA (piece layout
