@@ -349,4 +349,141 @@ object GeomOps {
     }
     out
   }
+
+  // ---- geometry ETL steps (apps/gdalalg_vector_* one file per op) ----
+
+  /** swap_xy (gdalalg_vector_swap_xy semantics): exchange coordinates. */
+  def swapXY(wkb: Array[Byte]): Array[Byte] =
+    mapCoords(wkb, (x, y) => (y, x))
+
+  private def mapCoords(wkb: Array[Byte], f: (Double, Double) => (Double, Double)): Array[Byte] = {
+    val g = Wkb.read(wkb)
+    g.geomType match {
+      case Wkb.PointType =>
+        val (x, y) = f(g.points(0), g.points(1)); Wkb.writePoint(x, y)
+      case Wkb.LineStringType =>
+        val out = new Array[Double](g.points.length)
+        var i = 0
+        while (i < g.points.length) {
+          val (x, y) = f(g.points(i), g.points(i + 1)); out(i) = x; out(i + 1) = y; i += 2
+        }
+        val bb = java.nio.ByteBuffer.allocate(9 + 8 * out.length).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put(1: Byte).putInt(Wkb.LineStringType).putInt(out.length / 2)
+        out.foreach(bb.putDouble)
+        bb.array()
+      case Wkb.PolygonType => Wkb.writePolygon(g.polygons(0).rings.map(transformRing(_, f)))
+      case Wkb.MultiPolygonType => Wkb.writeMultiPolygon(g.polygons.map(_.rings.map(transformRing(_, f))))
+      case other => throw new IllegalArgumentException(s"unsupported type $other")
+    }
+  }
+
+  /** segmentize (gdalalg_vector_segmentize / OGRGeometry::segmentize
+    * semantics): insert vertices so no segment exceeds maxLen; each
+    * segment of length L splits into ceil(L/maxLen) equal parts. */
+  def segmentize(wkb: Array[Byte], maxLen: Double): Array[Byte] = {
+    require(maxLen > 0, "segmentize: maxLen must be positive")
+    def seg(path: Array[Double]): Array[Double] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var i = 0
+      while (i < path.length - 2) {
+        val x0 = path(i); val y0 = path(i + 1)
+        val x1 = path(i + 2); val y1 = path(i + 3)
+        val len = math.sqrt((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0))
+        val parts = math.max(1, math.ceil(len / maxLen).toInt)
+        var p = 0
+        while (p < parts) {
+          val t = p.toDouble / parts
+          out += x0 + t * (x1 - x0) += y0 + t * (y1 - y0)
+          p += 1
+        }
+        i += 2
+      }
+      out += path(path.length - 2) += path(path.length - 1)
+      out.toArray
+    }
+    val g = Wkb.read(wkb)
+    g.geomType match {
+      case Wkb.PointType => wkb
+      case Wkb.LineStringType =>
+        val out = seg(g.points)
+        val bb = java.nio.ByteBuffer.allocate(9 + 8 * out.length).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put(1: Byte).putInt(Wkb.LineStringType).putInt(out.length / 2)
+        out.foreach(bb.putDouble)
+        bb.array()
+      case Wkb.PolygonType => Wkb.writePolygon(g.polygons(0).rings.map(seg))
+      case Wkb.MultiPolygonType => Wkb.writeMultiPolygon(g.polygons.map(_.rings.map(seg)))
+      case other => throw new IllegalArgumentException(s"unsupported type $other")
+    }
+  }
+
+  /** Douglas–Peucker simplification (gdalalg_vector_simplify / OGR
+    * SimplifyPreserveTopology's moral: drop vertices within `tolerance`
+    * of the chord). Rings keep ≥ 4 points (triangle + close). */
+  def simplify(wkb: Array[Byte], tolerance: Double): Array[Byte] = {
+    def dp(path: Array[Double], closed: Boolean): Array[Double] = {
+      val n = path.length / 2
+      if (n <= (if (closed) 4 else 2)) return path
+      val keep = new Array[Boolean](n)
+      keep(0) = true; keep(n - 1) = true
+      def rec(i0: Int, i1: Int): Unit = {
+        if (i1 - i0 < 2) return
+        var worst = -1.0
+        var wIdx = -1
+        var i = i0 + 1
+        while (i < i1) {
+          val d2 = pointSegD2(path(2 * i), path(2 * i + 1),
+            path(2 * i0), path(2 * i0 + 1), path(2 * i1), path(2 * i1 + 1))
+          if (d2 > worst) { worst = d2; wIdx = i }
+          i += 1
+        }
+        if (worst > tolerance * tolerance) {
+          keep(wIdx) = true
+          rec(i0, wIdx); rec(wIdx, i1)
+        }
+      }
+      if (closed) {
+        // anchor a second point (farthest from start) so a ring can't
+        // collapse to its chord
+        var far = 1; var fd = -1.0
+        var i = 1
+        while (i < n - 1) {
+          val dx = path(2 * i) - path(0); val dy = path(2 * i + 1) - path(1)
+          if (dx * dx + dy * dy > fd) { fd = dx * dx + dy * dy; far = i }
+          i += 1
+        }
+        keep(far) = true
+        rec(0, far); rec(far, n - 1)
+      } else rec(0, n - 1)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var k = 0
+      while (k < n) {
+        if (keep(k)) { out += path(2 * k) += path(2 * k + 1) }
+        k += 1
+      }
+      out.toArray
+    }
+    val g = Wkb.read(wkb)
+    g.geomType match {
+      case Wkb.PointType => wkb
+      case Wkb.LineStringType =>
+        val out = dp(g.points, closed = false)
+        val bb = java.nio.ByteBuffer.allocate(9 + 8 * out.length).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put(1: Byte).putInt(Wkb.LineStringType).putInt(out.length / 2)
+        out.foreach(bb.putDouble)
+        bb.array()
+      case Wkb.PolygonType => Wkb.writePolygon(g.polygons(0).rings.map(dp(_, closed = true)))
+      case Wkb.MultiPolygonType => Wkb.writeMultiPolygon(g.polygons.map(_.rings.map(dp(_, closed = true))))
+      case other => throw new IllegalArgumentException(s"unsupported type $other")
+    }
+  }
+
+  /** explode_collections (gdalalg_vector_explode_collections): one WKB
+    * per part; single geometries pass through as one element. */
+  def dump(wkb: Array[Byte]): Array[Array[Byte]] = {
+    val g = Wkb.read(wkb)
+    g.geomType match {
+      case Wkb.MultiPolygonType => g.polygons.map(p => Wkb.writePolygon(p.rings))
+      case _ => Array(wkb)
+    }
+  }
 }

@@ -254,6 +254,65 @@ case class StDisjoint(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** st_swap_xy(wkb) → WKB with coordinates exchanged
+  * (gdalalg_vector_swap_xy). */
+case class StSwapXY(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_swap_xy"
+  override protected def nullSafeEval(wkb: Any): Any = GeomOps.swapXY(wkb.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, w => s"graft.core.GeomOps.swapXY($w)")
+  override protected def withNewChildInternal(c: Expression): StSwapXY = copy(child = c)
+}
+
+/** st_segmentize(wkb, maxLen) → WKB with every segment ≤ maxLen
+  * (gdalalg_vector_segmentize). */
+case class StSegmentize(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_segmentize"
+  override protected def nullSafeEval(wkb: Any, m: Any): Any =
+    GeomOps.segmentize(wkb.asInstanceOf[Array[Byte]], m.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, m) => s"graft.core.GeomOps.segmentize($w, $m)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StSegmentize =
+    copy(left = l, right = r)
+}
+
+/** st_simplify(wkb, tolerance) → Douglas–Peucker simplified WKB
+  * (gdalalg_vector_simplify). */
+case class StSimplify(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_simplify"
+  override protected def nullSafeEval(wkb: Any, t: Any): Any =
+    GeomOps.simplify(wkb.asInstanceOf[Array[Byte]], t.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, t) => s"graft.core.GeomOps.simplify($w, $t)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StSimplify =
+    copy(left = l, right = r)
+}
+
+/** st_dump(wkb) → array<binary> of the parts (explode_collections). */
+case class StDump(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_dump"
+  override protected def nullSafeEval(wkb: Any): Any =
+    new GenericArrayData(GeomOps.dump(wkb.asInstanceOf[Array[Byte]]).asInstanceOf[Array[Any]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, w =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData((Object[]) graft.core.GeomOps.dump($w))")
+  override protected def withNewChildInternal(c: Expression): StDump = copy(child = c)
+}
+
 /** st_make_point(x, y) → point WKB. */
 case class StMakePoint(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {

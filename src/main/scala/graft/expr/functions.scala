@@ -175,6 +175,12 @@ object functions {
     toCol(StArea2Q(toExpr(wkb), toExpr(scale)))
   def st_make_point(x: Column, y: Column): Column =
     toCol(StMakePoint(toExpr(x), toExpr(y)))
+  def st_swap_xy(wkb: Column): Column = toCol(StSwapXY(toExpr(wkb)))
+  def st_segmentize(wkb: Column, maxLen: Column): Column =
+    toCol(StSegmentize(toExpr(wkb), toExpr(maxLen)))
+  def st_simplify(wkb: Column, tolerance: Column): Column =
+    toCol(StSimplify(toExpr(wkb), toExpr(tolerance)))
+  def st_dump(wkb: Column): Column = toCol(StDump(toExpr(wkb)))
 
   /** Dissolve aggregate: union of convex hole-free polygons per group. */
   def st_union_agg(wkb: Column): Column =
@@ -323,7 +329,15 @@ object GraftExtensions {
     "st_intersects" -> ((info("st_intersects", "st_intersects(a, b) - exact geometry intersects"),
       (e: Seq[Expression]) => StIntersects(e(0), e(1)))),
     "st_disjoint" -> ((info("st_disjoint", "st_disjoint(a, b)"),
-      (e: Seq[Expression]) => StDisjoint(e(0), e(1)))))
+      (e: Seq[Expression]) => StDisjoint(e(0), e(1)))),
+    "st_swap_xy" -> ((info("st_swap_xy", "st_swap_xy(wkb)"),
+      (e: Seq[Expression]) => StSwapXY(e(0)))),
+    "st_segmentize" -> ((info("st_segmentize", "st_segmentize(wkb, maxLen)"),
+      (e: Seq[Expression]) => StSegmentize(e(0), e(1)))),
+    "st_simplify" -> ((info("st_simplify", "st_simplify(wkb, tolerance) - Douglas-Peucker"),
+      (e: Seq[Expression]) => StSimplify(e(0), e(1)))),
+    "st_dump" -> ((info("st_dump", "st_dump(wkb) - array of parts"),
+      (e: Seq[Expression]) => StDump(e(0)))))
 
   /** Imperative registration for sessions built without extensions. */
   def register(spark: SparkSession): Unit = {

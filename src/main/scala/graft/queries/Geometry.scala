@@ -180,6 +180,30 @@ object Geometry {
         CAST(floor(6378137.0 * ln(tan((pi() / 4.0) + ((maxy * (pi() / 180.0)) / 2.0)))) AS BIGINT) AS my1
       FROM boxes""")),
 
+    // §2.8 geometry ETL steps: swap_xy (exact coordinate copies),
+    // segmentize (vertex count closed-form: ceil(L/maxLen) parts per
+    // edge), simplify (Douglas–Peucker drops the inserted collinear
+    // vertices, restoring the 5-point box with area intact)
+    ("q84_geom_etl", (s: SparkSession, dir: String) => {
+      Fixtures.regionBoxes(s, dir)
+        .withColumn("sw", st_env(st_swap_xy(col("wkb"))))
+        .withColumn("seg", st_segmentize(col("wkb"), lit(5.0)))
+        .withColumn("simp", st_simplify(col("seg"), lit(1e-9)))
+        .select(col("region_id"),
+          col("sw")(0).as("sminx"), col("sw")(1).as("sminy"),
+          col("sw")(2).as("smaxx"), col("sw")(3).as("smaxy"),
+          st_num_points(col("seg")).as("seg_npts"),
+          st_num_points(col("simp")).as("simp_npts"),
+          st_area2_q(col("simp"), lit(1e6)).as("simp_area2q"))
+    }, Some(s"""
+      WITH $BoxCte
+      SELECT region_id,
+        miny AS sminx, minx AS sminy, maxy AS smaxx, maxx AS smaxy,
+        CAST((2 * ceil((maxx - minx) / 5.0)) + (2 * ceil((maxy - miny) / 5.0)) + 1 AS INT) AS seg_npts,
+        5 AS simp_npts,
+        ((${q("maxx")} - ${q("minx")}) * (${q("maxy")} - ${q("miny")})) * 2 AS simp_area2q
+      FROM boxes""")),
+
     // §2.7 ConvexHull: hull of each horizontally-adjacent region-box pair
     // (same-row boxes ⇒ hull is their bounding rectangle, closed-form)
     ("q66_convexhull", (s: SparkSession, dir: String) => {

@@ -198,6 +198,32 @@ class GeomOpsSpec extends AnyFunSuite {
     assert(intersects(donut, Wkb.writeBox(8, 8, 30, 12))) // spans hole + ring
   }
 
+  test("geometry ETL: swap_xy, segmentize, simplify, dump") {
+    val box = Wkb.writeBox(1, 2, 11, 6)
+    assert(Wkb.envelope(GeomOps.swapXY(box)) == ((2.0, 1.0, 6.0, 11.0)))
+    // segmentize: edges 10 and 4 at maxLen 3 → 4 + 2 parts per edge
+    val seg = GeomOps.segmentize(box, 3.0)
+    assert(GeomOps.numPoints(seg) == 2 * 4 + 2 * 2 + 1)
+    assert(math.abs(GeomOps.area(seg) - 40.0) < Eps)
+    // simplify drops the collinear inserted points again
+    val simp = GeomOps.simplify(seg, 1e-9)
+    assert(GeomOps.numPoints(simp) == 5)
+    assert(math.abs(GeomOps.area(simp) - 40.0) < Eps)
+    // simplify keeps genuinely bent shapes within tolerance
+    val zig = Wkb.writePolygon(Array(Array(
+      0.0, 0, 5, 0.05, 10, 0, 10, 10, 0, 10, 0, 0)))
+    assert(GeomOps.numPoints(GeomOps.simplify(zig, 0.1)) == 5) // bump flattened
+    assert(GeomOps.numPoints(GeomOps.simplify(zig, 0.01)) == 6) // bump kept
+    // dump explodes multipolygons
+    val mp = Wkb.writeMultiPolygon(Array(
+      Array(Array(0.0, 0, 1, 0, 1, 1, 0, 1, 0, 0)),
+      Array(Array(5.0, 5, 6, 5, 6, 6, 5, 6, 5, 5))))
+    val parts = GeomOps.dump(mp)
+    assert(parts.length == 2)
+    assert(parts.map(GeomOps.area).sum == 2.0)
+    assert(GeomOps.dump(box).length == 1)
+  }
+
   test("numPoints counts all vertices incl. closing") {
     assert(GeomOps.numPoints(Wkb.writeBox(0, 0, 1, 1)) == 5)
     assert(GeomOps.numPoints(Wkb.writePoint(1, 2)) == 1)
