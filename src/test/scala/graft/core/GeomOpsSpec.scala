@@ -224,6 +224,44 @@ class GeomOpsSpec extends AnyFunSuite {
     assert(GeomOps.dump(box).length == 1)
   }
 
+  test("full OGR predicate set: within/contains/overlaps/touches/crosses/equals") {
+    import graft.expr.GeomKernels.predicate
+    val big = Wkb.writeBox(0, 0, 10, 10)
+    val small = Wkb.writeBox(2, 2, 5, 5)
+    val half = Wkb.writeBox(5, 0, 15, 10)
+    val adjacent = Wkb.writeBox(10, 0, 20, 10)
+    val far = Wkb.writeBox(30, 30, 40, 40)
+    assert(predicate("within", small, big) && !predicate("within", big, small))
+    assert(predicate("contains", big, small) && !predicate("contains", small, big))
+    assert(predicate("within", big, big) && predicate("equals", big, big))
+    assert(!predicate("equals", big, small))
+    assert(predicate("overlaps", big, half) && !predicate("overlaps", big, small))
+    assert(!predicate("overlaps", big, adjacent) && !predicate("overlaps", big, far))
+    assert(predicate("touches", big, adjacent) && !predicate("touches", big, half))
+    assert(!predicate("touches", big, far))
+    // point on boundary touches; interior point does not
+    assert(predicate("touches", Wkb.writePoint(10, 5), big))
+    assert(!predicate("touches", Wkb.writePoint(5, 5), big))
+    // line crossing the box vs line inside vs line outside
+    def line(pts: (Double, Double)*): Array[Byte] = {
+      val c = pts.flatMap(p => Seq(p._1, p._2)).toArray
+      val bb = java.nio.ByteBuffer.allocate(9 + 8 * c.length).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(1: Byte).putInt(Wkb.LineStringType).putInt(c.length / 2)
+      c.foreach(bb.putDouble)
+      bb.array()
+    }
+    assert(predicate("crosses", line((-5.0, 5.0), (5.0, 5.0)), big))
+    assert(!predicate("crosses", line((1.0, 1.0), (9.0, 9.0)), big))
+    assert(!predicate("crosses", line((-5.0, -5.0), (-1.0, -1.0)), big))
+    assert(!predicate("crosses", big, small)) // areal×areal never crosses
+    // within honors holes: a box inside the donut's hole is NOT within
+    val donut = Wkb.writePolygon(Array(
+      Array(0.0, 0, 20, 0, 20, 20, 0, 20, 0, 0),
+      Array(8.0, 8, 12, 8, 12, 12, 8, 12, 8, 8)))
+    assert(!predicate("within", Wkb.writeBox(9, 9, 11, 11), donut))
+    assert(predicate("within", Wkb.writeBox(1, 1, 5, 5), donut))
+  }
+
   test("numPoints counts all vertices incl. closing") {
     assert(GeomOps.numPoints(Wkb.writeBox(0, 0, 1, 1)) == 5)
     assert(GeomOps.numPoints(Wkb.writePoint(1, 2)) == 1)
