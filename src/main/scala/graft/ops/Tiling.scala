@@ -106,14 +106,20 @@ object Tiling {
   }
 
   /** Full pyramid zmax→zmin: base tiles once, then iterative 2×2 reduce.
-    * Returns the union of all zoom levels (tile, n_images, buf). Caller
-    * should checkpoint/persist each level in long pipelines. */
+    * Returns the union of all zoom levels (tile, n_images, buf).
+    *
+    * Every level is PERSISTED: the result unions all levels and each
+    * overview derives from the previous one, so without persistence the
+    * base-tile warp would recompute once per union branch (measured ~3×
+    * on the pyramid query). Long pipelines should still checkpoint
+    * levels through pipeline.Pipeline for resumability. */
   def pyramid(images: DataFrame, zmin: Int, zmax: Int, kernel: String = "near"): DataFrame = {
-    var level = baseTiles(images, zmax, kernel)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var level = baseTiles(images, zmax, kernel).persist(lvl)
     var acc = level
     var z = zmax
     while (z > zmin) {
-      level = overviewStep(level)
+      level = overviewStep(level).persist(lvl)
       acc = acc.union(level)
       z -= 1
     }
