@@ -81,6 +81,7 @@ object Bench {
       val t0 = System.nanoTime()
       val ok = try { qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case _: Throwable => false }
+        finally graft.pipeline.Caches.release()
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val benchN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "8000").toLong

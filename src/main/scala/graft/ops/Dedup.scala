@@ -56,10 +56,15 @@ object Dedup {
                         maxBucket: Int = 100000): DataFrame = {
     val rows = k / bands
     val sig = docs.select(col(idCol).as("id"), minhash_sig(col(textCol), k, shingle).as("sig"))
-    val banded = sig.select(col("id"), posexplode(
+    // PERSIST the banded signatures: they are consumed by the cap's
+    // groupBy, the cap's join probe, AND both sides of the self-join —
+    // without the cache Spark recomputes every doc's minhash ~4×, and at
+    // scale signature computation dominates dedup cost. Released by the
+    // harness via pipeline.Caches.release() after materialization.
+    val banded = graft.pipeline.Caches.persist(sig.select(col("id"), posexplode(
       // hash each band's slice to one long key
       expr(s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b*$rows + 1, $rows)))")
-    ).as(Seq("band", "bkey")))
+    ).as(Seq("band", "bkey"))))
     val capped = capBuckets(banded, maxBucket)
     capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
@@ -87,8 +92,9 @@ object Dedup {
       val mask = if (len >= 64) -1L else (1L << len) - 1
       expr(s"(sh >> $s) & ${mask}L")
     }
-    val chunked = sh.select(col("id"), col("sh"),
-      posexplode(array(chunkExprs: _*)).as(Seq("band", "bkey")))
+    // persist for the same 4-consumer reason as minhashCandidates
+    val chunked = graft.pipeline.Caches.persist(sh.select(col("id"), col("sh"),
+      posexplode(array(chunkExprs: _*)).as(Seq("band", "bkey"))))
     val capped = capBuckets(chunked, maxBucket)
     capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")

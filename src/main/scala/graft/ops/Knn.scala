@@ -40,9 +40,8 @@ object Knn {
               maxRounds: Int = 8): DataFrame = {
     val spark = targets.sparkSession
     val cellH = 180.0 / (1 << level) // min cell dimension in degrees
-    val pts = points
-      .withColumn("__cell", cell_of(col("p_lon"), col("p_lat"), level))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pts = graft.pipeline.Caches.persist(points
+      .withColumn("__cell", cell_of(col("p_lon"), col("p_lat"), level)))
     val w = Window.partitionBy(col("t_id")).orderBy(col("dist2"), col("p_id"))
     val fullCoverR = 1 << level
 
@@ -57,7 +56,7 @@ object Knn {
       .filter(col("rank") <= k)
       .select(col("t_id"), col("p_id"), col("dist2"), col("rank"))
 
-    var frontier = targets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var frontier = graft.pipeline.Caches.persist(targets)
     // -1 = unknown (skip the up-front count; round 1 runs unconditionally
     // and the per-round count doubles as the loop-exit check)
     var frontierN = -1L
@@ -65,8 +64,7 @@ object Knn {
     var r = 1
     var round = 0
     while (round < maxRounds && frontierN != 0 && r < fullCoverR) {
-      val cand = candidatesAt(frontier, r)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = graft.pipeline.Caches.persist(candidatesAt(frontier, r))
       // every point OUTSIDE ring r is ≥ r·cellH away (its cell is ≥ r+1
       // cells from the target's cell; worst case both sit on the facing
       // boundaries). STRICT < keeps equal-distance outside ties safe.
@@ -78,10 +76,10 @@ object Knn {
       resolvedParts ::= cand.join(resolvedIds, Seq("t_id"), "left_semi")
       // rename to dodge self-join attribute ambiguity (cand derives from frontier)
       val rid = resolvedIds.withColumnRenamed("t_id", "__rt_id")
-      val next = frontier.join(rid, col("t_id") === col("__rt_id"), "left_anti")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val next = graft.pipeline.Caches.persist(
+        frontier.join(rid, col("t_id") === col("__rt_id"), "left_anti"))
       frontierN = next.count()
-      frontier.unpersist()
+      graft.pipeline.Caches.drop(frontier)
       frontier = next
       r *= 2
       round += 1
@@ -90,8 +88,8 @@ object Knn {
     if (frontierN != 0) resolvedParts ::= candidatesAt(frontier, fullCoverR)
     val all = resolvedParts.reduceOption(_ union _)
       .getOrElse(spark.emptyDataFrame)
-    // materialization note: cand persists stay referenced by `all`'s plan;
-    // caller consumes promptly (the driver writes results per query)
+    // cand persists stay referenced by `all`'s plan and are tracked in
+    // pipeline.Caches — the harness releases them after materialization
     all
   }
 

@@ -76,9 +76,15 @@ object SpatialJoin {
     * memory (dims, region tables); semantics identical. */
   def pipJoinIndexed(points: DataFrame, polys: DataFrame,
                      lonCol: String = "lon", latCol: String = "lat",
-                     wkbCol: String = "wkb"): DataFrame = {
+                     wkbCol: String = "wkb", maxPolys: Int = 1000000): DataFrame = {
     val spark = points.sparkSession
-    val polyRows = polys.collect()
+    // fail fast instead of OOMing the driver on an oversized build side:
+    // collect at most maxPolys+1 rows and reject if the cap is exceeded
+    val polyRows = polys.limit(maxPolys + 1).collect()
+    require(polyRows.length <= maxPolys,
+      s"pipJoinIndexed: polygon side exceeds maxPolys=$maxPolys rows; " +
+        "it must fit in driver/executor memory to broadcast — use " +
+        "SpatialJoin.pipJoin (cell-keyed shuffle join) for large polygon layers")
     val wkbIdx = polys.schema.fieldIndex(wkbCol)
     val envs = polyRows.map { r =>
       val (a, b, c, d) = graft.core.Wkb.envelope(r.getAs[Array[Byte]](wkbIdx))

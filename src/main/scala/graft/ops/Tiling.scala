@@ -114,12 +114,11 @@ object Tiling {
     * on the pyramid query). Long pipelines should still checkpoint
     * levels through pipeline.Pipeline for resumability. */
   def pyramid(images: DataFrame, zmin: Int, zmax: Int, kernel: String = "near"): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    var level = baseTiles(images, zmax, kernel).persist(lvl)
+    var level = graft.pipeline.Caches.persist(baseTiles(images, zmax, kernel))
     var acc = level
     var z = zmax
     while (z > zmin) {
-      level = overviewStep(level).persist(lvl)
+      level = graft.pipeline.Caches.persist(overviewStep(level))
       acc = acc.union(level)
       z -= 1
     }

@@ -69,6 +69,17 @@ class TilingSpec extends AnyFunSuite {
     assert(baseSum == upSum)
   }
 
+  test("pyramid persists are tracked and released after the consumer materializes") {
+    graft.pipeline.Caches.release() // clean slate (suites share the session)
+    val images = Fixtures.imagesFromParts(spark, TestSpark.Sf).filter(col("key") % 7 === 0)
+    val pyr = Tiling.pyramid(images, 2, 4)
+    assert(pyr.count() > 0)
+    assert(graft.pipeline.Caches.tracked >= 3, "each level must be tracked")
+    val released = graft.pipeline.Caches.release()
+    assert(released >= 3)
+    assert(graft.pipeline.Caches.tracked == 0)
+  }
+
   test("single-image overview equals direct downsample of the child mosaic") {
     val base = Tiling.baseTiles(byteTwin, 11)
     val childBuf = base.select(col("buf")).as[Array[Byte]].collect()(0)

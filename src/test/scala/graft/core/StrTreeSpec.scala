@@ -60,4 +60,16 @@ class StrTreeSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"indexed join must not shuffle:\n$plan")
   }
+
+  test("indexed PIP join fails fast when the polygon side exceeds maxPolys") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val pts = Seq((1L, 0.0, 0.0)).toDF("point_id", "lon", "lat")
+    val polys = (0L until 50L).map(k =>
+      (k, Wkb.writeBox(-1.0, -1.0, 1.0, 1.0))).toDF("region_id", "wkb")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.SpatialJoin.pipJoinIndexed(pts, polys, maxPolys = 10)
+    }
+    assert(e.getMessage.contains("pipJoin"), "error must point to the shuffle-join alternative")
+  }
 }
