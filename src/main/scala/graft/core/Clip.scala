@@ -249,24 +249,84 @@ object Clip {
     out.toArray
   }
 
+  @inline private def ringEnv(ring: Array[Double]): (Double, Double, Double, Double) = {
+    var mnx = Double.MaxValue; var mny = Double.MaxValue
+    var mxx = -Double.MaxValue; var mxy = -Double.MaxValue
+    var i = 0
+    while (i < ring.length) {
+      val x = ring(i); val y = ring(i + 1)
+      if (x < mnx) mnx = x; if (x > mxx) mxx = x
+      if (y < mny) mny = y; if (y > mxy) mxy = y
+      i += 2
+    }
+    (mnx, mny, mxx, mxy)
+  }
+
+  /** Merge two internally-disjoint convex-piece sets into one disjoint
+    * set: left pieces are kept verbatim; each right piece subtracts ONLY
+    * the left pieces whose envelope intersects its own — found via a
+    * bulk-loaded STR tree (linear scan below a small cutoff). Most piece
+    * pairs in a large dissolve group are spatially disjoint, so the
+    * envelope fast path turns the former all-pairs subtraction into work
+    * proportional to true overlaps. */
+  def mergeDisjointPieces(a: Array[Array[Double]], b: Array[Array[Double]]): Array[Array[Double]] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val aEnvs = a.map(ringEnv)
+    val tree = if (a.length > 8) StrTree.build(aEnvs) else null
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    out ++= a
+    b.foreach { ring =>
+      val (mnx, mny, mxx, mxy) = ringEnv(ring)
+      val hits =
+        if (tree != null) tree.query(mnx, mny, mxx, mxy)
+        else Array.range(0, a.length).filter { i =>
+          val e = aEnvs(i)
+          Pip.bboxIntersects(e._1, e._2, e._3, e._4, mnx, mny, mxx, mxy)
+        }
+      var fresh = List(ring)
+      var h = 0
+      while (h < hits.length && fresh.nonEmpty) {
+        val exEdges = convexEdges(a(hits(h)))
+        fresh = fresh.flatMap(r =>
+          differencePolygon(Wkb.Polygon(Array(r)), exEdges).map(_.rings(0)))
+        h += 1
+      }
+      fresh.foreach(out += _)
+    }
+    out.toArray
+  }
+
+  /** Cascaded union of piece GROUPS (each group internally disjoint —
+    * e.g. one geometry's convex decomposition): pairwise tree merge, the
+    * UnionCascaded shape of the reference (ogr/ogrgeometry.cpp:5553
+    * OGRGeometryFactory::organizePolygons→UnionCascaded path — behavior
+    * only). log k levels of mergeDisjointPieces instead of subtracting
+    * every new piece against the whole accumulated list (O(k²)). */
+  def unionPieces(groups: Array[Array[Array[Double]]]): Array[Array[Double]] = {
+    if (groups.isEmpty) return Array.empty
+    var level = groups
+    while (level.length > 1) {
+      val next = new Array[Array[Array[Double]]]((level.length + 1) / 2)
+      var i = 0
+      while (2 * i < level.length) {
+        next(i) =
+          if (2 * i + 1 < level.length) mergeDisjointPieces(level(2 * i), level(2 * i + 1))
+          else level(2 * i)
+        i += 1
+      }
+      level = next
+    }
+    level(0)
+  }
+
   /** Union of arbitrary simple polygons (decomposed to convex pieces) as
     * a list of disjoint convex pieces; exact additive area. */
   def unionAll(wkbs: Iterable[Array[Byte]]): Option[Array[Byte]] = {
-    val pieces = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
-    wkbs.foreach { w =>
-      Triangulate.convexPieces(w).foreach { ring =>
-        var fresh = List(ring)
-        // subtract every piece already in the union
-        pieces.foreach { existing =>
-          val exEdges = convexEdges(existing)
-          fresh = fresh.flatMap(r =>
-            differencePolygon(Wkb.Polygon(Array(r)), exEdges).map(_.rings(0)))
-        }
-        fresh.foreach(pieces += _)
-      }
-    }
+    val groups = wkbs.iterator.map(Triangulate.convexPieces).filter(_.nonEmpty).toArray
+    val pieces = unionPieces(groups)
     if (pieces.isEmpty) None
-    else Some(Wkb.writeMultiPolygon(pieces.map(r => Array(r)).toArray))
+    else Some(Wkb.writeMultiPolygon(pieces.map(r => Array(r))))
   }
 
   /** Total area of a union of simple polygons (no geometry

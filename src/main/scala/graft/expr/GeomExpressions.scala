@@ -176,29 +176,42 @@ case class StTransform(first: Expression, second: Expression, third: Expression)
 /** st_union_agg: typed Aggregator dissolving simple polygons (convex or
   * not; ear-clip decomposed) into a disjoint-piece multipolygon
   * (gdalalg_vector_dissolve.cpp semantics:
-  * GROUP BY field + union of geometries). The buffer carries the running
-  * disjoint decomposition so partial aggregation (map-side combine) works
-  * and the result is partitioning-order invariant in AREA (piece layout
-  * may differ by merge order; area and coverage are exact). */
+  * GROUP BY field + union of geometries). reduce/merge only DECOMPOSE and
+  * CONCATENATE convex pieces (cheap, associative — map-side combine
+  * stays); the actual overlap resolution happens ONCE per group in
+  * `finish` via the cascaded STR-tree merge (Clip.unionPieces — the
+  * UnionCascaded shape), so a k-feature group costs O(k log k) envelope
+  * work instead of the former per-reduce all-pairs subtraction. Result is
+  * partitioning-order invariant in AREA (piece layout may differ by merge
+  * order; area and coverage are exact). */
 object UnionAgg extends org.apache.spark.sql.expressions.Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
   import graft.core.Wkb
-  // buffer = multipolygon WKB of current disjoint pieces; empty array = ∅
+  // buffer = multipolygon WKB of accumulated convex pieces (possibly
+  // overlapping across inputs; disjoint within one input); empty = ∅
   override def zero: Array[Byte] = Array.emptyByteArray
   override def reduce(buf: Array[Byte], geom: Array[Byte]): Array[Byte] = {
     if (geom == null || geom.isEmpty) return buf
-    if (buf.isEmpty) return normalize(geom)
-    merge(buf, normalize(geom))
+    merge(buf, decompose(geom))
   }
   override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
     if (a.isEmpty) return b
     if (b.isEmpty) return a
-    val aParts = Wkb.read(a).polygons.map(p => Wkb.writePolygon(p.rings))
-    val bParts = Wkb.read(b).polygons.map(p => Wkb.writePolygon(p.rings))
-    Clip.unionAll(aParts ++ bParts).getOrElse(Array.emptyByteArray)
+    val aParts = Wkb.read(a).polygons
+    val bParts = Wkb.read(b).polygons
+    Wkb.writeMultiPolygon((aParts ++ bParts).map(_.rings))
   }
-  override def finish(buf: Array[Byte]): Array[Byte] = if (buf.isEmpty) null else buf
-  private def normalize(geom: Array[Byte]): Array[Byte] =
-    Clip.unionAll(Seq(geom)).getOrElse(Array.emptyByteArray)
+  override def finish(buf: Array[Byte]): Array[Byte] = {
+    if (buf.isEmpty) return null
+    // each buffered piece is convex: union as single-piece groups
+    val groups = Wkb.read(buf).polygons.map(p => Array(p.rings(0)))
+    val pieces = Clip.unionPieces(groups)
+    if (pieces.isEmpty) null else Wkb.writeMultiPolygon(pieces.map(r => Array(r)))
+  }
+  private def decompose(geom: Array[Byte]): Array[Byte] = {
+    val pieces = graft.core.Triangulate.convexPieces(geom)
+    if (pieces.isEmpty) Array.emptyByteArray
+    else Wkb.writeMultiPolygon(pieces.map(r => Array(r)))
+  }
   override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
     org.apache.spark.sql.Encoders.BINARY
   override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =

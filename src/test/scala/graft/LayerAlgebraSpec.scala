@@ -113,6 +113,31 @@ class LayerAlgebraSpec extends AnyFunSuite {
     assert(math.abs(a1 - direct) < 1e-6)
   }
 
+  test("dissolve of a 10k-feature group finishes fast with exact additive area") {
+    // 10k grid boxes: 9.5k disjoint cells + 500 exact duplicates (add zero
+    // area) + 100 half-overlapping shifted boxes with closed-form overlap.
+    // Additive oracle: disjoint cells are 1×1; each shifted box adds 0.5.
+    val cells = (0 until 9500).map { i =>
+      val x = (i % 100) * 2.0; val y = (i / 100) * 2.0
+      ("g", Wkb.writeBox(x, y, x + 1.0, y + 1.0))
+    }
+    val dups = (0 until 500).map { i =>
+      val x = (i % 100) * 2.0; val y = (i / 100) * 2.0
+      ("g", Wkb.writeBox(x, y, x + 1.0, y + 1.0))
+    }
+    val shifted = (0 until 100).map { i =>
+      val x = (i % 100) * 2.0; val y = 0.0 // overlap row 0 cells by half
+      ("g", Wkb.writeBox(x + 0.5, y, x + 1.5, y + 1.0))
+    }
+    val expect = 9500.0 * 1.0 + 100 * 0.5
+    val t0 = System.nanoTime()
+    val area = LayerAlgebra.dissolve((cells ++ dups ++ shifted).toDF("g", "wkb"), Seq("g"))
+      .collect().map(r => GeomOps.area(r.getAs[Array[Byte]]("geom"))).head
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(math.abs(area - expect) < 1e-6, s"area $area != $expect")
+    assert(sec < 30.0, s"10k dissolve took $sec s — cascaded merge must keep this in seconds")
+  }
+
   test("st_intersection/st_difference usable from SQL") {
     val n = spark.sql(
       """SELECT st_area(st_intersection(st_make_box(0D, 0D, 10D, 10D),
