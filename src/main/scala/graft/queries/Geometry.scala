@@ -221,6 +221,30 @@ object Geometry {
         ((${q("b.maxx")} - ${q("a.minx")}) * (${q("a.maxy")} - ${q("a.miny")})) * 2 AS hull2q,
         5 AS npoints
       FROM boxes a JOIN boxes b ON a.region_id + 1 = b.region_id
-      WHERE a.region_id % 5 < 4"""))
+      WHERE a.region_id % 5 < 4""")),
+
+    // §2.3/§2.10 SQL-surface geometry×geometry join: a plain
+    // `JOIN ... ON st_intersects(a,b)` that the CellJoinRule optimizer
+    // rewrite turns into a cell-keyed equi-join (both-sides explode +
+    // canonical-cell dedup) — the q61 pair set and quantized areas must
+    // come back identical through the SQL path
+    ("q85_sql_intersects_join", (s: SparkSession, dir: String) => {
+      graft.expr.GraftExtensions.register(s)
+      imageBoxes(s, dir).createOrReplaceTempView("imgbox_q85")
+      regionLayer(s, dir).createOrReplaceTempView("regbox_q85")
+      s.sql(
+        """SELECT a.key AS key, b.region_id AS region_id,
+          |       st_area2_q(st_intersection(a.wkb_a, b.wkb_b), 1e6) AS iarea2q
+          |FROM imgbox_q85 a JOIN regbox_q85 b
+          |  ON st_intersects(a.wkb_a, b.wkb_b)""".stripMargin)
+        .filter(col("iarea2q") > 0)
+    }, Some(s"""
+      WITH $EnvCte, $BoxCte
+      SELECT e.key AS key, b.region_id AS region_id,
+        ((${q("least(e.amaxx, b.maxx)")} - ${q("greatest(e.aminx, b.minx)")})
+         * (${q("least(e.amaxy, b.maxy)")} - ${q("greatest(e.aminy, b.miny)")})) * 2 AS iarea2q
+      FROM env e, boxes b
+      WHERE greatest(e.aminx, b.minx) < least(e.amaxx, b.maxx)
+        AND greatest(e.aminy, b.miny) < least(e.amaxy, b.maxy)"""))
   )
 }

@@ -78,4 +78,55 @@ class CellJoinRuleSpec extends AnyFunSuite {
       .select(col("point_id")).as[Long].collect().toSet
     assert(out == Set(1L, 2L))
   }
+
+  test("st_intersects geometry×geometry join rewrites to a cell equi-join") {
+    // two polygon layers: shifted grids so some pairs intersect, some
+    // share several covering cells (canonical-cell dedup must fire)
+    val rnd = new scala.util.Random(29)
+    val layerA = (0 until 120).map { i =>
+      val x = rnd.nextDouble() * 300 - 150; val y = rnd.nextDouble() * 140 - 70
+      (i.toLong, Wkb.writeBox(x, y, x + 3 + rnd.nextDouble() * 8, y + 3 + rnd.nextDouble() * 8))
+    }.toDF("a_id", "wkb_a")
+    val layerB = (0 until 90).map { i =>
+      val x = rnd.nextDouble() * 300 - 150; val y = rnd.nextDouble() * 140 - 70
+      (i.toLong, Wkb.writeBox(x, y, x + 3 + rnd.nextDouble() * 8, y + 3 + rnd.nextDouble() * 8))
+    }.toDF("b_id", "wkb_b")
+
+    val joined = layerA.join(layerB, st_intersects(col("wkb_a"), col("wkb_b")))
+      .select(col("a_id"), col("b_id"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"geometry-pair join did not rewrite:\n$plan")
+
+    val viaRule = joined.as[(Long, Long)].collect().toList
+    // exactly-once multiplicity (the canonical-cell conjunct)
+    assert(viaRule.size == viaRule.toSet.size, "pairs must surface exactly once")
+    val viaOp = graft.ops.LayerAlgebra.pairGeoms(layerA, layerB, "a_id", "b_id", "wkb_a", "wkb_b")
+      .filter(st_intersects(col("wkb_a"), col("wkb_b")))
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+    assert(viaRule.toSet == viaOp)
+    assert(viaRule.nonEmpty)
+  }
+
+  test("SQL-surface st_intersects join gets the same rewrite") {
+    val boxesA = (0 until 30).map { i =>
+      (i.toLong, Wkb.writeBox(i * 2.0, 0.0, i * 2.0 + 3.0, 3.0))
+    }.toDF("a_id", "wkb")
+    val boxesB = (0 until 30).map { i =>
+      (i.toLong, Wkb.writeBox(i * 2.0 + 1.0, 1.0, i * 2.0 + 4.0, 4.0))
+    }.toDF("b_id", "wkb")
+    boxesA.createOrReplaceTempView("geoms_a_cjr")
+    boxesB.createOrReplaceTempView("geoms_b_cjr")
+    val df = spark.sql(
+      """SELECT a.a_id, b.b_id
+        |FROM geoms_a_cjr a JOIN geoms_b_cjr b
+        |  ON st_intersects(a.wkb, b.wkb)""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+    // each box overlaps its own-index partner and neighbors: closed form
+    // a_i = [2i, 2i+3], b_j = [2j+1, 2j+4] intersect iff 2j+1 <= 2i+3 and 2i <= 2j+4
+    val expect = (for { i <- 0 until 30; j <- 0 until 30
+                        if 2 * j + 1 <= 2 * i + 3 && 2 * i <= 2 * j + 4 } yield (i.toLong, j.toLong)).toSet
+    assert(df.as[(Long, Long)].collect().toSet == expect)
+  }
 }
