@@ -206,11 +206,113 @@ object Clip {
   private def clipPiecesOfWkb(wkb: Array[Byte]): Array[Array[Double]] =
     Triangulate.convexPieces(wkb)
 
+  @inline private def isLineType(wkb: Array[Byte]): Boolean = {
+    val t = Wkb.geomType(wkb)
+    t == Wkb.LineStringType || t == Wkb.MultiLineStringType
+  }
+
+  /** Inside parameter interval [t0,t1] of segment (ax,ay)→(bx,by) against
+    * the convex region bounded by `edges` — Liang–Barsky/Cyrus–Beck
+    * parametric clipping (the reference's line support in layer algebra,
+    * ogrlayer.cpp:5385 Intersection over line layers — there via GEOS).
+    * Returns null when the segment misses the region. */
+  def segInsideInterval(ax: Double, ay: Double, bx: Double, by: Double,
+                        edges: Array[Edge]): Array[Double] = {
+    var t0 = 0.0
+    var t1 = 1.0
+    var i = 0
+    while (i < edges.length) {
+      val e = edges(i)
+      // inward normal of the CCW edge = (-dy, dx); inside: n·(P−e0) ≥ 0
+      val nx = -(e.y1 - e.y0)
+      val ny = e.x1 - e.x0
+      val denom = nx * (bx - ax) + ny * (by - ay)
+      val num = nx * (ax - e.x0) + ny * (ay - e.y0)
+      if (denom == 0.0) {
+        if (num < 0.0) return null // parallel and fully outside this edge
+      } else {
+        val t = -num / denom
+        if (denom > 0.0) { if (t > t0) t0 = t } // entering
+        else { if (t < t1) t1 = t } // leaving
+      }
+      if (t0 > t1) return null
+      i += 1
+    }
+    Array(t0, t1)
+  }
+
+  @inline private def subSeg(ax: Double, ay: Double, bx: Double, by: Double,
+                             t0: Double, t1: Double): Array[Double] =
+    Array(ax + t0 * (bx - ax), ay + t0 * (by - ay),
+      ax + t1 * (bx - ax), ay + t1 * (by - ay))
+
+  private def packLines(segs: Array[Array[Double]]): Option[Array[Byte]] = {
+    if (segs.isEmpty) None
+    else if (segs.length == 1) Some(Wkb.writeLineString(segs(0)))
+    else Some(Wkb.writeMultiLineString(segs))
+  }
+
+  /** (Multi)LineString ∩ polygon: each segment's inside interval per
+    * disjoint convex clip piece; total clipped length is exactly additive
+    * (pieces are disjoint). Output may be fragmented at piece boundaries —
+    * length/coverage exact, vertex layout not canonical. */
+  def intersectionLine(subjectWkb: Array[Byte], clipWkb: Array[Byte]): Option[Array[Byte]] = {
+    val g = Wkb.read(subjectWkb)
+    val pieceEdges = clipPiecesOfWkb(clipWkb).map(convexEdges)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    g.lines.foreach { path =>
+      var i = 0
+      while (i < path.length - 2) {
+        val ax = path(i); val ay = path(i + 1)
+        val bx = path(i + 2); val by = path(i + 3)
+        pieceEdges.foreach { edges =>
+          val t = segInsideInterval(ax, ay, bx, by, edges)
+          if (t != null && t(1) - t(0) > 1e-12)
+            out += subSeg(ax, ay, bx, by, t(0), t(1))
+        }
+        i += 2
+      }
+    }
+    packLines(out.toArray)
+  }
+
+  /** (Multi)LineString − polygon: sequential subtraction of the clip's
+    * convex pieces from the segment set (the complement intervals of each
+    * piece's inside interval). */
+  def differenceLine(subjectWkb: Array[Byte], clipWkb: Array[Byte]): Option[Array[Byte]] = {
+    val g = Wkb.read(subjectWkb)
+    val pieceEdges = clipPiecesOfWkb(clipWkb).map(convexEdges)
+    var segs = List.empty[Array[Double]]
+    g.lines.foreach { path =>
+      var i = 0
+      while (i < path.length - 2) {
+        segs ::= Array(path(i), path(i + 1), path(i + 2), path(i + 3))
+        i += 2
+      }
+    }
+    pieceEdges.foreach { edges =>
+      segs = segs.flatMap { s =>
+        val t = segInsideInterval(s(0), s(1), s(2), s(3), edges)
+        if (t == null) List(s)
+        else {
+          var parts = List.empty[Array[Double]]
+          if (t(0) > 1e-12) parts ::= subSeg(s(0), s(1), s(2), s(3), 0.0, t(0))
+          if (t(1) < 1.0 - 1e-12) parts ::= subSeg(s(0), s(1), s(2), s(3), t(1), 1.0)
+          parts
+        }
+      }
+    }
+    packLines(segs.reverse.toArray)
+  }
+
   /** subject ∩ clip → Some(polygon|multipolygon WKB) or None (empty).
     * Clip may be any simple polygon/multipolygon (incl. holes): its
     * disjoint convex pieces each clip the subject, and the piece results
-    * concatenate exactly. */
+    * concatenate exactly. LineString subjects route to the Liang–Barsky
+    * line kernel (geometry-type-generic layer algebra,
+    * ogrlayer.cpp:5385). */
   def intersection(subjectWkb: Array[Byte], clipWkb: Array[Byte]): Option[Array[Byte]] = {
+    if (isLineType(subjectWkb)) return intersectionLine(subjectWkb, clipWkb)
     val subject = Wkb.read(subjectWkb)
     val parts = clipPiecesOfWkb(clipWkb).flatMap { piece =>
       val edges = convexEdges(piece)
@@ -223,6 +325,7 @@ object Clip {
     * clip generality as in intersection (sequential subtraction of its
     * convex pieces). */
   def difference(subjectWkb: Array[Byte], clipWkb: Array[Byte]): Option[Array[Byte]] = {
+    if (isLineType(subjectWkb)) return differenceLine(subjectWkb, clipWkb)
     val subject = Wkb.read(subjectWkb)
     var cur = subject.polygons
     val pieces = clipPiecesOfWkb(clipWkb)

@@ -63,6 +63,9 @@ object GeomOps {
     }
     g.geomType match {
       case Wkb.LineStringType => total = pathLen(g.points)
+      case Wkb.MultiLineStringType =>
+        var l = 0
+        while (l < g.lines.length) { total += pathLen(g.lines(l)); l += 1 }
       case Wkb.PolygonType | Wkb.MultiPolygonType =>
         var p = 0
         while (p < g.polygons.length) {

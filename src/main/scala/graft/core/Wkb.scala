@@ -15,13 +15,17 @@ object Wkb {
   val PointType = 1
   val LineStringType = 2
   val PolygonType = 3
+  val MultiLineStringType = 5
   val MultiPolygonType = 6
 
   /** A polygon: outer ring first, then holes. Ring = flat Array(x0,y0,x1,y1,…),
     * closed (first point repeated last). */
   final case class Polygon(rings: Array[Array[Double]])
 
-  final case class Geom(geomType: Int, polygons: Array[Polygon], points: Array[Double])
+  /** `lines` carries the paths of (Multi)LineString geometries (a single
+    * LineString also mirrors its path into `points` for back-compat). */
+  final case class Geom(geomType: Int, polygons: Array[Polygon], points: Array[Double],
+                        lines: Array[Array[Double]] = Array.empty)
 
   // ---- writing -------------------------------------------------------------
 
@@ -54,6 +58,21 @@ object Wkb {
   /** Axis-aligned box helper (the most common fixture/regions shape). */
   def writeBox(minx: Double, miny: Double, maxx: Double, maxy: Double): Array[Byte] =
     writePolygon(Array(Array(minx, miny, maxx, miny, maxx, maxy, minx, maxy, minx, miny)))
+
+  def writeLineString(coords: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(9 + 8 * coords.length).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(1: Byte).putInt(LineStringType).putInt(coords.length / 2)
+    coords.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  def writeMultiLineString(lines: Array[Array[Double]]): Array[Byte] = {
+    val parts = lines.map(writeLineString)
+    val bb = ByteBuffer.allocate(9 + parts.map(_.length).sum).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(1: Byte).putInt(MultiLineStringType).putInt(parts.length)
+    parts.foreach(bb.put)
+    bb.array()
+  }
 
   // ---- reading -------------------------------------------------------------
 
@@ -131,7 +150,23 @@ object Wkb {
         val coords = new Array[Double](nPts * 2)
         var i = 0
         while (i < coords.length) { coords(i) = bb.getDouble; i += 1 }
-        Geom(t, Array.empty, coords)
+        Geom(t, Array.empty, coords, Array(coords))
+      case MultiLineStringType =>
+        val n = bb.getInt
+        val lines = new Array[Array[Double]](n)
+        var i = 0
+        while (i < n) {
+          val innerOrder = if (bb.get() == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+          bb.order(innerOrder)
+          checkedType(bb.getInt)
+          val nPts = bb.getInt
+          val coords = new Array[Double](nPts * 2)
+          var c = 0
+          while (c < coords.length) { coords(c) = bb.getDouble; c += 1 }
+          lines(i) = coords
+          i += 1
+        }
+        Geom(t, Array.empty, Array.empty, lines)
       case other => throw new IllegalArgumentException(s"unsupported wkb type $other")
     }
   }
@@ -162,6 +197,16 @@ object Wkb {
       case LineStringType =>
         val n = bb.getInt; var i = 0
         while (i < n) { take(); i += 1 }
+      case MultiLineStringType =>
+        val n = bb.getInt; var i = 0
+        while (i < n) {
+          val innerOrder = if (bb.get() == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+          bb.order(innerOrder)
+          checkedType(bb.getInt)
+          val m = bb.getInt; var p = 0
+          while (p < m) { take(); p += 1 }
+          i += 1
+        }
       case PolygonType => rings()
       case MultiPolygonType =>
         val n = bb.getInt; var i = 0
@@ -188,6 +233,8 @@ object Wkb {
       case PolygonType => s"POLYGON ${polyStr(g.polygons(0))}"
       case MultiPolygonType => s"MULTIPOLYGON ${g.polygons.map(polyStr).mkString("(", ",", ")")}"
       case LineStringType => s"LINESTRING ${ringStr(g.points)}"
+      case MultiLineStringType =>
+        s"MULTILINESTRING ${g.lines.map(ringStr).mkString("(", ",", ")")}"
     }
   }
 

@@ -137,6 +137,23 @@ object Fixtures {
         round(col("o_totalprice")).cast("bigint").as("value_i"))
 
   /** 5 kNN targets from region keys (exact integer-derived coordinates). */
+  /** Diagonal (slope-1) line features from customer keys. Slope 1 keeps
+    * the box-clip oracle closed-form: the clipped sub-segment's x-interval
+    * is [max(ax, minx, ax+miny−ay), min(bx, maxx, ax+maxy−ay)] — pure
+    * greatest/least SQL. Offsets 0.2101/0.37 keep endpoints off the
+    * region-box 5·10⁻⁴ grid so no clip parameter ties a box edge. */
+  def linesFromCustomers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/customer.parquet").select(col("c_custkey").cast("long")).as[Long]
+      .map { k =>
+        val ax = ((k * 37) % 340) - 170 + 0.2101
+        val ay = ((k * 53) % 150) - 75 + 0.37
+        val len = 5.0 + (k % 37) * 2.0
+        (k, Wkb.writeLineString(Array(ax, ay, ax + len, ay + len)))
+      }
+      .toDF("line_id", "wkb_a")
+  }
+
   def targetsFromRegions(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/region.parquet")
       .select(col("r_regionkey").cast("bigint").as("t_id"),

@@ -245,6 +245,39 @@ object Geometry {
          * (${q("least(e.amaxy, b.maxy)")} - ${q("greatest(e.aminy, b.miny)")})) * 2 AS iarea2q
       FROM env e, boxes b
       WHERE greatest(e.aminx, b.minx) < least(e.amaxx, b.maxx)
-        AND greatest(e.aminy, b.miny) < least(e.amaxy, b.maxy)"""))
+        AND greatest(e.aminy, b.miny) < least(e.amaxy, b.maxy)""")),
+
+    // §2.3 line×polygon layer algebra: slope-1 customer segments clipped
+    // to region boxes through the Liang–Barsky kernel; clipped endpoints
+    // re-derived in closed-form greatest/least SQL (geometry-type-generic
+    // Intersection, ogrlayer.cpp:5385)
+    ("q86_line_clip", (s: SparkSession, dir: String) => {
+      LayerAlgebra.intersection(Fixtures.linesFromCustomers(s, dir),
+          regionLayer(s, dir), "line_id", "region_id", "wkb_a", "wkb_b", level = 5)
+        .withColumn("cenv", st_env(col("geom")))
+        .select(col("line_id"), col("region_id"),
+          round(col("cenv")(0) * 1e6).cast("bigint").as("x0q"),
+          round(col("cenv")(1) * 1e6).cast("bigint").as("y0q"),
+          round(col("cenv")(2) * 1e6).cast("bigint").as("x1q"),
+          round(col("cenv")(3) * 1e6).cast("bigint").as("y1q"))
+    }, Some(s"""
+      WITH $BoxCte,
+      ln AS (
+        SELECT CAST(c_custkey AS BIGINT) AS line_id,
+          ((((c_custkey * 37) % 340) - 170) + CAST(0.2101 AS DOUBLE)) AS ax,
+          ((((c_custkey * 53) % 150) - 75) + CAST(0.37 AS DOUBLE)) AS ay,
+          (CAST(5.0 AS DOUBLE) + ((c_custkey % 37) * CAST(2.0 AS DOUBLE))) AS len
+        FROM customer),
+      clip AS (
+        SELECT l.line_id, b.region_id, l.ax, l.ay,
+          greatest(l.ax, b.minx, l.ax + (b.miny - l.ay)) AS xlo,
+          least(l.ax + l.len, b.maxx, l.ax + (b.maxy - l.ay)) AS xhi
+        FROM ln l, boxes b)
+      SELECT line_id, region_id,
+        CAST(round(xlo * 1000000.0) AS BIGINT) AS x0q,
+        CAST(round(((xlo - ax) + ay) * 1000000.0) AS BIGINT) AS y0q,
+        CAST(round(xhi * 1000000.0) AS BIGINT) AS x1q,
+        CAST(round(((xhi - ax) + ay) * 1000000.0) AS BIGINT) AS y1q
+      FROM clip WHERE xlo < xhi"""))
   )
 }

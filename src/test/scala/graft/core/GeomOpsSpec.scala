@@ -161,6 +161,37 @@ class GeomOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("line×polygon clip: closed form, partition identity, concave clip") {
+    // horizontal segment through a box: clipped length = x-overlap
+    val seg = Wkb.writeLineString(Array(-5.0, 2.0, 20.0, 2.0))
+    val box = Wkb.writeBox(0, 0, 10, 10)
+    val in = Clip.intersection(seg, box).get
+    assert(math.abs(GeomOps.length(in) - 10.0) < Eps)
+    val outp = Clip.difference(seg, box).get
+    assert(math.abs(GeomOps.length(outp) - 15.0) < Eps)
+    // diagonal through a box corner region
+    val diag = Wkb.writeLineString(Array(-2.0, -2.0, 12.0, 12.0))
+    val din = Clip.intersection(diag, box).get
+    assert(math.abs(GeomOps.length(din) - 10.0 * math.sqrt(2)) < 1e-9)
+    // concave (C-shaped) clip: intersection + difference partition length
+    val cShape = Wkb.writePolygon(Array(
+      Array(0.0, 0, 10, 0, 10, 2, 3, 2, 3, 8, 10, 8, 10, 10, 0, 10, 0, 0)))
+    val probe = Wkb.writeLineString(Array(-3.0, 5.0, 15.0, 5.0, 15.0, 1.0, -3.0, 1.0))
+    val lin = Clip.intersection(probe, cShape).map(GeomOps.length).getOrElse(0.0)
+    val lout = Clip.difference(probe, cShape).map(GeomOps.length).getOrElse(0.0)
+    assert(math.abs(lin + lout - GeomOps.length(probe)) < 1e-9,
+      s"partition identity: $lin + $lout != ${GeomOps.length(probe)}")
+    assert(lin > 0 && lout > 0)
+    // y=5 row crosses only the left bar [0,3]; y=1 row crosses the full [0,10]
+    assert(math.abs(lin - (3.0 + 10.0)) < 1e-9)
+    // multilinestring roundtrip
+    val mls = Wkb.writeMultiLineString(Array(Array(0.0, 0, 1, 1), Array(2.0, 2, 3, 3, 4, 2)))
+    val g = Wkb.read(mls)
+    assert(g.geomType == Wkb.MultiLineStringType && g.lines.length == 2)
+    assert(Wkb.toWkt(mls).startsWith("MULTILINESTRING"))
+    assert(Wkb.envelope(mls) == ((0.0, 0.0, 4.0, 3.0)))
+  }
+
   test("st_transform reprojects every vertex and roundtrips") {
     val box = Wkb.writeBox(-10, -20, 30, 40)
     val m = GeomOps.transform(box, 4326, 3857)
