@@ -157,6 +157,28 @@ case class StDifferenceAll(left: Expression, right: Expression)
     StDifferenceAll(c(0), c(1))
 }
 
+/** st_buffer(wkb, distance, quadsegs) → buffered (multi)polygon WKB, or
+  * null when fully eroded (OGRGeometry::Buffer, ogrgeometry.cpp:4949 —
+  * Minkowski-sum implementation in core.Buffer). Negative distance
+  * erodes polygons. Returns null for empty results, matching the
+  * overlay kernels' empty-geometry convention. */
+case class StBuffer(first: Expression, second: Expression, third: Expression)
+    extends Expression with ExpectsInputTypes with CodegenFallback {
+  override def children: Seq[Expression] = Seq(first, second, third)
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(BinaryType, DoubleType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_buffer"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val w = first.eval(input); val r = second.eval(input); val q = third.eval(input)
+    if (w == null || r == null || q == null) null
+    else graft.core.Buffer.buffer(w.asInstanceOf[Array[Byte]],
+      r.asInstanceOf[Double], q.asInstanceOf[Int]).orNull
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): StBuffer =
+    StBuffer(c(0), c(1), c(2))
+}
+
 /** st_transform(wkb, fromSrid, toSrid) → WKB with every vertex
   * reprojected (OGRWarpedLayer analog, ogrwarpedlayer.h:33). */
 case class StTransform(first: Expression, second: Expression, third: Expression)

@@ -192,6 +192,8 @@ object functions {
   def st_simplify(wkb: Column, tolerance: Column): Column =
     toCol(StSimplify(toExpr(wkb), toExpr(tolerance)))
   def st_dump(wkb: Column): Column = toCol(StDump(toExpr(wkb)))
+  def st_buffer(wkb: Column, distance: Column, quadsegs: Column): Column =
+    toCol(StBuffer(toExpr(wkb), toExpr(distance), toExpr(quadsegs)))
 
   /** Dissolve aggregate: union of convex hole-free polygons per group. */
   def st_union_agg(wkb: Column): Column =
@@ -345,6 +347,8 @@ object GraftExtensions {
       (e: Seq[Expression]) => StSwapXY(e(0)))),
     "st_segmentize" -> ((info("st_segmentize", "st_segmentize(wkb, maxLen)"),
       (e: Seq[Expression]) => StSegmentize(e(0), e(1)))),
+    "st_buffer" -> ((info("st_buffer", "st_buffer(wkb, distance, quadsegs) - Minkowski buffer; negative erodes"),
+      (e: Seq[Expression]) => StBuffer(e(0), e(1), e(2)))),
     "st_simplify" -> ((info("st_simplify", "st_simplify(wkb, tolerance) - Douglas-Peucker"),
       (e: Seq[Expression]) => StSimplify(e(0), e(1)))),
     "st_dump" -> ((info("st_dump", "st_dump(wkb) - array of parts"),

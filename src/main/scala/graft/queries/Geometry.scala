@@ -278,6 +278,27 @@ object Geometry {
         CAST(round(((xlo - ax) + ay) * 1000000.0) AS BIGINT) AS y0q,
         CAST(round(xhi * 1000000.0) AS BIGINT) AS x1q,
         CAST(round(((xhi - ax) + ay) * 1000000.0) AS BIGINT) AS y1q
-      FROM clip WHERE xlo < xhi"""))
+      FROM clip WHERE xlo < xhi""")),
+
+    // §2.8 Buffer (ogrgeometry.cpp:4949): region boxes grown by r (round
+    // joins ⇒ area = A + P·r + 16·r²·sin(π/16) at quadsegs=8, the N-gon
+    // correction exact in SQL) and eroded by r (exact inset rectangle);
+    // quantized at 1e4 with margins ≫ cross-engine libm drift
+    ("q87_buffer", (s: SparkSession, dir: String) => {
+      val r = (lit(0.5) + (col("region_id") % 4).cast("double") * lit(0.25))
+      Fixtures.regionBoxes(s, dir)
+        .select(col("region_id"),
+          round(st_area(st_buffer(col("wkb"), r, lit(8))) * 1e4).cast("bigint").as("grow_q"),
+          round(st_area(st_buffer(col("wkb"), -r, lit(8))) * 1e4).cast("bigint").as("shrink_q"))
+    }, Some(s"""
+      WITH $BoxCte,
+      withr AS (
+        SELECT region_id, (maxx - minx) AS w, (maxy - miny) AS h,
+               (CAST(0.5 AS DOUBLE) + ((region_id % 4) * CAST(0.25 AS DOUBLE))) AS r
+        FROM boxes)
+      SELECT region_id,
+        CAST(round(((w * h) + ((2.0 * (w + h)) * r) + ((16.0 * (r * r)) * sin(pi() / 16.0))) * 10000.0) AS BIGINT) AS grow_q,
+        CAST(round(((w - (2.0 * r)) * (h - (2.0 * r))) * 10000.0) AS BIGINT) AS shrink_q
+      FROM withr"""))
   )
 }
