@@ -154,6 +154,38 @@ object Fixtures {
       .toDF("line_id", "wkb_a")
   }
 
+  /** GGA_Linear fixture: a 25×25 jittered grid (nation × nation) whose
+    * value field is the exact plane v = 3x + 7y + 10. Jitter is dyadic
+    * (k/16, so 3x/7y stay exact doubles) and only tangential on the hull
+    * boundary (corners pinned), so the convex hull is exactly [0,24]² and
+    * barycentric interpolation over ANY valid triangulation reproduces
+    * the plane — the DuckDB oracle never needs the triangle set. */
+  def planeGridPoints(s: SparkSession, dir: String): DataFrame = {
+    val n1 = s.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey").cast("long").as("i"))
+    val n2 = s.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey").cast("long").as("j"))
+    n1.crossJoin(n2)
+      .select(
+        (col("i") * 25 + col("j")).as("p_id"),
+        (col("i").cast("double") + when(col("i") > 0 && col("i") < 24,
+          (((col("i") * 7 + col("j") * 13) % 8) - 4).cast("double") / 16.0)
+          .otherwise(0.0)).as("p_lon"),
+        (col("j").cast("double") + when(col("j") > 0 && col("j") < 24,
+          (((col("i") * 11 + col("j") * 5) % 8) - 4).cast("double") / 16.0)
+          .otherwise(0.0)).as("p_lat"))
+      .withColumn("v", col("p_lon") * 3.0 + col("p_lat") * 7.0 + 10.0)
+  }
+
+  /** Interpolation targets strictly inside the planeGridPoints hull:
+    * coordinates in [0.3, 23.3] ⊂ (0, 24). Centiles keep the plane value
+    * ×256 at least 1/50 away from every rounding boundary (see q88). */
+  def planeTargets(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/supplier.parquet")
+      .select(col("s_suppkey").cast("bigint").as("t_id"),
+        (((col("s_suppkey") * 37) % 2301).cast("double") / 100.0 + 0.3).as("t_lon"),
+        (((col("s_suppkey") * 53) % 2301).cast("double") / 100.0 + 0.3).as("t_lat"))
+
   def targetsFromRegions(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/region.parquet")
       .select(col("r_regionkey").cast("bigint").as("t_id"),

@@ -90,4 +90,66 @@ object Grid {
       .groupBy(col("t_id"))
       .agg(sum(col("value_i")).as("sum_v"), count(lit(1)).as("n_pts"))
       .withColumn("avg_v", col("sum_v").cast("double") / col("n_pts").cast("double"))
+
+  /** GGA_Linear (alg/delaunay.c + gdal_alg.h:402 GGA_Linear): Delaunay
+    * triangulation of the point layer, barycentric plane interpolation at
+    * each node; nodes outside the convex hull are absent (the reference's
+    * no-data branch).
+    *
+    * The triangulation is a GLOBAL structure, so the point layer is
+    * collected (size-guarded, like SpatialJoin.pipJoinIndexed) and
+    * triangulated once; triangle envelopes bulk-load an STR tree that is
+    * broadcast, and every target partition probes it with NO shuffle on
+    * the target side. At 100 TB the point side would triangulate per tile
+    * with ghost margins ≥ the local circumradius bound; this broadcast
+    * path covers the reference's single-node semantics and any
+    * dimension-sized point layer exactly.
+    *
+    * points(p_id, p_lon, p_lat, v double) × targets(t_id, t_lon, t_lat)
+    * → (t_id, est). */
+  def linear(targets: DataFrame, points: DataFrame, maxPoints: Int = 2000000): DataFrame = {
+    val spark = targets.sparkSession
+    import spark.implicits._
+    val rows = points.select(col("p_lon").cast("double"), col("p_lat").cast("double"),
+      col("v").cast("double")).limit(maxPoints + 1).collect()
+    require(rows.length <= maxPoints,
+      s"Grid.linear: point layer exceeds maxPoints=$maxPoints — triangulate per tile " +
+        "with ghost margins for larger layers")
+    val xs = rows.map(_.getDouble(0))
+    val ys = rows.map(_.getDouble(1))
+    val vs = rows.map(_.getDouble(2))
+    val tri = graft.core.Delaunay.triangulate(xs, ys)
+    val envs = Array.tabulate(tri.count) { t =>
+      val a = tri.tris(3 * t); val b = tri.tris(3 * t + 1); val c = tri.tris(3 * t + 2)
+      (math.min(xs(a), math.min(xs(b), xs(c))), math.min(ys(a), math.min(ys(b), ys(c))),
+        math.max(xs(a), math.max(xs(b), xs(c))), math.max(ys(a), math.max(ys(b), ys(c))))
+    }
+    val bc = spark.sparkContext.broadcast(
+      (graft.core.StrTree.build(envs), xs, ys, vs, tri.tris))
+    targets.select(col("t_id").cast("long"), col("t_lon").cast("double"),
+        col("t_lat").cast("double"))
+      .as[(Long, Double, Double)]
+      .mapPartitions { it =>
+        val (tree, bxs, bys, bvs, tris) = bc.value
+        it.flatMap { case (tid, qx, qy) =>
+          val hits = tree.query(qx, qy, qx, qy)
+          var est = Double.NaN
+          var found = false
+          var h = 0
+          while (h < hits.length && !found) {
+            val t = hits(h)
+            val a = tris(3 * t); val b = tris(3 * t + 1); val c = tris(3 * t + 2)
+            val w = graft.core.Delaunay.barycentric(
+              bxs(a), bys(a), bxs(b), bys(b), bxs(c), bys(c), qx, qy)
+            if (w != null) {
+              est = w(0) * bvs(a) + w(1) * bvs(b) + w(2) * bvs(c)
+              found = true
+            }
+            h += 1
+          }
+          if (found) Some((tid, est)) else None
+        }
+      }
+      .toDF("t_id", "est")
+  }
 }

@@ -300,6 +300,23 @@ object Geospatial {
             FROM nn WHERE rn <= 8)
       GROUP BY t_id""")),
 
+    // §2.4 GGA_Linear (alg/delaunay.c): Delaunay triangulation +
+    // barycentric plane interpolation. The point field is an exact plane
+    // over a hull of exactly [0,24]² with all targets interior, so
+    // est ≡ 3·t_lon + 7·t_lat + 10 for EVERY valid triangulation; the
+    // oracle evaluates the plane. Quantized ×256: true values sit ≥ 1/50
+    // from rounding boundaries vs ~1e-12 cross-engine drift.
+    ("q88_grid_linear", (s: SparkSession, dir: String) => {
+      Grid.linear(Fixtures.planeTargets(s, dir), Fixtures.planeGridPoints(s, dir))
+        .select(col("t_id"), round(col("est") * 256.0).cast("bigint").as("est_q"))
+    }, Some("""
+      SELECT CAST(s_suppkey AS BIGINT) AS t_id,
+             CAST(round((
+               (CAST((s_suppkey * 37) % 2301 AS DOUBLE) / 100.0 + 0.3) * 3.0 +
+               (CAST((s_suppkey * 53) % 2301 AS DOUBLE) / 100.0 + 0.3) * 7.0
+               + 10.0) * 256.0) AS BIGINT) AS est_q
+      FROM supplier""")),
+
     // §2.8 tile pyramid assignment counts across zooms 0..6
     ("q27_tile_pyramid_counts", (s: SparkSession, dir: String) => {
       Fixtures.imagesFromParts(s, dir)
