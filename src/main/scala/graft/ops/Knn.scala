@@ -45,7 +45,14 @@ object Knn {
     val w = Window.partitionBy(col("t_id")).orderBy(col("dist2"), col("p_id"))
     val fullCoverR = 1 << level
 
-    def candidatesAt(frontier: DataFrame, r: Int): DataFrame = frontier
+    // second window over the SAME t_id partitioning (its required sort is
+    // a prefix of w's, so the plan keeps ONE Exchange + ONE Sort): n and
+    // kth-distance over the rank-filtered rows fuse the old per-round
+    // resolvedIds aggregate into the candidate pass itself.
+    val wAll = Window.partitionBy(col("t_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+
+    def candidatesAt(frontier: DataFrame, r: Int, safe2: Double): DataFrame = frontier
       .withColumn("__tc", cell_of(col("t_lon"), col("t_lat"), level))
       .withColumn("__cell", explode(cell_block(col("__tc"), lit(r).cast("int"))))
       .join(pts, Seq("__cell"))
@@ -54,7 +61,9 @@ object Knn {
           + (col("p_lat") - col("t_lat")) * (col("p_lat") - col("t_lat")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("t_id"), col("p_id"), col("dist2"), col("rank"))
+      .withColumn("__resolved",
+        count(lit(1)).over(wAll) === k && max(col("dist2")).over(wAll) < safe2)
+      .select(col("t_id"), col("p_id"), col("dist2"), col("rank"), col("__resolved"))
 
     var frontier = graft.pipeline.Caches.persist(targets)
     // -1 = unknown (skip the up-front count; round 1 runs unconditionally
@@ -64,18 +73,16 @@ object Knn {
     var r = 1
     var round = 0
     while (round < maxRounds && frontierN != 0 && r < fullCoverR) {
-      val cand = graft.pipeline.Caches.persist(candidatesAt(frontier, r))
       // every point OUTSIDE ring r is ≥ r·cellH away (its cell is ≥ r+1
       // cells from the target's cell; worst case both sit on the facing
       // boundaries). STRICT < keeps equal-distance outside ties safe.
       val safe = r.toDouble * cellH
-      val resolvedIds = cand.groupBy(col("t_id"))
-        .agg(count(lit(1)).as("__n"), max(col("dist2")).as("__maxd2"))
-        .filter(col("__n") === k && col("__maxd2") < lit(safe * safe))
-        .select(col("t_id"))
-      resolvedParts ::= cand.join(resolvedIds, Seq("t_id"), "left_semi")
+      val cand = graft.pipeline.Caches.persist(candidatesAt(frontier, r, safe * safe))
+      resolvedParts ::= cand.filter(col("__resolved"))
+        .select(col("t_id"), col("p_id"), col("dist2"), col("rank"))
       // rename to dodge self-join attribute ambiguity (cand derives from frontier)
-      val rid = resolvedIds.withColumnRenamed("t_id", "__rt_id")
+      val rid = cand.filter(col("__resolved"))
+        .select(col("t_id").as("__rt_id"))
       val next = graft.pipeline.Caches.persist(
         frontier.join(rid, col("t_id") === col("__rt_id"), "left_anti"))
       frontierN = next.count()
@@ -85,7 +92,8 @@ object Knn {
       round += 1
     }
     // exactness backstop: whatever is left gets the whole grid in one round
-    if (frontierN != 0) resolvedParts ::= candidatesAt(frontier, fullCoverR)
+    if (frontierN != 0) resolvedParts ::= candidatesAt(frontier, fullCoverR, Double.MaxValue)
+      .select(col("t_id"), col("p_id"), col("dist2"), col("rank"))
     val all = resolvedParts.reduceOption(_ union _)
       .getOrElse(spark.emptyDataFrame)
     // cand persists stay referenced by `all`'s plan and are tracked in
