@@ -183,8 +183,18 @@ object Morph {
   /** Fill nodata pixels with the inverse-distance-weighted mean of the
     * first valid pixel found along each of the 8 rays, searching at most
     * `maxDist` steps. Pixels with no valid ray stay nodata. */
-  def fillNodata(band: Array[Int], w: Int, h: Int, nodata: Int, maxDist: Int): Array[Int] = {
+  def fillNodata(band: Array[Int], w: Int, h: Int, nodata: Int, maxDist: Int): Array[Int] =
+    fillNodataWithCount(band, w, h, nodata, maxDist)._1
+
+  /** fillNodata plus the count of UNFILLABLE pixels (no valid ray). GDAL
+    * tracks fill success in the mask band (alg/rasterfill.cpp), so a pixel
+    * whose IDW value happens to round to the nodata marker still counts as
+    * filled — remaining-nodata must be the no-valid-ray count, not a
+    * value==nodata scan. */
+  def fillNodataWithCount(band: Array[Int], w: Int, h: Int, nodata: Int,
+                          maxDist: Int): (Array[Int], Int) = {
     val out = band.clone()
+    var unfilled = 0
     val dirs = Array((1, 0), (-1, 0), (0, 1), (0, -1), (1, 1), (1, -1), (-1, 1), (-1, -1))
     var y = 0
     while (y < h) {
@@ -210,11 +220,12 @@ object Morph {
             }
           }
           if (den > 0) out(y * w + x) = math.floor(num / den + 0.5).toInt
+          else unfilled += 1
         }
         x += 1
       }
       y += 1
     }
-    out
+    (out, unfilled)
   }
 }

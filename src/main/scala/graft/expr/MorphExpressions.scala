@@ -116,8 +116,7 @@ case class FillNodataStats(children: Seq[Expression]) extends Expression with Ex
     val r = ImageCodec.decode(vals(0).asInstanceOf[Array[Byte]], vals(1).toString, w, h)
     val band = r.bands(0)
     val before = band.count(_ == nodata)
-    val filled = Morph.fillNodata(band, w, h, nodata, maxDist)
-    val after = filled.count(_ == nodata)
+    val (filled, after) = Morph.fillNodataWithCount(band, w, h, nodata, maxDist)
     org.apache.spark.sql.catalyst.InternalRow(before, after, GdalChecksum.ofInts(filled, w, h))
   }
 

@@ -748,8 +748,18 @@ object Geospatial {
       FROM ppx GROUP BY key, sz"""
     }),
 
-    // §2.8 sieve + proximity + fill-nodata morphology (per-image kernels;
-    // component/EDT internals not SQL-expressible → rows-only + ScalaTest)
+    // §2.8 sieve + proximity + fill-nodata morphology. Oracled end-to-end:
+    //  - n_before = 4-conn component count of the class band via the q32
+    //    Euler identity (stripe classes are hole-free);
+    //  - proximity: exact EDT min d² re-derived as min over rows of
+    //    (dy² + nearest-in-row²), nearest-in-row via window fwd/back fill;
+    //    |dy| ≤ 40 is provably sufficient (own-row gap ≤ 37 at sz 64, and
+    //    sz−1 ≤ 19 below that). sqrt + round(·1000) are IEEE-exact on the
+    //    integer d², so dmax_q/dsum_q compare bit-for-bit;
+    //  - fill-nodata: a 37-pixel stays nodata iff all 8 rays × 8 steps hit
+    //    only nodata or exit — a 64-probe EXISTS per nodata pixel.
+    // Post-sieve component count and the three checksums are component-
+    // label/EDT internals (not SQL-expressible) → MorphSpec goldens.
     ("q74_morphology", (s: SparkSession, dir: String) => {
       Fixtures.imagesFromParts(s, dir)
         .filter(col("w") <= 64 && col("fmt") =!= "jpeg")
@@ -757,10 +767,73 @@ object Geospatial {
         .withColumn("px", proximity_stats(col("bytes"), col("fmt"), Tiling.meta9, lit(6), lit(0)))
         .withColumn("fl", fill_nodata_stats(col("bytes"), col("fmt"), Tiling.meta9, lit(37), lit(8)))
         .select(col("key"),
-          col("sv.n_before"), col("sv.n_after"), col("sv.checksum").as("sieve_cks"),
-          col("px.dmax"), col("px.dsum_q"), col("px.checksum").as("prox_cks"),
-          col("fl.n_nodata_before"), col("fl.n_nodata_after"), col("fl.checksum").as("fill_cks"))
-    }, None),
+          col("sv.n_before"),
+          round(col("px.dmax") * 1000).cast("bigint").as("dmax_q"),
+          col("px.dsum_q"),
+          col("fl.n_nodata_before"), col("fl.n_nodata_after"))
+    }, Some(s"""
+      WITH $PixCte,
+      eul AS (
+        SELECT key,
+          CAST(((CAST(sz AS BIGINT) * sz)
+            - sum(CASE WHEN px < sz - 1
+                       AND ${clsSql("px", "py")} = ${clsSql("px + 1", "py")} THEN 1 ELSE 0 END)
+            - sum(CASE WHEN py < sz - 1
+                       AND ${clsSql("px", "py")} = ${clsSql("px", "py + 1")} THEN 1 ELSE 0 END)
+            + sum(CASE WHEN px < sz - 1 AND py < sz - 1
+                       AND ${clsSql("px", "py")} = ${clsSql("px + 1", "py")}
+                       AND ${clsSql("px", "py")} = ${clsSql("px", "py + 1")}
+                       AND ${clsSql("px", "py")} = ${clsSql("px + 1", "py + 1")} THEN 1 ELSE 0 END))
+            AS INT) AS n_before
+        FROM ppx GROUP BY key, sz),
+      rown AS (
+        SELECT key, sz, px, py,
+          least(coalesce(px - xprev, 1048576), coalesce(xnext - px, 1048576)) AS rd
+        FROM (
+          SELECT key, sz, px, py,
+            max(CASE WHEN (v >> 6) = 0 THEN px END)
+              OVER (PARTITION BY key, py ORDER BY px
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS xprev,
+            min(CASE WHEN (v >> 6) = 0 THEN px END)
+              OVER (PARTITION BY key, py ORDER BY px
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS xnext
+          FROM pv)),
+      d2 AS (
+        SELECT a.key, a.px, a.py,
+          min(((a.py - b.py) * (a.py - b.py)) + (b.rd * b.rd)) AS dd
+        FROM pv a JOIN rown b
+          ON a.key = b.key AND a.px = b.px AND abs(a.py - b.py) <= 40
+        GROUP BY a.key, a.px, a.py),
+      prox AS (
+        SELECT key,
+          CAST(round(max(sqrt(CAST(dd AS DOUBLE))) * 1000.0) AS BIGINT) AS dmax_q,
+          CAST(sum(CAST(round(sqrt(CAST(dd AS DOUBLE)) * 1000.0) AS BIGINT)) AS BIGINT) AS dsum_q
+        FROM d2 WHERE dd < 1000000 GROUP BY key),
+      has0 AS (SELECT key, count(*) AS c0 FROM pv WHERE (v >> 6) = 0 GROUP BY key),
+      ndpix AS (SELECT key, sz, px, py FROM pv WHERE v = 37),
+      dirs(dx, dy) AS (VALUES (1,0),(-1,0),(0,1),(0,-1),(1,1),(1,-1),(-1,1),(-1,-1)),
+      ndfill AS (
+        SELECT n.key, n.px, n.py,
+          max(CASE WHEN (n.px + d.dx * s.k) >= 0 AND (n.px + d.dx * s.k) < n.sz
+                    AND (n.py + d.dy * s.k) >= 0 AND (n.py + d.dy * s.k) < n.sz
+                    AND ((((n.px + d.dx * s.k) * 7) + ((n.py + d.dy * s.k) * 13)
+                         + (n.key * 31)) % 256) <> 37
+              THEN 1 ELSE 0 END) AS filled
+        FROM ndpix n, dirs d, (SELECT unnest(generate_series(1, 8)) AS k) s
+        GROUP BY n.key, n.px, n.py),
+      nd AS (
+        SELECT key, CAST(count(*) AS INT) AS n_nodata_before,
+               CAST(sum(CASE WHEN filled = 0 THEN 1 ELSE 0 END) AS INT) AS n_nodata_after
+        FROM ndfill GROUP BY key)
+      SELECT e.key, e.n_before,
+        CASE WHEN coalesce(h.c0, 0) > 0 THEN p.dmax_q END AS dmax_q,
+        CASE WHEN coalesce(h.c0, 0) > 0 THEN p.dsum_q END AS dsum_q,
+        coalesce(n.n_nodata_before, 0) AS n_nodata_before,
+        coalesce(n.n_nodata_after, 0) AS n_nodata_after
+      FROM eul e
+      LEFT JOIN prox p ON e.key = p.key
+      LEFT JOIN has0 h ON e.key = h.key
+      LEFT JOIN nd n ON e.key = n.key""")),
 
     // §2.4 raster histogram (GetHistogram analog): 8 equal buckets over
     // [0,256) — exact bucket counts under the oracle
