@@ -719,15 +719,60 @@ object Geospatial {
     }),
 
     // §2.5 focal/DEM derivatives per image (hillshade/slope/roughness) —
-    // ONE fused decode via focal_multi (transcendental outputs → rows-only;
-    // the integer roughness path carries the hard oracle in q68)
+    // ONE fused decode via focal_multi. Oracled: Horn gradients, slope
+    // atan and the full hillshade shading equation are mirrored in SQL
+    // (UTM keys carry their meter resolution); the GDAL float-path
+    // checksum quantizes per-pixel via floor(v+0.5), so the ulp-level
+    // libm-vs-JVM drift in atan/sin/cos sits ~1e13× below every rounding
+    // boundary of the rational-input fixture.
     ("q35_focal_dem", (s: SparkSession, dir: String) => {
-      Fixtures.imagesFromParts(s, dir).filter(col("w") <= 64)
+      Fixtures.imagesFromParts(s, dir)
+        .filter(col("w") <= 64 && col("fmt") =!= "jpeg")
         .withColumn("f", explode(focal_multi(col("bytes"), col("fmt"), Tiling.meta9,
           array(lit("hillshade"), lit("slope"), lit("roughness")))))
         .groupBy(col("f.op").as("op"))
         .agg(count(lit(1)).as("n"), sum(col("f.checksum").cast("bigint")).as("checksum_sum"))
-    }, None),
+    }, Some {
+      def cv(dx: Int, dy: Int) = clampedV(dx, dy)
+      val dzdx = s"((((${cv(1, -1)} + (2.0 * ${cv(1, 0)})) + ${cv(1, 1)})" +
+        s" - ((${cv(-1, -1)} + (2.0 * ${cv(-1, 0)})) + ${cv(-1, 1)})) / (8.0 * res))"
+      val dzdy = s"((((${cv(-1, 1)} + (2.0 * ${cv(0, 1)})) + ${cv(1, 1)})" +
+        s" - ((${cv(-1, -1)} + (2.0 * ${cv(0, -1)})) + ${cv(1, -1)})) / (8.0 * res))"
+      val n9 = for { dy <- -1 to 1; dx <- -1 to 1 } yield cv(dx, dy)
+      val rough = s"(greatest(${n9.mkString(", ")}) - least(${n9.mkString(", ")}))"
+      val cang = "((sin(radians(45.0)) - (cos(radians(45.0))" +
+        " * ((gx * sin(radians(315.0))) + ((-(gy)) * cos(radians(315.0))))))" +
+        " / sqrt((1.0 + (gx * gx)) + ((-(gy)) * (-(gy)))))"
+      def cks(v: String) =
+        s"CAST(sum(($v) % ([7,11,13,17,19,23,29,31,37,41,43])[(((py * sz) + px) % 11) + 1]) % 65536 AS INT)"
+      s"""
+      WITH fimg AS (
+        SELECT p_partkey AS key,
+          CASE (p_partkey % 4) WHEN 0 THEN 16 WHEN 1 THEN 20 ELSE 64 END AS sz,
+          CASE WHEN (p_partkey % 8) = 1 THEN (30.0 + ((p_partkey % 7) * 15.0))
+               ELSE ((CAST(0.01 AS DOUBLE) * (1 + (p_partkey % 499)))
+                     / CASE (p_partkey % 4) WHEN 0 THEN 16 WHEN 1 THEN 20 ELSE 64 END)
+          END AS res
+        FROM part WHERE (p_partkey % 3) <> 2 AND (p_partkey % 4) <> 3),
+      frows AS (SELECT key, sz, res, unnest(generate_series(0, sz - 1)) AS py FROM fimg),
+      fpx AS (SELECT key, sz, res, py, unnest(generate_series(0, sz - 1)) AS px FROM frows),
+      grad AS (
+        SELECT key, sz, py, px, $dzdx AS gx, $dzdy AS gy, $rough AS rv
+        FROM fpx),
+      vals AS (
+        SELECT key, sz, py, px, rv,
+          CAST(least(greatest(floor(((254.0 * $cang) + 1.0) + 0.5), 0.0), 255.0) AS BIGINT) AS hv,
+          CAST(floor(((atan(sqrt((gx * gx) + (gy * gy))) * 180.0) / pi()) + 0.5) AS BIGINT) AS sv
+        FROM grad),
+      per AS (
+        SELECT key, ${cks("hv")} AS ch, ${cks("sv")} AS cs, ${cks("rv")} AS cr
+        FROM vals GROUP BY key, sz)
+      SELECT 'hillshade' AS op, count(*) AS n, CAST(sum(ch) AS BIGINT) AS checksum_sum FROM per
+      UNION ALL
+      SELECT 'slope' AS op, count(*) AS n, CAST(sum(cs) AS BIGINT) AS checksum_sum FROM per
+      UNION ALL
+      SELECT 'roughness' AS op, count(*) AS n, CAST(sum(cr) AS BIGINT) AS checksum_sum FROM per"""
+    }),
 
     // §2.5 roughness (max−min of the clamped 3×3 window): pure integer
     // arithmetic ⇒ full per-image DuckDB oracle incl. the GDAL checksum
@@ -916,6 +961,20 @@ object Geospatial {
     // §2.8 cutline-masked warp (GDALWarpCutlineMasker analog): per-pair
     // tile render clipped to the region polygon (mask internals rows-only;
     // TilingSpec pins the mask semantics)
+    // Oracled end-to-end: a 4326 box image near-warped to its z5 tile and
+    // masked by a box cutline stays a RECTANGLE in tile pixel space (both
+    // constraints are axis-aligned boxes under the monotone separable
+    // Mercator map), so the valid region is a closed-form [xlo..xhi]×
+    // [ylo..yhi] from the warp in-bounds rule (src px = floor((lon−lon0)/
+    // res) ∈ [0,sz)) and the rasterize fill rule (center ∈ [edge,edge)).
+    // Inside the rectangle the near-sampled value is the pattern at
+    // (floor(spx), floor(spy)), so even the GDAL checksum of band 0 is
+    // SQL-derivable; the validity-plane checksum is count(valid) mod 2^16
+    // because 1 % p = 1 for every checksum prime. jpeg decodes are lossy →
+    // band checksum NULLed on both sides (validity stays exact: it is
+    // geometry-only). Ceil/floor boundary flips need a sample within
+    // ~1e-12 px of a grid line — decimal-derived fixture coords against
+    // the π-based tile grid keep every boundary generic.
     ("q80_cutline_tile", (s: SparkSession, dir: String) => {
       val images = Fixtures.imagesFromParts(s, dir)
         .filter(col("srid") === 4326 && col("key") % 10 === 0)
@@ -926,9 +985,82 @@ object Geospatial {
         .withColumn("buf", warp_tile_cut(col("bytes"), col("fmt"), Tiling.meta9,
           col("tile"), lit("near"), col("wkb")))
         .select(col("key"), col("region_id"),
-          planes_checksums(col("buf"))(0).as("cks_b0"),
+          when(col("fmt") =!= "jpeg", planes_checksums(col("buf"))(0)).as("cks_b0"),
           planes_checksums(col("buf"))(3).as("cks_validity"))
-    }, None),
+    }, Some {
+      val MC = MercC
+      val SP5 = spanZ("5")
+      s"""
+      WITH ${Geometry.BoxCte},
+      cim AS (
+        SELECT p_partkey AS key,
+          CASE (p_partkey % 4) WHEN 0 THEN 16 WHEN 1 THEN 20 WHEN 2 THEN 64 ELSE 256 END AS sz,
+          (CAST(0.01 AS DOUBLE) * (1 + (p_partkey % 499))) AS span,
+          ((((p_partkey * 9973) % 350000) / 1000.0) - 180.0) AS lon0,
+          ((((p_partkey * 7919) % 160000) / 1000.0) - 80.0) AS lat0
+        FROM part WHERE (p_partkey % 10) = 0),
+      pair AS (
+        SELECT c.key, c.sz, c.span, c.lon0, c.lat0, b.region_id,
+               b.minx AS bminx, b.miny AS bminy, b.maxx AS bmaxx, b.maxy AS bmaxy
+        FROM cim c, boxes b
+        WHERE c.lon0 <= b.maxx AND (c.lon0 + c.span) >= b.minx
+          AND (c.lat0 - c.span) <= b.maxy AND c.lat0 >= b.miny),
+      tl AS (
+        SELECT *,
+          least(greatest(floor(((((lon0 * $MC) - $OriginX) / $SP5) + 0.001)), 0.0), 31.0) AS tx,
+          least(greatest(floor(((($OriginY - ${mercY("lat0")}) / $SP5) + 0.001)), 0.0), 31.0) AS ty
+        FROM pair),
+      geo AS (
+        SELECT key, region_id, sz, span, lon0, lat0, bminx, bminy, bmaxx, bmaxy,
+          ($OriginX + (tx * $SP5)) AS tminx, ($OriginY - (ty * $SP5)) AS tmaxy,
+          ($SP5 / 256.0) AS rt
+        FROM tl),
+      rng AS (
+        SELECT key, region_id, sz, span, lon0, lat0, tminx, tmaxy, rt,
+          CAST(greatest(0.0,
+            ceil(((((lon0 * $MC) - tminx) / rt) - 0.5)),
+            ceil(((((bminx * $MC) - tminx) / rt) - 0.5))) AS BIGINT) AS xlo,
+          CAST(least(255.0,
+            ceil((((((lon0 + span) * $MC) - tminx) / rt) - 0.5)) - 1.0,
+            ceil(((((bmaxx * $MC) - tminx) / rt) - 0.5)) - 1.0) AS BIGINT) AS xhi,
+          CAST(greatest(0.0,
+            ceil((((tmaxy - ${mercY("lat0")}) / rt) - 0.5)),
+            ceil((((tmaxy - ${mercY("bmaxy")}) / rt) - 0.5))) AS BIGINT) AS ylo,
+          CAST(least(255.0,
+            ceil((((tmaxy - ${mercY("(lat0 - span)")}) / rt) - 0.5)) - 1.0,
+            ceil((((tmaxy - ${mercY("bminy")}) / rt) - 0.5)) - 1.0) AS BIGINT) AS yhi
+        FROM geo),
+      rows80 AS (
+        SELECT key, region_id, sz, span, lon0, lat0, tminx, tmaxy, rt, xlo, xhi,
+               unnest(generate_series(ylo, yhi)) AS y
+        FROM rng WHERE xlo <= xhi AND ylo <= yhi AND (key % 3) <> 2),
+      rlat AS (
+        SELECT *, CAST(floor(((lat0 -
+            (((2.0 * atan(exp((tmaxy - ((CAST(y AS DOUBLE) + 0.5) * rt)) / 6378137.0)))
+              - (pi() / 2.0)) * (180.0 / pi())))
+          / (span / sz))) AS BIGINT) AS spy
+        FROM rows80),
+      px80 AS (
+        SELECT key, region_id, sz, span, lon0, tminx, rt, y, spy,
+               unnest(generate_series(xlo, xhi)) AS x
+        FROM rlat),
+      cont AS (
+        SELECT key, region_id, y, x, spy,
+          CAST(floor(((((tminx + ((CAST(x AS DOUBLE) + 0.5) * rt)) / $MC) - lon0)
+            / (span / sz))) AS BIGINT) AS spx
+        FROM px80),
+      ck AS (
+        SELECT key, region_id,
+          CAST(sum(((((spx * 7) + (spy * 13) + (key * 31)) % 256)
+            % ([7,11,13,17,19,23,29,31,37,41,43])[((((y * 256) + x) % 11) + 1)])) % 65536 AS INT) AS cks_b0
+        FROM cont GROUP BY key, region_id)
+      SELECT r.key, CAST(r.region_id AS BIGINT) AS region_id,
+        CASE WHEN (r.key % 3) = 2 THEN NULL
+             ELSE CAST(coalesce(c.cks_b0, 0) AS INT) END AS cks_b0,
+        CAST(((greatest(CAST(0 AS BIGINT), (r.xhi - r.xlo) + 1))
+              * (greatest(CAST(0 AS BIGINT), (r.yhi - r.ylo) + 1))) % 65536 AS INT) AS cks_validity
+      FROM rng r LEFT JOIN ck c ON r.key = c.key AND r.region_id = c.region_id"""
+    }),
 
     // §2.8 pansharpen + palette/dither (Brovey / median-cut / F-S kernels;
     // upsample/error-diffusion internals rows-only, semantics in ColorSpec)
