@@ -155,6 +155,41 @@ case class RgbToPalette(children: Seq[Expression]) extends Expression with Expec
     copy(children = c)
 }
 
+/** warp_tile_alpha(bytes, fmt, meta9, tile, kernel, alpha) → planes buffer
+  * whose last plane carries per-pixel DENSITY: `alpha` (0..255) where the
+  * warp hit the source, 0 elsewhere (the global dfSrcDensity / source
+  * alpha of alg/gdalwarpkernel.cpp, feeding DensityMosaic blending). */
+case class WarpTileAlpha(children: Seq[Expression]) extends Expression with ExpectsInputTypes with CodegenFallback {
+  require(children.length == 6, "warp_tile_alpha(bytes, fmt, meta9, tile, kernel, alpha)")
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(BinaryType, StringType, ArrayType(DoubleType), LongType, StringType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "warp_tile_alpha"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    if (vals.exists(_ == null)) return null
+    val buf = WarpKernels.warpToTile(
+      vals(0).asInstanceOf[Array[Byte]], vals(1).toString,
+      vals(2).asInstanceOf[ArrayData].toDoubleArray(),
+      vals(3).asInstanceOf[Long], vals(4).toString)
+    val alpha = vals(5).asInstanceOf[Int]
+    require(alpha >= 0 && alpha <= 255, s"alpha out of range: $alpha")
+    val planes = PlaneBuf.nPlanes(buf)
+    val dOff = (planes - 1) * PlaneBuf.PlanePx
+    var i = 0
+    while (i < PlaneBuf.PlanePx) {
+      if (buf(dOff + i) != 0) buf(dOff + i) = alpha.toByte
+      i += 1
+    }
+    buf
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): WarpTileAlpha =
+    copy(children = c)
+}
+
 /** warp_tile_cut(bytes, fmt, meta9, tile, kernel, cutWkb) → planes buffer:
   * warp_tile masked to the cutline polygon (alg/gdalcutline.cpp:224
   * GDALWarpCutlineMasker semantics, binary mask, no blend distance);

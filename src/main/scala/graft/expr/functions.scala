@@ -206,9 +206,18 @@ object functions {
   def tile_y(tile: Column): Column =
     tile.bitwiseAND(org.apache.spark.sql.functions.lit(0x1FFFFFFFL)).cast("int")
 
+  def warp_tile_alpha(bytes: Column, fmt: Column, meta9: Column, tile: Column,
+                      kernel: Column, alpha: Column): Column =
+    toCol(WarpTileAlpha(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(tile),
+      toExpr(kernel), toExpr(alpha))))
+
   /** The typed mosaic aggregator as a DataFrame aggregate column. */
   def mosaic_agg(buf: Column): Column =
     org.apache.spark.sql.functions.udaf(MosaicAgg, org.apache.spark.sql.Encoders.BINARY).apply(buf)
+
+  /** Density-blending mosaic (see DensityMosaic) as an aggregate column. */
+  def mosaic_density_agg(buf: Column): Column =
+    org.apache.spark.sql.functions.udaf(MosaicDensityAgg, org.apache.spark.sql.Encoders.BINARY).apply(buf)
 }
 
 /** SQL registration: exposes the expression surface to spark.sql(...) via

@@ -317,6 +317,101 @@ object Geospatial {
                + 10.0) * 256.0) AS BIGINT) AS est_q
       FROM supplier""")),
 
+    // §2.8 warp density masks: per-image alpha carried through the warp's
+    // density plane, blended by the commutative DensityMosaic rule
+    // (v = round-half-up Σd·v/Σd, density = min(255, Σd)). Oracle: each
+    // image's valid region on its z3 tile is a closed-form rectangle (the
+    // q80 derivation minus the cutline), the near-sampled value inside is
+    // the pattern at (floor(spx), floor(spy)), and the blend is exact
+    // integer arithmetic — both GDAL checksums re-derived in SQL.
+    ("q89_density_mosaic", (s: SparkSession, dir: String) => {
+      Fixtures.imagesFromParts(s, dir)
+        .filter(col("key") % 10 === 0 && col("fmt") =!= "jpeg")
+        .withColumn("env", footprint(col("gt"), col("w"), col("h"), col("srid")))
+        .withColumn("tile", tile_cover(col("env"), 3, 3)(0))
+        .withColumn("alpha", (col("key") % 200 + 55).cast("int"))
+        .withColumn("buf", warp_tile_alpha(col("bytes"), col("fmt"), Tiling.meta9,
+          col("tile"), lit("near"), col("alpha")))
+        .groupBy(col("tile"))
+        .agg(count(lit(1)).as("n_imgs"), mosaic_density_agg(col("buf")).as("m"))
+        .select(col("tile"), col("n_imgs"),
+          planes_checksums(col("m"))(0).as("cks_b0"),
+          planes_checksums(col("m"))(3).as("cks_density"))
+    }, Some {
+      val MC = MercC
+      val SP3 = spanZ("3")
+      s"""
+      WITH dimg AS (
+        SELECT p_partkey AS key,
+          CASE (p_partkey % 4) WHEN 0 THEN 16 WHEN 1 THEN 20 ELSE 64 END AS sz,
+          (CAST(0.01 AS DOUBLE) * (1 + (p_partkey % 499))) AS span,
+          ((((p_partkey * 9973) % 350000) / 1000.0) - 180.0) AS lon0,
+          ((((p_partkey * 7919) % 160000) / 1000.0) - 80.0) AS lat0,
+          ((p_partkey % 200) + 55) AS alpha
+        FROM part WHERE (p_partkey % 10) = 0 AND (p_partkey % 3) <> 2),
+      dtl AS (
+        SELECT *,
+          CAST(least(greatest(floor(((((lon0 * $MC) - $OriginX) / $SP3) + 0.001)), 0.0), 7.0) AS BIGINT) AS tx,
+          CAST(least(greatest(floor(((($OriginY - ${mercY("lat0")}) / $SP3) + 0.001)), 0.0), 7.0) AS BIGINT) AS ty
+        FROM dimg),
+      dgeo AS (
+        SELECT key, sz, span, lon0, lat0, alpha, tx, ty,
+          ($OriginX + (tx * $SP3)) AS tminx, ($OriginY - (ty * $SP3)) AS tmaxy,
+          ($SP3 / 256.0) AS rt
+        FROM dtl),
+      drng AS (
+        SELECT key, sz, span, lon0, lat0, alpha, tx, ty, tminx, tmaxy, rt,
+          CAST(greatest(0.0,
+            ceil(((((lon0 * $MC) - tminx) / rt) - 0.5))) AS BIGINT) AS xlo,
+          CAST(least(255.0,
+            ceil((((((lon0 + span) * $MC) - tminx) / rt) - 0.5)) - 1.0) AS BIGINT) AS xhi,
+          CAST(greatest(0.0,
+            ceil((((tmaxy - ${mercY("lat0")}) / rt) - 0.5))) AS BIGINT) AS ylo,
+          CAST(least(255.0,
+            ceil((((tmaxy - ${mercY("(lat0 - span)")}) / rt) - 0.5)) - 1.0) AS BIGINT) AS yhi
+        FROM dgeo),
+      drows AS (
+        SELECT key, sz, span, lon0, lat0, alpha, tx, ty, tminx, tmaxy, rt, xlo, xhi,
+               unnest(generate_series(ylo, yhi)) AS y
+        FROM drng WHERE xlo <= xhi AND ylo <= yhi),
+      drlat AS (
+        SELECT *, CAST(floor(((lat0 -
+            (((2.0 * atan(exp((tmaxy - ((CAST(y AS DOUBLE) + 0.5) * rt)) / 6378137.0)))
+              - (pi() / 2.0)) * (180.0 / pi())))
+          / (span / sz))) AS BIGINT) AS spy
+        FROM drows),
+      dpx AS (
+        SELECT key, sz, span, lon0, alpha, tx, ty, tminx, rt, y, spy,
+               unnest(generate_series(xlo, xhi)) AS x
+        FROM drlat),
+      dcont AS (
+        SELECT tx, ty, y, x, alpha,
+          ((((CAST(floor(((((tminx + ((CAST(x AS DOUBLE) + 0.5) * rt)) / $MC) - lon0)
+              / (span / sz))) AS BIGINT) * 7) + (spy * 13)) + (key * 31)) % 256) AS v
+        FROM dpx),
+      dagg AS (
+        SELECT tx, ty, y, x,
+          CAST(sum(alpha * v) AS BIGINT) AS num, CAST(sum(alpha) AS BIGINT) AS den
+        FROM dcont GROUP BY tx, ty, y, x),
+      dblend AS (
+        SELECT tx, ty, y, x,
+          (((2 * num) + den) // (2 * den)) AS bv,
+          least(CAST(255 AS BIGINT), den) AS dv
+        FROM dagg),
+      dck AS (
+        SELECT tx, ty,
+          CAST(sum(bv % ([7,11,13,17,19,23,29,31,37,41,43])[((((y * 256) + x) % 11) + 1)]) % 65536 AS INT) AS cks_b0,
+          CAST(sum(dv % ([7,11,13,17,19,23,29,31,37,41,43])[((((y * 256) + x) % 11) + 1)]) % 65536 AS INT) AS cks_density
+        FROM dblend GROUP BY tx, ty),
+      dtiles AS (
+        SELECT tx, ty, count(*) AS n_imgs FROM dtl GROUP BY tx, ty)
+      SELECT ((CAST(3 AS BIGINT) << 58) | (t.tx << 29)) | t.ty AS tile,
+        t.n_imgs,
+        CAST(coalesce(c.cks_b0, 0) AS INT) AS cks_b0,
+        CAST(coalesce(c.cks_density, 0) AS INT) AS cks_density
+      FROM dtiles t LEFT JOIN dck c ON t.tx = c.tx AND t.ty = c.ty"""
+    }),
+
     // §2.8 tile pyramid assignment counts across zooms 0..6
     ("q27_tile_pyramid_counts", (s: SparkSession, dir: String) => {
       Fixtures.imagesFromParts(s, dir)
