@@ -84,6 +84,52 @@ object Grid {
       .withColumn("est", col("num").cast("double") / col("den").cast("double"))
   }
 
+  /** Node→point distance quantized to floor(√dist2 · 1e6): sqrt is
+    * IEEE-exactly specified, so the int is bit-comparable to a SQL oracle
+    * that computes dist2 with the same operation order. */
+  private val distQ = floor(sqrt(col("dist2")) * lit(1e6)).cast("bigint")
+
+  /** GGA_Metric{Minimum,Maximum,Range,Count,AverageDistance}
+    * (alg/gdal_alg.h:402-416 metric enum; alg/gdalgrid.cpp
+    * GDALGridDataMetricMinimum/Maximum/Range/Count/AverageDistance): one
+    * fused pass over the candidate set — per node the min/max/range of
+    * point values, the point count, and the mean node→point distance.
+    * Nodes with no point in radius are absent (the reference's nodata
+    * branch). One shuffle (the cell equi-join), one aggregation. */
+  def dataMetrics(targets: DataFrame, points: DataFrame, radius: Double, level: Int = 6): DataFrame =
+    candidates(targets, points, radius, level)
+      .withColumn("__dq", distQ)
+      .groupBy(col("t_id"))
+      .agg(min(col("value_i")).as("min_v"),
+        max(col("value_i")).as("max_v"),
+        (max(col("value_i")) - min(col("value_i"))).as("range_v"),
+        count(lit(1)).as("n_pts"),
+        sum(col("__dq")).as("sum_dist_q"))
+      .withColumn("avg_dist",
+        col("sum_dist_q").cast("double") / lit(1e6) / col("n_pts").cast("double"))
+
+  /** GGA_MetricAverageDistancePts (gdalgrid.cpp
+    * GDALGridDataMetricAverageDistancePts): mean PAIRWISE distance between
+    * the points inside each node's radius. The pair stage self-joins the
+    * candidate set on the node id, so work per node is O(occupancy²) —
+    * bounded by the radius, never corpus-quadratic; nodes with fewer than
+    * two points are absent (reference nodata). */
+  def averageDistancePts(targets: DataFrame, points: DataFrame, radius: Double,
+                         level: Int = 6): DataFrame = {
+    val c = candidates(targets, points, radius, level)
+      .select(col("t_id"), col("p_id"), col("p_lon"), col("p_lat"))
+    c.as("a").join(c.as("b"),
+        col("a.t_id") === col("b.t_id") && col("a.p_id") < col("b.p_id"))
+      .select(col("a.t_id").as("t_id"),
+        (((col("a.p_lon") - col("b.p_lon")) * (col("a.p_lon") - col("b.p_lon")))
+          + ((col("a.p_lat") - col("b.p_lat")) * (col("a.p_lat") - col("b.p_lat")))).as("dist2"))
+      .withColumn("__dq", distQ)
+      .groupBy(col("t_id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("__dq")).as("sum_dist_q"))
+      .withColumn("avg_dist_pts",
+        col("sum_dist_q").cast("double") / lit(1e6) / col("n_pairs").cast("double"))
+  }
+
   /** GGA_MovingAverage: mean (as exact int sum + count) within radius. */
   def movingAverage(targets: DataFrame, points: DataFrame, radius: Double, level: Int = 6): DataFrame =
     candidates(targets, points, radius, level)

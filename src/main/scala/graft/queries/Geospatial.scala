@@ -317,6 +317,47 @@ object Geospatial {
                + 10.0) * 256.0) AS BIGINT) AS est_q
       FROM supplier""")),
 
+    // §2.4 GGA_Metric{Minimum,Maximum,Range,Count,AverageDistance}
+    // (gdal_alg.h:402-416): fused per-node value metrics + mean node→point
+    // distance (floor(√dist2·1e6) int-quantized; sqrt is IEEE-exact)
+    ("q90_grid_data_metrics", (s: SparkSession, dir: String) => {
+      Grid.dataMetrics(Fixtures.nodesFromSuppliers(s, dir),
+        Fixtures.valuedPointsFromOrders(s, dir), radius = 5.0)
+    }, Some(s"""
+      WITH $GridCte
+      SELECT t_id,
+        CAST(min(value_i) AS BIGINT) AS min_v,
+        CAST(max(value_i) AS BIGINT) AS max_v,
+        CAST(max(value_i) - min(value_i) AS BIGINT) AS range_v,
+        count(*) AS n_pts,
+        CAST(sum(CAST(floor(sqrt(dist2) * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_dist_q,
+        ((CAST(CAST(sum(CAST(floor(sqrt(dist2) * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+          / 1000000.0) / CAST(count(*) AS DOUBLE)) AS avg_dist
+      FROM cand GROUP BY t_id""")),
+
+    // §2.4 GGA_MetricAverageDistancePts: mean pairwise distance between
+    // the points inside each node's radius (self-join on the node id —
+    // O(occupancy²) per node, never corpus-quadratic)
+    ("q91_grid_avg_dist_pts", (s: SparkSession, dir: String) => {
+      Grid.averageDistancePts(Fixtures.nodesFromSuppliers(s, dir),
+        Fixtures.valuedPointsFromOrders(s, dir), radius = 5.0)
+    }, Some(s"""
+      WITH $GridCte,
+      candp AS (
+        SELECT c.t_id, c.p_id, p.p_lon, p.p_lat
+        FROM cand c JOIN gpts p ON c.p_id = p.p_id),
+      pairs AS (
+        SELECT a.t_id,
+          (((a.p_lon - b.p_lon) * (a.p_lon - b.p_lon))
+           + ((a.p_lat - b.p_lat) * (a.p_lat - b.p_lat))) AS dist2
+        FROM candp a JOIN candp b
+          ON a.t_id = b.t_id AND a.p_id < b.p_id)
+      SELECT t_id, count(*) AS n_pairs,
+        CAST(sum(CAST(floor(sqrt(dist2) * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_dist_q,
+        ((CAST(CAST(sum(CAST(floor(sqrt(dist2) * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+          / 1000000.0) / CAST(count(*) AS DOUBLE)) AS avg_dist_pts
+      FROM pairs GROUP BY t_id""")),
+
     // §2.8 warp density masks: per-image alpha carried through the warp's
     // density plane, blended by the commutative DensityMosaic rule
     // (v = round-half-up Σd·v/Σd, density = min(255, Σd)). Oracle: each

@@ -44,6 +44,48 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(in.join(out, Seq("point_id"), "inner").count() == 0)
   }
 
+  test("Grid.dataMetrics / averageDistancePts match brute force bit-for-bit") {
+    import graft.ops.Grid
+    val nodes = Fixtures.nodesFromSuppliers(spark, TestSpark.Sf)
+    val pts = Fixtures.valuedPointsFromOrders(spark, TestSpark.Sf)
+    val r = 5.0
+    val bruteCand = nodes.crossJoin(pts)
+      .withColumn("dist2",
+        (col("p_lon") - col("t_lon")) * (col("p_lon") - col("t_lon"))
+          + (col("p_lat") - col("t_lat")) * (col("p_lat") - col("t_lat")))
+      .filter(col("dist2") <= r * r)
+    val bruteMetrics = bruteCand
+      .withColumn("__dq", floor(sqrt(col("dist2")) * lit(1e6)).cast("bigint"))
+      .groupBy("t_id")
+      .agg(min("value_i").as("min_v"), max("value_i").as("max_v"),
+        (max(col("value_i")) - min(col("value_i"))).as("range_v"),
+        count(lit(1)).as("n_pts"), sum("__dq").as("sum_dist_q"))
+      .select("t_id", "min_v", "max_v", "range_v", "n_pts", "sum_dist_q")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val fastMetrics = Grid.dataMetrics(nodes, pts, r)
+      .select("t_id", "min_v", "max_v", "range_v", "n_pts", "sum_dist_q")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(fastMetrics == bruteMetrics)
+    assert(bruteMetrics.nonEmpty, "fixture must hit some nodes")
+
+    val c = bruteCand.select(col("t_id"), col("p_id"), col("p_lon"), col("p_lat"))
+    val brutePairs = c.as("a").join(c.as("b"),
+        col("a.t_id") === col("b.t_id") && col("a.p_id") < col("b.p_id"))
+      .select(col("a.t_id").as("t_id"),
+        (((col("a.p_lon") - col("b.p_lon")) * (col("a.p_lon") - col("b.p_lon")))
+          + ((col("a.p_lat") - col("b.p_lat")) * (col("a.p_lat") - col("b.p_lat")))).as("dist2"))
+      .withColumn("__dq", floor(sqrt(col("dist2")) * lit(1e6)).cast("bigint"))
+      .groupBy("t_id")
+      .agg(count(lit(1)).as("n_pairs"), sum("__dq").as("sum_dist_q"))
+      .select("t_id", "n_pairs", "sum_dist_q")
+      .as[(Long, Long, Long)].collect().toSet
+    val fastPairs = Grid.averageDistancePts(nodes, pts, r)
+      .select("t_id", "n_pairs", "sum_dist_q")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fastPairs == brutePairs)
+    assert(brutePairs.nonEmpty, "fixture must yield ≥1 multi-point node")
+  }
+
   test("knnJoin matches brute force bit-for-bit (k=5 and k=17)") {
     val pts = Fixtures.pointsFromOrders(spark, TestSpark.Sf)
       .select(col("point_id").as("p_id"), col("lon").as("p_lon"), col("lat").as("p_lat"))
