@@ -179,6 +179,47 @@ case class StBuffer(first: Expression, second: Expression, third: Expression)
     StBuffer(c(0), c(1), c(2))
 }
 
+/** st_make_valid(wkb) → repaired WKB (even-odd linework rebuild, see
+  * core/MakeValid; OGRGeometry::MakeValid, ogrgeometry.cpp:4183).
+  * Already-valid input passes through byte-identical; null for an
+  * empty (fully degenerate) result. */
+case class StMakeValid(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_make_valid"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val w = child.eval(input)
+    if (w == null) null
+    else graft.core.MakeValid.makeValid(w.asInstanceOf[Array[Byte]]).orNull
+  }
+  override protected def withNewChildInternal(c: Expression): StMakeValid = copy(child = c)
+}
+
+/** st_is_valid(wkb) — the polygonal validity predicate MakeValid
+  * repairs against (closed, duplicate-free rings; no crossings or
+  * interior T-junctions within or between parts); points/lines are
+  * always valid (OGR_G_IsValid, ogrgeometry.cpp:4119). */
+case class StIsValid(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(BinaryType)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_is_valid"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val w = child.eval(input)
+    if (w == null) null
+    else {
+      val g = graft.core.Wkb.read(w.asInstanceOf[Array[Byte]])
+      if (g.geomType == graft.core.Wkb.PolygonType || g.geomType == graft.core.Wkb.MultiPolygonType)
+        graft.core.MakeValid.isValidPolygonal(g)
+      else true
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): StIsValid = copy(child = c)
+}
+
 /** st_transform(wkb, fromSrid, toSrid) → WKB with every vertex
   * reprojected (OGRWarpedLayer analog, ogrwarpedlayer.h:33). */
 case class StTransform(first: Expression, second: Expression, third: Expression)

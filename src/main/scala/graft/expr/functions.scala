@@ -194,6 +194,8 @@ object functions {
   def st_dump(wkb: Column): Column = toCol(StDump(toExpr(wkb)))
   def st_buffer(wkb: Column, distance: Column, quadsegs: Column): Column =
     toCol(StBuffer(toExpr(wkb), toExpr(distance), toExpr(quadsegs)))
+  def st_make_valid(wkb: Column): Column = toCol(StMakeValid(toExpr(wkb)))
+  def st_is_valid(wkb: Column): Column = toCol(StIsValid(toExpr(wkb)))
 
   /** Dissolve aggregate: union of convex hole-free polygons per group. */
   def st_union_agg(wkb: Column): Column =
@@ -358,6 +360,10 @@ object GraftExtensions {
       (e: Seq[Expression]) => StSegmentize(e(0), e(1)))),
     "st_buffer" -> ((info("st_buffer", "st_buffer(wkb, distance, quadsegs) - Minkowski buffer; negative erodes"),
       (e: Seq[Expression]) => StBuffer(e(0), e(1), e(2)))),
+    "st_make_valid" -> ((info("st_make_valid", "st_make_valid(wkb) - even-odd linework repair; valid input unchanged"),
+      (e: Seq[Expression]) => StMakeValid(e(0)))),
+    "st_is_valid" -> ((info("st_is_valid", "st_is_valid(wkb) - polygonal validity (crossings/T-junctions/dup vertices)"),
+      (e: Seq[Expression]) => StIsValid(e(0)))),
     "st_simplify" -> ((info("st_simplify", "st_simplify(wkb, tolerance) - Douglas-Peucker"),
       (e: Seq[Expression]) => StSimplify(e(0), e(1)))),
     "st_dump" -> ((info("st_dump", "st_dump(wkb) - array of parts"),

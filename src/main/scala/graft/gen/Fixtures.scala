@@ -119,6 +119,26 @@ object Fixtures {
       .toDF("region_id", "wkb")
   }
 
+  /** 25 deterministic repair subjects from nation keys: even keys are
+    * self-crossing bowties over [x0,x0+w]×[y0,y0+h] (even-odd repaired
+    * area = w·h/2), odd keys are valid boxes (make_valid passthrough,
+    * area = w·h). w and h are even integers so every slab coordinate the
+    * repair produces is dyadic-exact — the area oracle is pure int SQL. */
+  def invalidPolysFromNation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/nation.parquet").select(col("n_nationkey").cast("int")).as[Int]
+      .map { k =>
+        val x0 = (k * 7 % 50).toDouble; val y0 = (k * 11 % 40).toDouble
+        val w = (2 + (k % 5) * 2).toDouble; val h = (2 + (k % 3) * 2).toDouble
+        val wkb =
+          if (k % 2 == 0)
+            Wkb.writePolygon(Array(Array(x0, y0, x0 + w, y0 + h, x0 + w, y0, x0, y0 + h, x0, y0)))
+          else Wkb.writeBox(x0, y0, x0 + w, y0 + h)
+        (k.toLong, wkb)
+      }
+      .toDF("geom_id", "wkb")
+  }
+
   /** Grid-interpolation nodes from supplier keys, at +0.25° offsets so no
     * point ever coincides with a node (bounds the inverse-distance
     * weights; see ops.Grid). */

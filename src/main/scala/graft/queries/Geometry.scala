@@ -299,6 +299,27 @@ object Geometry {
       SELECT region_id,
         CAST(round(((w * h) + ((2.0 * (w + h)) * r) + ((16.0 * (r * r)) * sin(pi() / 16.0))) * 10000.0) AS BIGINT) AS grow_q,
         CAST(round(((w - (2.0 * r)) * (h - (2.0 * r))) * 10000.0) AS BIGINT) AS shrink_q
-      FROM withr"""))
+      FROM withr""")),
+
+    // §2.8 MakeValid (ogrgeometry.cpp:4183, even-odd linework rebuild):
+    // bowties repair to two lobes of area w·h/2; valid boxes pass through
+    // byte-identical. All repair coordinates are dyadic-exact, so the
+    // quantized shoelace (2·area·scale²) is pure integer SQL.
+    ("q92_make_valid", (s: SparkSession, dir: String) => {
+      Fixtures.invalidPolysFromNation(s, dir)
+        .select(col("geom_id"),
+          st_is_valid(col("wkb")).as("was_valid"),
+          st_area2_q(st_make_valid(col("wkb")), lit(1e6)).as("area2_q"))
+    }, Some("""
+      WITH mv AS (
+        SELECT CAST(n_nationkey AS BIGINT) AS geom_id,
+               (n_nationkey % 2) = 1 AS was_valid,
+               CAST(2 + ((n_nationkey % 5) * 2) AS BIGINT) AS w,
+               CAST(2 + ((n_nationkey % 3) * 2) AS BIGINT) AS h
+        FROM nation)
+      SELECT geom_id, was_valid,
+        CASE WHEN was_valid THEN ((2 * w) * h) * 1000000000000
+             ELSE (w * h) * 1000000000000 END AS area2_q
+      FROM mv"""))
   )
 }
