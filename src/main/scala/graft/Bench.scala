@@ -17,7 +17,10 @@ object Bench {
     "q35_focal_dem", "q36_sample_at", "q38_contour",
     "q40_dedup_exact", "q44_cosine_topk", "q46_minhash_lsh", "q50_ann_lsh",
     // round-2 operator families
-    "q61_layer_intersection", "q64_dissolve", "q67_zonal_full", "q70_grid_nearest")
+    "q61_layer_intersection", "q64_dissolve", "q67_zonal_full", "q70_grid_nearest",
+    // round-3 operator families
+    "q85_sql_intersects_join", "q86_line_clip", "q87_buffer", "q88_grid_linear",
+    "q89_density_mosaic", "q90_grid_data_metrics", "q92_make_valid")
 
   def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()

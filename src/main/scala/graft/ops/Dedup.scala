@@ -62,8 +62,17 @@ object Dedup {
     // scale signature computation dominates dedup cost. Released by the
     // harness via pipeline.Caches.release() after materialization.
     val banded = graft.pipeline.Caches.persist(sig.select(col("id"), posexplode(
-      // hash each band's slice to one long key
-      expr(s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b*$rows + 1, $rows)))")
+      // Band key = XOR of each slice element rotated left by 13·position.
+      // Positional rotations make the key order-sensitive; pure bit ops
+      // (no multiply) keep it ANSI-overflow-safe AND exactly replicable
+      // in the DuckDB oracle (rot-left = HUGEINT mul/div, XOR = bit_xor),
+      // unlike Spark's internal Murmur3 hash().
+      expr(s"""transform(sequence(0, ${bands - 1}), b ->
+        aggregate(
+          transform(sequence(0, ${rows - 1}), i ->
+            shiftleft(element_at(sig, b*$rows + i + 1), CAST((13*i) % 64 AS INT)) |
+            shiftrightunsigned(element_at(sig, b*$rows + i + 1), CAST((64 - ((13*i) % 64)) % 64 AS INT))),
+          0L, (acc, x) -> acc ^ x))""")
     ).as(Seq("band", "bkey"))))
     val capped = capBuckets(banded, maxBucket)
     capped.as("a").join(capped.as("b"),

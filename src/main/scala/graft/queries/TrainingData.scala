@@ -17,6 +17,77 @@ object TrainingData {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  // ---- SQL re-derivations of the hash kernels (TextKernels.scala) ----
+  // DuckDB BIGINT arithmetic is overflow-checked, so every 2^64 wrap
+  // routes through HUGEINT `% 2^64` and casts back to UBIGINT; signed
+  // comparisons convert explicitly. These helpers are shared by the
+  // q46/q47/q48/q52 oracles.
+
+  /** 2^64 as a decimal literal. */
+  private val U64 = "18446744073709551616"
+
+  /** FNV-1a 64 over the `n`-char substring of `col` starting at 1-based
+    * index `i` — unrolled (no recursion), yields UBIGINT. */
+  private def fnvSql(colName: String, i: String, n: Int): String =
+    (0 until n).foldLeft("CAST(14695981039346656037 AS UBIGINT)") { (h, k) =>
+      val c = s"CAST(unicode(substr($colName, $i + $k, 1)) AS UBIGINT)"
+      s"CAST(((CAST(xor($h, $c) AS HUGEINT) * 1099511628211) % $U64) AS UBIGINT)"
+    }
+
+  /** CTE chain computing every doc's simhash64: whitespace tokens →
+    * per-token FNV-1a via a recursive CTE → 64 generated bit-vote sums
+    * (no 64× explode) → `shu(doc_id, u UBIGINT)`, 0 for token-free docs.
+    * Must be spliced after `WITH RECURSIVE`. */
+  private def simhashCtes: String = {
+    val votes = (0 until 64)
+      .map(b => s"sum(CAST((h >> $b) & 1 AS BIGINT)) AS c$b").mkString(", ")
+    val bits = (0 until 64)
+      .map(b => s"CASE WHEN (2*c$b) > n THEN CAST(${java.math.BigInteger.ONE.shiftLeft(b)} AS HUGEINT) ELSE CAST(0 AS HUGEINT) END")
+      .mkString(" + ")
+    s"""toks0 AS (
+        SELECT doc_id, t.tok FROM documents,
+          LATERAL (SELECT unnest(string_split_regex(text, '\\s+')) AS tok) t
+        WHERE t.tok <> ''),
+      toks AS (SELECT row_number() OVER (ORDER BY doc_id) AS rid, doc_id, tok FROM toks0),
+      fnv(rid, pos, h) AS (
+        SELECT rid, 0, CAST(14695981039346656037 AS UBIGINT) FROM toks
+        UNION ALL
+        SELECT f.rid, f.pos + 1,
+          CAST(((CAST(xor(f.h, CAST(unicode(substr(t.tok, f.pos + 1, 1)) AS UBIGINT)) AS HUGEINT)
+                 * 1099511628211) % $U64) AS UBIGINT)
+        FROM fnv f JOIN toks t ON t.rid = f.rid
+        WHERE f.pos < length(t.tok)),
+      tokh AS (
+        SELECT t.doc_id, f.h FROM fnv f JOIN toks t ON t.rid = f.rid WHERE f.pos = length(t.tok)),
+      votes AS (SELECT doc_id, count(*) AS n, $votes FROM tokh GROUP BY doc_id),
+      shx AS (SELECT doc_id, ($bits) AS u FROM votes),
+      shu AS (
+        SELECT d.doc_id, CAST(coalesce(s.u, CAST(0 AS HUGEINT)) AS UBIGINT) AS u
+        FROM documents d LEFT JOIN shx s ON d.doc_id = s.doc_id)"""
+  }
+
+  /** `(band, divisor, mask)` VALUES rows mirroring Dedup.simhashCandidates'
+    * chunk layout: chunk c covers bits [64c/n, 64(c+1)/n). */
+  private def chunkDef(n: Int): String =
+    (0 until n).map { c =>
+      val s = 64 * c / n
+      val len = 64 * (c + 1) / n - s
+      val mask = java.math.BigInteger.ONE.shiftLeft(len).subtract(java.math.BigInteger.ONE)
+      s"($c, CAST(${java.math.BigInteger.ONE.shiftLeft(s)} AS UBIGINT), CAST($mask AS UBIGINT))"
+    }.mkString(", ")
+
+  /** CTEs deriving simhash candidate pairs `cand(id_a, id_b, hamming)`
+    * (expects `shu` from [[simhashCtes]] in scope). */
+  private def simhashPairCtes(nChunks: Int): String = s"""
+      cdef(band, dv, mask) AS (VALUES ${chunkDef(nChunks)}),
+      chunks AS (
+        SELECT doc_id, u, c.band, (u // c.dv) & c.mask AS val FROM shu, cdef c),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.u, b.u)) AS INT) AS hamming
+        FROM chunks a JOIN chunks b
+          ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id)"""
+
   val defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
     // exact dedup on content hash
@@ -106,25 +177,95 @@ object TrainingData {
               FROM unnest(generate_series(1, 64)) AS t(i)) AS qnorm2
       FROM embeddings""")),
 
-    // ---- rows-only (hash-family internals; ScalaTest covers semantics) ----
-
+    // MinHash-LSH, fully oracle-backed: distinct 5-shingle FNV set →
+    // 64 Broder permutations (a·h+b mod 2^64 via 32-bit-split mulmod,
+    // HUGEINT-safe) → SIGNED minima (Scala Long compare) → per-band
+    // rotate-xor key (bit_xor aggregate — XOR of positional rotations is
+    // order-free) → bucket self-join pair counts. Assumes every doc is
+    // ≥ shingle chars (corpus min length 44; the Scala kernel's short-text
+    // branch is spec-covered).
     ("q46_minhash_lsh", (s: SparkSession, dir: String) => {
       Dedup.minhashCandidates(docs(s, dir), k = 64, bands = 16, shingle = 5)
-    }, None),
+    }, Some {
+      val k = 64; val bands = 16; val rows = k / bands; val sh = 5
+      val perms = (0 until k).map { j =>
+        (j, graft.text.TextKernels.splitmix64(2 * j + 1) | 1L,
+          graft.text.TextKernels.splitmix64(2 * j + 2))
+      }
+      val permVals = perms.map { case (j, a, b) =>
+        val alo = a & 0xFFFFFFFFL; val ahi = a >>> 32
+        s"($j, $alo, $ahi, CAST('${java.lang.Long.toUnsignedString(b)}' AS HUGEINT))"
+      }.mkString(", ")
+      val rotCase = "CASE (j % " + rows + ") " + (0 until rows).map { i =>
+        val r = (13 * i) % 64
+        if (r == 0) s"WHEN $i THEN u"
+        else s"WHEN $i THEN ((u * ${java.math.BigInteger.ONE.shiftLeft(r)}) % $U64) + (u // ${java.math.BigInteger.ONE.shiftLeft(64 - r)})"
+      }.mkString(" ") + " END"
+      s"""
+      WITH perm(j, alo, ahi, b) AS (VALUES $permVals),
+      sh5 AS (
+        SELECT DISTINCT doc_id, ${fnvSql("text", "i.i", sh)} AS h
+        FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - ${sh - 1})) AS i) i),
+      hsplit AS (
+        SELECT doc_id, CAST(h AS HUGEINT) % 4294967296 AS hlo,
+               CAST(h AS HUGEINT) // 4294967296 AS hhi FROM sh5),
+      mh AS (
+        SELECT doc_id, j,
+          min(CAST(CASE WHEN v >= 9223372036854775808 THEN v - $U64 ELSE v END AS BIGINT)) AS sigj
+        FROM (
+          SELECT s.doc_id, p.j,
+            (((p.alo * s.hlo + ((p.alo * s.hhi + p.ahi * s.hlo) % 4294967296) * 4294967296) % $U64) + p.b) % $U64 AS v
+          FROM hsplit s, perm p)
+        GROUP BY doc_id, j),
+      msig AS (
+        SELECT doc_id, j,
+          CASE WHEN sigj < 0 THEN CAST(sigj AS HUGEINT) + $U64 ELSE CAST(sigj AS HUGEINT) END AS u
+        FROM mh),
+      banded AS (
+        SELECT doc_id, j // $rows AS band, bit_xor(CAST(($rotCase) AS UBIGINT)) AS bkey
+        FROM msig GROUP BY doc_id, band)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      GROUP BY 1, 2"""
+    }),
 
-    // nChunks = 11 ⇒ pigeonhole guarantees recall for Hamming ≤ 10
+    // nChunks = 11 ⇒ pigeonhole guarantees recall for Hamming ≤ 10.
+    // Oracle: the full simhash64 re-derivation (see simhashCtes) + the
+    // chunk-bucket join and exact Hamming filter.
     ("q47_simhash_neardup", (s: SparkSession, dir: String) => {
       Dedup.simhashCandidates(docs(s, dir), maxHamming = 10, nChunks = 11)
-    }, None),
+    }, Some(s"""
+      WITH RECURSIVE $simhashCtes,
+      ${simhashPairCtes(11)}
+      SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 10""")),
 
     // 4-chunk simhash here is a HEURISTIC pre-filter (recall guaranteed
-    // only to Hamming ≤ 3) feeding the exact Jaccard verify
+    // only to Hamming ≤ 3) feeding the exact Jaccard verify. Oracle =
+    // simhash candidate derivation + the q53 distinct-trigram overlap.
     ("q48_ngram_jaccard", (s: SparkSession, dir: String) => {
       val cand = Dedup.simhashCandidates(docs(s, dir), maxHamming = 16)
         .select(col("id_a"), col("id_b"))
       Dedup.jaccardVerify(cand, docs(s, dir), shingle = 3)
         .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
-    }, None),
+    }, Some(s"""
+      WITH RECURSIVE $simhashCtes,
+      ${simhashPairCtes(4)},
+      cd AS (SELECT id_a, id_b FROM cand WHERE hamming <= 16),
+      tri AS (
+        SELECT DISTINCT doc_id, substr(text, i, 3) AS g
+        FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - 2)) AS i)),
+      sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+      ov AS (
+        SELECT p.id_a, p.id_b, count(*) AS inter
+        FROM cd p JOIN tri a ON a.doc_id = p.id_a JOIN tri b ON b.doc_id = p.id_b AND a.g = b.g
+        GROUP BY p.id_a, p.id_b)
+      SELECT p.id_a, p.id_b,
+        CAST(coalesce(o.inter, 0) AS INT) AS inter,
+        CAST(sa.n + sb.n - coalesce(o.inter, 0) AS INT) AS uni
+      FROM cd p
+      JOIN sizes sa ON sa.doc_id = p.id_a JOIN sizes sb ON sb.doc_id = p.id_b
+      LEFT JOIN ov o ON o.id_a = p.id_a AND o.id_b = p.id_b""")),
 
     // language ID is pure token/stopword counting — fully re-derived in
     // SQL (tokens = whitespace split; score = stopword hits; tie → CJK
@@ -163,13 +304,38 @@ object TrainingData {
       FROM toks t JOIN best b ON t.doc_id = b.doc_id AND b.rn = 1"""
     }),
 
-    // document fingerprinting + simhash (rolling/hash internals — not
-    // SQL-expressible; specs pin determinism and order sensitivity)
+    // document fingerprinting + simhash, fully oracle-backed: the rolling
+    // Rabin hash (base 257 mod 2^61−1) re-derives as Σ c·257^(L−i) mod p
+    // over a recursive power table, and FNV-1a 64 re-derives per token via
+    // a recursive CTE with HUGEINT 2^64-wraparound multiply — DuckDB's
+    // checked BIGINT overflow is dodged by routing every wrap through
+    // HUGEINT and casting back to UBIGINT. Bit votes avoid a 64× explode
+    // by summing 64 generated CASE columns.
     ("q52_fingerprints", (s: SparkSession, dir: String) => {
       docs(s, dir).select(col("doc_id"),
         doc_fingerprint(col("text")).as("fingerprint"),
         simhash64(col("text")).as("simhash"))
-    }, None),
+    }, Some(s"""
+      WITH RECURSIVE
+      powers(e, pw) AS (
+        SELECT 0, CAST(1 AS HUGEINT)
+        UNION ALL
+        SELECT e + 1, (pw * 257) % 2305843009213693951
+        FROM powers WHERE e + 1 < (SELECT coalesce(max(length(text)), 1) FROM documents)),
+      $simhashCtes,
+      chars AS (
+        SELECT doc_id, length(text) AS L, i.i, CAST(unicode(substr(text, i.i, 1)) AS HUGEINT) AS c
+        FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text))) AS i) i),
+      fp AS (
+        SELECT doc_id,
+          CAST(sum((c * p.pw) % 2305843009213693951) % 2305843009213693951 AS BIGINT) AS fingerprint
+        FROM chars JOIN powers p ON p.e = L - i
+        GROUP BY doc_id)
+      SELECT d.doc_id,
+        coalesce(f.fingerprint, 0) AS fingerprint,
+        CAST(CASE WHEN s.u >= 9223372036854775808 THEN CAST(s.u AS HUGEINT) - $U64
+                  ELSE CAST(s.u AS HUGEINT) END AS BIGINT) AS simhash
+      FROM documents d LEFT JOIN fp f ON d.doc_id = f.doc_id JOIN shu s ON d.doc_id = s.doc_id""")),
 
     // exact 3-gram Jaccard over a DETERMINISTIC pair list (consecutive
     // doc ids) — the verify kernel itself under the oracle (distinct
@@ -203,13 +369,57 @@ object TrainingData {
       JOIN sizes sb ON sb.doc_id = p.id_b
       LEFT JOIN ov o ON o.id_a = p.id_a AND o.id_b = p.id_b""")),
 
+    // LSH ANN, fully oracle-backed: the 16-bit Rademacher hyperplane
+    // signature is an exact int64 sum (quantized components × precomputed
+    // ±1 signs — the 16×64 sign table from splitmix64 is embedded as
+    // VALUES rows), bands join on 4-bit slices, and the exact qdot
+    // ranking reuses the q44 oracle shape.
     ("q50_ann_lsh", (s: SparkSession, dir: String) => {
       val e = emb(s, dir)
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val cands = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
       Ann.lshTopK(queries, cands, k = 5, nBits = 16, bands = 4)
-    }, None),
+    }, Some {
+      val nBits = 16; val bands = 4; val rowsPerBand = nBits / bands
+      val mask = (1L << rowsPerBand) - 1
+      val dims = 64; val seed = 42L
+      val signVals = (for {
+        b <- 0 until nBits
+        j <- 0 until dims
+      } yield {
+        val s = if ((graft.text.TextKernels.splitmix64(seed + b * 131071L + j) & 1L) == 0L) 1 else -1
+        s"($b, $j, $s)"
+      }).mkString(", ")
+      s"""
+      WITH signs(b, j, s) AS (VALUES $signVals),
+      acc AS (
+        SELECT e.vec_id, s.b,
+          sum(CAST(floor((CAST(e.embedding[s.j + 1] AS DOUBLE) * 1048576.0) + 0.5) AS BIGINT) * s.s) AS a
+        FROM embeddings e, signs s GROUP BY 1, 2),
+      sig AS (
+        SELECT vec_id,
+          CAST(sum(CASE WHEN a >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sigv
+        FROM acc GROUP BY vec_id),
+      bnd AS (
+        SELECT vec_id, t.band, (sigv >> (t.band * $rowsPerBand)) & $mask AS bkey
+        FROM sig, LATERAL (SELECT unnest(generate_series(0, ${bands - 1})) AS band) t),
+      pairs AS (
+        SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+        FROM bnd q JOIN bnd c ON q.band = c.band AND q.bkey = c.bkey
+        WHERE q.vec_id < 10),
+      scored AS (
+        SELECT p.q_id, p.c_id,
+          (SELECT CAST(sum(CAST(round((CAST(qe.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE)) * ${Ann.Scale}) AS BIGINT)) AS BIGINT)
+           FROM unnest(generate_series(1, $dims)) AS t(i)) AS score
+        FROM pairs p
+        JOIN embeddings qe ON qe.vec_id = p.q_id
+        JOIN embeddings ce ON ce.vec_id = p.c_id)
+      SELECT q_id, c_id, score, rank FROM (
+        SELECT q_id, c_id, score,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS INT) AS rank
+        FROM scored) WHERE rank <= 5"""
+    }),
 
     // multimodal: opaque binary + typed metadata → decode/feature plumbing
     // (image decode is real JVM code; see q30 for stats — here: per-format

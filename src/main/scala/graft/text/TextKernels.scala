@@ -158,16 +158,20 @@ object TextKernels {
   }
 
   /** Rademacher random-hyperplane signature of an embedding: bit b set iff
-    * Σ_j v_j · s_{b,j} ≥ 0, signs pseudo-random ±1 from splitmix64. */
+    * Σ_j round(v_j·2^20) · s_{b,j} ≥ 0, signs pseudo-random ±1 from
+    * splitmix64. Components quantize to 1/2^20 units (the Ann.Scale
+    * discipline) so the sum is EXACT int64 — order-free across any
+    * iteration/aggregation order, and bit-replicable by a SQL oracle
+    * (Math.round(double) = floor(x+0.5), spelled that way in SQL). */
   def rademacherSig(vec: Array[Double], nBits: Int, seed: Long): Long = {
     var out = 0L
     var b = 0
     while (b < nBits) {
-      var acc = 0.0
+      var acc = 0L
       var j = 0
       while (j < vec.length) {
-        val s = if ((splitmix64(seed + b * 131071L + j) & 1L) == 0L) 1.0 else -1.0
-        acc += vec(j) * s
+        val s = if ((splitmix64(seed + b * 131071L + j) & 1L) == 0L) 1L else -1L
+        acc += math.round(vec(j) * 1048576.0) * s
         j += 1
       }
       if (acc >= 0) out |= (1L << b)
