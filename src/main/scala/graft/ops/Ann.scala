@@ -30,7 +30,8 @@ object Ann {
     * per-query top-k window. */
   def bruteTopK(queries: DataFrame, cands: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id"))
-    cands.crossJoin(broadcast(queries))
+    // the scoring scan must fan across cores even for narrow-split inputs
+    graft.pipeline.Spread.toCores(cands).crossJoin(broadcast(queries))
       .withColumn("score", qdot("q_emb", "c_emb"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -57,8 +58,9 @@ object Ann {
         .select(col(idCol), posexplode(
           expr(s"transform(sequence(0, ${bands - 1}), b -> (__sig >> (b * $rowsPerBand)) & $mask)"))
           .as(Seq("band", "bkey")))
+    val spreadCands = graft.pipeline.Spread.toCores(cands)
     val qb = banded(queries, "q_id", "q_emb")
-    val cb = banded(cands, "c_id", "c_emb")
+    val cb = banded(spreadCands, "c_id", "c_emb")
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id"))
     qb.join(cb, Seq("band", "bkey"))
       .select(col("q_id"), col("c_id"))
