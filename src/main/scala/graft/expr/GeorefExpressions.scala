@@ -1,0 +1,88 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import graft.core.{GcpPoly, Rpc, Tps}
+
+/** GCP transformer expressions (alg/gdal_crs.cpp, thinplatespline.cpp,
+  * gdal_rpc.cpp). The fitted coefficient payload rides the expression via
+  * `ctx.addReferenceObj` — the fit happens once on the driver (GCP counts
+  * are O(10²)); the per-row work is pure codegen'd arithmetic. */
+object GeorefEval {
+  def gcp(fit: AnyRef, x: Double, y: Double): ArrayData = {
+    val (tx, ty) = fit.asInstanceOf[GcpPoly.Fit](x, y)
+    new GenericArrayData(Array(tx, ty))
+  }
+
+  def tps(fit: AnyRef, x: Double, y: Double): ArrayData = {
+    val (tx, ty) = fit.asInstanceOf[Tps.Fit](x, y)
+    new GenericArrayData(Array(tx, ty))
+  }
+
+  def rpcFwd(model: AnyRef, lon: Double, lat: Double, h: Double): ArrayData = {
+    val (px, py) = Rpc.forward(model.asInstanceOf[Rpc], lon, lat, h)
+    new GenericArrayData(Array(px, py))
+  }
+
+  def rpcInv(model: AnyRef, px: Double, py: Double, h: Double): ArrayData = {
+    val (lon, lat) = Rpc.inverse(model.asInstanceOf[Rpc], px, py, h)
+    new GenericArrayData(Array(lon, lat))
+  }
+}
+
+/** gcp_poly_transform(x, y) with a driver-fitted polynomial → [tx, ty]. */
+case class GcpPolyEval(left: Expression, right: Expression, fit: GcpPoly.Fit)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "gcp_poly_transform"
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    GeorefEval.gcp(fit, x.asInstanceOf[Double], y.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gcpFit", fit, "java.lang.Object")
+    defineCodeGen(ctx, ev, (x, y) => s"graft.expr.GeorefEval.gcp($ref, $x, $y)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GcpPolyEval =
+    copy(left = l, right = r)
+}
+
+/** tps_transform(x, y) with a driver-fitted thin plate spline → [tx, ty]. */
+case class TpsEval(left: Expression, right: Expression, fit: Tps.Fit)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "tps_transform"
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    GeorefEval.tps(fit, x.asInstanceOf[Double], y.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tpsFit", fit, "java.lang.Object")
+    defineCodeGen(ctx, ev, (x, y) => s"graft.expr.GeorefEval.tps($ref, $x, $y)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TpsEval =
+    copy(left = l, right = r)
+}
+
+/** rpc_forward(lon, lat, h) → [pixel, line]; inverse=true gives
+  * rpc_inverse(pixel, line, h) → [lon, lat]. */
+case class RpcEval(first: Expression, second: Expression, third: Expression,
+                   model: Rpc, inverse: Boolean)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType, DoubleType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = if (inverse) "rpc_inverse" else "rpc_forward"
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    if (inverse) GeorefEval.rpcInv(model, a.asInstanceOf[Double], b.asInstanceOf[Double], c.asInstanceOf[Double])
+    else GeorefEval.rpcFwd(model, a.asInstanceOf[Double], b.asInstanceOf[Double], c.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rpcModel", model, "java.lang.Object")
+    val fn = if (inverse) "rpcInv" else "rpcFwd"
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.expr.GeorefEval.$fn($ref, $a, $b, $c)")
+  }
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): RpcEval =
+    copy(first = a, second = b, third = c)
+}

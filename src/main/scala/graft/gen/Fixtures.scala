@@ -211,4 +211,64 @@ object Fixtures {
       .select(col("r_regionkey").cast("bigint").as("t_id"),
         (((col("r_regionkey") * 67) % 360) - 180 + 0.5).cast("double").as("t_lon"),
         (((col("r_regionkey") * 43) % 160) - 80 + 0.5).cast("double").as("t_lat"))
+
+  /** 25 control points on the 5×5 grid {0,6,..,24}² whose geo targets are
+    * an EXACT total-degree-2 map with coefficients on the 2⁻⁵ grid:
+    *   gx·32 = 64 + 96·px + 160·py + 2·px² + 4·px·py + 2·py²
+    *   gy·32 = −96 + 64·px − 32·py + px² − 2·px·py + py²
+    * A unique order-2 least-squares fit therefore recovers the map to
+    * solver precision (~1e-12), and transformed INTEGER points land on the
+    * 2⁻⁵ grid: round(value·256) is an exact-integer SQL oracle with a 0.5
+    * quantum against ~1e-7 drift (q93). */
+  def gcpQuadFromNation(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/nation.parquet")
+      .select(
+        ((col("n_nationkey") % 5) * 6).cast("double").as("px"),
+        (floor(col("n_nationkey") / 5) * 6).cast("double").as("py"))
+      .withColumn("gx",
+        (lit(64) + col("px") * 96 + col("py") * 160 + col("px") * col("px") * 2 +
+          col("px") * col("py") * 4 + col("py") * col("py") * 2) / 32.0)
+      .withColumn("gy",
+        (lit(-96) + col("px") * 64 - col("py") * 32 + col("px") * col("px") -
+          col("px") * col("py") * 2 + col("py") * col("py")) / 32.0)
+
+  /** Same 5×5 source grid with EXACTLY AFFINE geo targets (coefficients on
+    * the 2⁻² grid). The TPS interpolation system then has the affine map
+    * with zero RBF weights as its unique solution, so tps(anything) is the
+    * affine map to solver precision — SQL-closed-form everywhere (q94). */
+  def gcpAffineFromNation(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/nation.parquet")
+      .select(
+        ((col("n_nationkey") % 5) * 6).cast("double").as("px"),
+        (floor(col("n_nationkey") / 5) * 6).cast("double").as("py"))
+      .withColumn("gx", (lit(384) + col("px") * 192 + col("py") * 64) / 256.0)
+      .withColumn("gy", (lit(-512) + col("px") * 128 + col("py") * 320) / 256.0)
+
+  /** Deterministic RPC model with exact-binary coefficients (k/64 and
+    * k/512 with integer k): every coefficient, offset, and scale is an
+    * exact double, so the forward rational evaluation is a fixed sequence
+    * of exactly-rounded IEEE ops — bit-reproducible in any engine that
+    * mirrors the op order (q95's oracle does). Linear terms are pinned
+    * dominant so the map is invertible over the validity domain. */
+  lazy val benchRpc: Rpc = {
+    val sampNum = Array.tabulate(20)(i => if (i == 0) 0.0 else ((i * 7) % 11 - 5) / 64.0)
+      .updated(1, 1.0).updated(2, 0.125)
+    val sampDen = Array.tabulate(20)(i => if (i == 0) 1.0 else ((i * 3) % 5 - 2) / 512.0)
+    val lineNum = Array.tabulate(20)(i => if (i == 0) 0.0 else ((i * 13) % 11 - 5) / 64.0)
+      .updated(1, -0.0625).updated(2, 1.0)
+    val lineDen = Array.tabulate(20)(i => if (i == 0) 1.0 else ((i * 5) % 5 - 2) / 512.0)
+    Rpc(lineOff = 500, sampOff = 500, latOff = 20, longOff = 10, heightOff = 0,
+      lineScale = 500, sampScale = 500, latScale = 5, longScale = 5, heightScale = 100,
+      lineNum = lineNum, lineDen = lineDen, sampNum = sampNum, sampDen = sampDen)
+  }
+
+  /** RPC probe points: lon ∈ [5,15], lat ∈ [15,25], h ∈ [−40,40] — all
+    * inside the benchRpc validity domain (|normalized| ≤ 1). Every op here
+    * is mirrored verbatim in the q95 oracle SQL. */
+  def rpcPointsFromOrders(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").as("id"),
+        (lit(5.0) + ((col("o_orderkey") * 13) % 101).cast("double") / 10.0).as("lon"),
+        (lit(15.0) + ((col("o_orderkey") * 7) % 101).cast("double") / 10.0).as("lat"),
+        (((col("o_orderkey") * 3) % 81) - 40).cast("double").as("h"))
 }

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.{GcpPoly, Rpc, Tps}
+import graft.expr.{GcpPolyEval, RpcEval, TpsEval}
+import org.apache.spark.sql.graft.Bridge.{column => toCol, expression => toExpr}
+
+/** DataFrame surface for the GCP transformer family (alg/gdal_crs.cpp,
+  * thinplatespline.cpp, gdal_rpc.cpp; SURVEY.md §2.8 transformers).
+  *
+  * Shape at scale: the GCP layer is collected on the driver (guarded —
+  * control-point lists are O(10²) by nature, like the reference's
+  * in-memory GCP arrays) and fitted ONCE; the fitted coefficients ride
+  * broadcast inside a codegen'd expression, so transforming a 10¹¹-row
+  * point layer is an embarrassingly parallel map with no shuffle. */
+object Georef {
+
+  /** Hard cap on collected control points — a GCP set is not a layer.
+    * (The reference's transformers hold all GCPs in one malloc'd array;
+    * gdal_crs.cpp worst-case solves are O(n·c²) on one thread.) */
+  val MaxGcps = 100000
+
+  private def collect4(gcps: DataFrame, c1: String, c2: String, c3: String, c4: String)
+      : (Array[Double], Array[Double], Array[Double], Array[Double]) = {
+    val rows = gcps.select(
+      col(c1).cast("double"), col(c2).cast("double"),
+      col(c3).cast("double"), col(c4).cast("double")).limit(MaxGcps + 1).collect()
+    require(rows.length <= MaxGcps,
+      s"Georef: GCP side exceeds $MaxGcps rows — control points must be a small driver-side set")
+    (rows.map(_.getDouble(0)), rows.map(_.getDouble(1)),
+      rows.map(_.getDouble(2)), rows.map(_.getDouble(3)))
+  }
+
+  /** Fit forward+inverse polynomials from a GCP frame with columns
+    * (px, py, gx, gy). */
+  def fitGcpPoly(gcps: DataFrame, order: Int,
+                 pxCol: String = "px", pyCol: String = "py",
+                 gxCol: String = "gx", gyCol: String = "gy"): GcpPoly.Both = {
+    val (px, py, gx, gy) = collect4(gcps, pxCol, pyCol, gxCol, gyCol)
+    GcpPoly.fitBoth(px, py, gx, gy, order)
+  }
+
+  /** Fit forward+inverse thin plate splines from a GCP frame. */
+  def fitTps(gcps: DataFrame,
+             pxCol: String = "px", pyCol: String = "py",
+             gxCol: String = "gx", gyCol: String = "gy"): Tps.Both = {
+    val (px, py, gx, gy) = collect4(gcps, pxCol, pyCol, gxCol, gyCol)
+    Tps.fitBoth(px, py, gx, gy)
+  }
+
+  /** GDALGCPsToGeoTransform over a GCP frame: order-1 fit as an affine
+    * geotransform usable by the warp/tiling operators. */
+  def gcpsToGeoTransform(gcps: DataFrame,
+                         pxCol: String = "px", pyCol: String = "py",
+                         gxCol: String = "gx", gyCol: String = "gy"): Option[Array[Double]] = {
+    val (px, py, gx, gy) = collect4(gcps, pxCol, pyCol, gxCol, gyCol)
+    GcpPoly.gcpsToGeoTransform(px, py, gx, gy)
+  }
+
+  /** [tx, ty] column from a fitted polynomial direction. */
+  def gcpPolyTransform(fit: GcpPoly.Fit, x: Column, y: Column): Column =
+    toCol(GcpPolyEval(toExpr(x), toExpr(y), fit))
+
+  /** [tx, ty] column from a fitted TPS direction. */
+  def tpsTransform(fit: Tps.Fit, x: Column, y: Column): Column =
+    toCol(TpsEval(toExpr(x), toExpr(y), fit))
+
+  /** [pixel, line] from (lon, lat, h) through an RPC model. */
+  def rpcForward(model: Rpc, lon: Column, lat: Column, h: Column): Column =
+    toCol(RpcEval(toExpr(lon), toExpr(lat), toExpr(h), model, inverse = false))
+
+  /** [lon, lat] from (pixel, line, h) through an RPC model (iterative). */
+  def rpcInverse(model: Rpc, px: Column, py: Column, h: Column): Column =
+    toCol(RpcEval(toExpr(px), toExpr(py), toExpr(h), model, inverse = true))
+}

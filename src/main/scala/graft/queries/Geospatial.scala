@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.expr.functions._
 import graft.gen.Fixtures
-import graft.ops.{Grid, Knn, SpatialJoin, Tiling}
+import graft.ops.{Georef, Grid, Knn, SpatialJoin, Tiling}
 
 /** Geospatial operator surface (SURVEY.md §2.3/§2.8) under the driver's
   * DuckDB oracle. Geometry derives deterministically from the TPC-H keys
@@ -128,6 +128,53 @@ object Geospatial {
   private def quadkeySql(tx: String, ty: String, z: Int): String =
     (z - 1).to(0, -1).map(b =>
       s"CAST((($tx >> $b) & 1) + (2 * (($ty >> $b) & 1)) AS VARCHAR)").mkString(" || ")
+
+  /** q95 oracle: the RPC forward map spelled in SQL with the kernel's
+    * exact op order (Rpc.terms/evalPoly/forward). Coefficients are emitted
+    * as k/512 exact-binary rationals from the SAME model object the Spark
+    * side evaluates, so both engines run the identical exactly-rounded op
+    * sequence — raw doubles compare bit-identically. */
+  private lazy val rpcForwardOracle: String = {
+    val m = Fixtures.benchRpc
+    def coef(c: Double): String = s"(CAST(${math.round(c * 512)} AS DOUBLE)/512)"
+    def tname(i: Int): String = i match {
+      case 0 => "CAST(1 AS DOUBLE)"
+      case 1 => "l"
+      case 2 => "p"
+      case 3 => "hh"
+      case n => s"t$n"
+    }
+    // RPCEvaluate: two accumulators over i += 2, then one final add
+    def poly(c: Array[Double]): String = {
+      val evens = (0 until 20 by 2).map(i => s"(${tname(i)} * ${coef(c(i))})").mkString(" + ")
+      val odds = (1 until 20 by 2).map(i => s"(${tname(i)} * ${coef(c(i))})").mkString(" + ")
+      s"(($evens) + ($odds))"
+    }
+    s"""
+      WITH rpts AS (
+        SELECT o_orderkey AS id,
+          (CAST(5 AS DOUBLE) + (CAST((o_orderkey * 13) % 101 AS DOUBLE) / CAST(10 AS DOUBLE))) AS lon,
+          (CAST(15 AS DOUBLE) + (CAST((o_orderkey * 7) % 101 AS DOUBLE) / CAST(10 AS DOUBLE))) AS lat,
+          CAST(((o_orderkey * 3) % 81) - 40 AS DOUBLE) AS h
+        FROM orders),
+      n AS (
+        SELECT id,
+          ((lon - CAST(10 AS DOUBLE)) / CAST(5 AS DOUBLE)) AS l,
+          ((lat - CAST(20 AS DOUBLE)) / CAST(5 AS DOUBLE)) AS p,
+          (h / CAST(100 AS DOUBLE)) AS hh
+        FROM rpts),
+      t AS (
+        SELECT id, l, p, hh,
+          (l*p) AS t4, (l*hh) AS t5, (p*hh) AS t6, (l*l) AS t7, (p*p) AS t8,
+          (hh*hh) AS t9, (l*p*hh) AS t10, (l*l*l) AS t11, (l*p*p) AS t12,
+          (l*hh*hh) AS t13, (l*l*p) AS t14, (p*p*p) AS t15, (p*hh*hh) AS t16,
+          (l*l*hh) AS t17, (p*p*hh) AS t18, (hh*hh*hh) AS t19
+        FROM n)
+      SELECT id,
+        ((${poly(m.sampNum)} / ${poly(m.sampDen)}) * CAST(500 AS DOUBLE) + CAST(500 AS DOUBLE)) AS samp,
+        ((${poly(m.lineNum)} / ${poly(m.lineDen)}) * CAST(500 AS DOUBLE) + CAST(500 AS DOUBLE)) AS line
+      FROM t"""
+  }
 
   val defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
@@ -357,6 +404,70 @@ object Geospatial {
         ((CAST(CAST(sum(CAST(floor(sqrt(dist2) * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
           / 1000000.0) / CAST(count(*) AS DOUBLE)) AS avg_dist_pts
       FROM pairs GROUP BY t_id""")),
+
+    // §2.8 transformers — GCP polynomial (alg/gdal_crs.cpp): the fixture's
+    // geo targets are an EXACT order-2 map with 2⁻⁵-grid coefficients, so
+    // the unique least-squares fit recovers it to ~1e-12 and transformed
+    // integer points land on the 2⁻⁵ grid — round(·×256) is exact-int SQL
+    // (drift ~1e-7 vs quantum 0.5). Fit on the driver (25 GCPs), apply as
+    // a codegen'd map over the point layer — no shuffle anywhere.
+    ("q93_gcp_poly", (s: SparkSession, dir: String) => {
+      val fit = Georef.fitGcpPoly(Fixtures.gcpQuadFromNation(s, dir), order = 2)
+      s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey").as("id"),
+          (col("o_orderkey") % 25).cast("double").as("ptx"),
+          ((col("o_orderkey") * 7) % 25).cast("double").as("pty"))
+        .withColumn("t", Georef.gcpPolyTransform(fit.fwd, col("ptx"), col("pty")))
+        .select(col("id"),
+          round(col("t")(0) * 256.0).cast("bigint").as("gx_q"),
+          round(col("t")(1) * 256.0).cast("bigint").as("gy_q"))
+    }, Some("""
+      SELECT o_orderkey AS id,
+        CAST((64 + 96*ptx + 160*pty + 2*ptx*ptx + 4*ptx*pty + 2*pty*pty) * 8 AS BIGINT) AS gx_q,
+        CAST((-96 + 64*ptx - 32*pty + ptx*ptx - 2*ptx*pty + pty*pty) * 8 AS BIGINT) AS gy_q
+      FROM (SELECT o_orderkey, o_orderkey % 25 AS ptx, (o_orderkey * 7) % 25 AS pty
+            FROM orders)""")),
+
+    // §2.8 transformers — thin plate spline (alg/thinplatespline.cpp):
+    // exactly-affine GCP targets force zero RBF weights, so the fitted
+    // spline IS the affine map everywhere (and its inverse fit the inverse
+    // affine) — closed-form SQL at any probe point. The roundtrip columns
+    // exercise the inverse direction: inv(fwd(p)) = p to solver precision,
+    // so round(·×256) returns the exact integer inputs.
+    ("q94_tps_transform", (s: SparkSession, dir: String) => {
+      val fit = Georef.fitTps(Fixtures.gcpAffineFromNation(s, dir))
+      s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").cast("bigint").as("id"),
+          (col("s_suppkey") % 31).cast("double").as("ptx"),
+          ((col("s_suppkey") * 3) % 31).cast("double").as("pty"))
+        .withColumn("t", Georef.tpsTransform(fit.fwd, col("ptx"), col("pty")))
+        .withColumn("r", Georef.tpsTransform(fit.inv, col("t")(0), col("t")(1)))
+        .select(col("id"),
+          round(col("t")(0) * 256.0).cast("bigint").as("gx_q"),
+          round(col("t")(1) * 256.0).cast("bigint").as("gy_q"),
+          round(col("r")(0) * 256.0).cast("bigint").as("rx_q"),
+          round(col("r")(1) * 256.0).cast("bigint").as("ry_q"))
+    }, Some("""
+      SELECT CAST(s_suppkey AS BIGINT) AS id,
+        CAST(384 + 192*ptx + 64*pty AS BIGINT) AS gx_q,
+        CAST(-512 + 128*ptx + 320*pty AS BIGINT) AS gy_q,
+        CAST(256*ptx AS BIGINT) AS rx_q,
+        CAST(256*pty AS BIGINT) AS ry_q
+      FROM (SELECT s_suppkey, s_suppkey % 31 AS ptx, (s_suppkey * 3) % 31 AS pty
+            FROM supplier)""")),
+
+    // §2.8 transformers — RPC forward (alg/gdal_rpc.cpp): every model
+    // constant is an exact binary rational (k/512), so the 20-term
+    // rational evaluation is a fixed sequence of exactly-rounded IEEE ops;
+    // the oracle mirrors the op order term-for-term (incl. the even/odd
+    // split summation of RPCEvaluate) and compares RAW DOUBLES
+    // bit-identically.
+    ("q95_rpc_forward", (s: SparkSession, dir: String) => {
+      val m = Fixtures.benchRpc
+      Fixtures.rpcPointsFromOrders(s, dir)
+        .withColumn("t", Georef.rpcForward(m, col("lon"), col("lat"), col("h")))
+        .select(col("id"), col("t")(0).as("samp"), col("t")(1).as("line"))
+    }, Some(rpcForwardOracle)),
 
     // §2.8 warp density masks: per-image alpha carried through the warp's
     // density plane, blended by the commutative DensityMosaic rule
