@@ -211,6 +211,35 @@ object Clip {
     t == Wkb.LineStringType || t == Wkb.MultiLineStringType
   }
 
+  @inline private def isPointType(wkb: Array[Byte]): Boolean = {
+    val t = Wkb.geomType(wkb)
+    t == Wkb.PointType || t == Wkb.MultiPointType
+  }
+
+  private def packPoints(coords: Array[Double]): Option[Array[Byte]] = {
+    if (coords.isEmpty) None
+    else if (coords.length == 2) Some(Wkb.writePoint(coords(0), coords(1)))
+    else Some(Wkb.writeMultiPoint(coords))
+  }
+
+  /** (Multi)Point ∩ polygon / − polygon: keep the members that fall
+    * inside / outside the clip (even-odd PIP, holes honored) — the
+    * point-layer row of the reference's type-generic layer algebra
+    * (ogrlayer.cpp:4004-4072 filter-refine over arbitrary geometry). */
+  private def selectPoints(subjectWkb: Array[Byte], clipWkb: Array[Byte],
+                           keepInside: Boolean): Option[Array[Byte]] = {
+    val pts = Wkb.read(subjectWkb).points
+    val kept = Array.newBuilder[Double]
+    var i = 0
+    while (i < pts.length) {
+      if (Pip.contains(clipWkb, pts(i), pts(i + 1)) == keepInside) {
+        kept += pts(i); kept += pts(i + 1)
+      }
+      i += 2
+    }
+    packPoints(kept.result())
+  }
+
   /** Inside parameter interval [t0,t1] of segment (ax,ay)→(bx,by) against
     * the convex region bounded by `edges` — Liang–Barsky/Cyrus–Beck
     * parametric clipping (the reference's line support in layer algebra,
@@ -312,6 +341,7 @@ object Clip {
     * line kernel (geometry-type-generic layer algebra,
     * ogrlayer.cpp:5385). */
   def intersection(subjectWkb: Array[Byte], clipWkb: Array[Byte]): Option[Array[Byte]] = {
+    if (isPointType(subjectWkb)) return selectPoints(subjectWkb, clipWkb, keepInside = true)
     if (isLineType(subjectWkb)) return intersectionLine(subjectWkb, clipWkb)
     val subject = Wkb.read(subjectWkb)
     val parts = clipPiecesOfWkb(clipWkb).flatMap { piece =>
@@ -325,6 +355,7 @@ object Clip {
     * clip generality as in intersection (sequential subtraction of its
     * convex pieces). */
   def difference(subjectWkb: Array[Byte], clipWkb: Array[Byte]): Option[Array[Byte]] = {
+    if (isPointType(subjectWkb)) return selectPoints(subjectWkb, clipWkb, keepInside = false)
     if (isLineType(subjectWkb)) return differenceLine(subjectWkb, clipWkb)
     val subject = Wkb.read(subjectWkb)
     var cur = subject.polygons

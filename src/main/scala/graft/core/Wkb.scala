@@ -15,6 +15,7 @@ object Wkb {
   val PointType = 1
   val LineStringType = 2
   val PolygonType = 3
+  val MultiPointType = 4
   val MultiLineStringType = 5
   val MultiPolygonType = 6
 
@@ -74,6 +75,18 @@ object Wkb {
     bb.array()
   }
 
+  def writeMultiPoint(coords: Array[Double]): Array[Byte] = {
+    val n = coords.length / 2
+    val bb = ByteBuffer.allocate(9 + n * 21).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(1: Byte).putInt(MultiPointType).putInt(n)
+    var i = 0
+    while (i < n) {
+      bb.put(1: Byte).putInt(PointType).putDouble(coords(i * 2)).putDouble(coords(i * 2 + 1))
+      i += 1
+    }
+    bb.array()
+  }
+
   // ---- reading -------------------------------------------------------------
 
   private def order(b: Array[Byte], off: Int): ByteOrder =
@@ -130,6 +143,19 @@ object Wkb {
     t match {
       case PointType =>
         Geom(t, Array.empty, Array(bb.getDouble, bb.getDouble))
+      case MultiPointType =>
+        val n = bb.getInt
+        val coords = new Array[Double](n * 2)
+        var i = 0
+        while (i < n) {
+          val innerOrder = if (bb.get() == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+          bb.order(innerOrder)
+          checkedType(bb.getInt)
+          coords(i * 2) = bb.getDouble
+          coords(i * 2 + 1) = bb.getDouble
+          i += 1
+        }
+        Geom(t, Array.empty, coords)
       case PolygonType =>
         Geom(t, Array(readPolygonBody(bb)), Array.empty)
       case MultiPolygonType =>
@@ -194,6 +220,15 @@ object Wkb {
     }
     checkedType(bb.getInt) match {
       case PointType => take()
+      case MultiPointType =>
+        val n = bb.getInt; var i = 0
+        while (i < n) {
+          val innerOrder = if (bb.get() == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+          bb.order(innerOrder)
+          checkedType(bb.getInt)
+          take()
+          i += 1
+        }
       case LineStringType =>
         val n = bb.getInt; var i = 0
         while (i < n) { take(); i += 1 }

@@ -320,6 +320,34 @@ object Geometry {
       SELECT geom_id, was_valid,
         CASE WHEN was_valid THEN ((2 * w) * h) * 1000000000000
              ELSE (w * h) * 1000000000000 END AS area2_q
-      FROM mv"""))
+      FROM mv""")),
+
+    // §2.3 point-subject layer algebra (completes the type-generic
+    // overlay: polygon q61/q62, line q86, point here — ogrlayer.cpp
+    // :4004-4072 filter-refine over arbitrary geometry pairs). Points ride
+    // the same cell equi-join; the kernel keeps the members inside the
+    // method geometry (even-odd PIP). Boxes sit on a +0.0005° offset vs
+    // the 10⁻³ point grid, so no point ever ties a boundary.
+    ("q96_point_overlay", (s: SparkSession, dir: String) => {
+      val pts = Fixtures.pointsFromOrders(s, dir)
+        .select(col("point_id"), st_make_point(col("lon"), col("lat")).as("wkb_a"))
+      LayerAlgebra.intersection(pts, regionLayer(s, dir),
+          "point_id", "region_id", "wkb_a", "wkb_b", level = 5)
+        .withColumn("env", st_env(col("geom")))
+        .select(col("point_id"), col("region_id"),
+          round(col("env")(0) * 1000000.0).cast("bigint").as("xq"),
+          round(col("env")(1) * 1000000.0).cast("bigint").as("yq"))
+    }, Some(s"""
+      WITH $BoxCte,
+      pts AS (
+        SELECT o_orderkey AS point_id,
+               ((((o_orderkey * 9973) % 360000) / 1000.0) - 180.0) AS lon,
+               ((((o_orderkey * 7919) % 170000) / 1000.0) - 85.0) AS lat
+        FROM orders)
+      SELECT point_id, region_id,
+        CAST(round(lon * 1000000.0) AS BIGINT) AS xq,
+        CAST(round(lat * 1000000.0) AS BIGINT) AS yq
+      FROM pts p JOIN boxes b
+        ON p.lon > b.minx AND p.lon < b.maxx AND p.lat > b.miny AND p.lat < b.maxy"""))
   )
 }

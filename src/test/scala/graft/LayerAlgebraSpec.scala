@@ -145,4 +145,42 @@ class LayerAlgebraSpec extends AnyFunSuite {
       .collect()(0).getDouble(0)
     assert(math.abs(n - 25.0) < 1e-9)
   }
+
+  test("point subjects: intersection keeps inside members, erase the outside ones") {
+    val box = Wkb.writeBox(0, 0, 10, 10)
+    val single = Wkb.writePoint(5, 5)
+    val outside = Wkb.writePoint(15, 5)
+    val multi = Wkb.writeMultiPoint(Array(1, 1, 15, 5, 9, 9, -3, 2))
+    // kernel level
+    assert(Clip.intersection(single, box).map(Wkb.read(_).points.toSeq).contains(Seq(5.0, 5.0)))
+    assert(Clip.intersection(outside, box).isEmpty)
+    assert(Clip.difference(outside, box).map(Wkb.read(_).points.toSeq).contains(Seq(15.0, 5.0)))
+    assert(Clip.intersection(multi, box).map(Wkb.read(_).points.toSeq).contains(Seq(1.0, 1.0, 9.0, 9.0)))
+    assert(Clip.difference(multi, box).map(Wkb.read(_).points.toSeq).contains(Seq(15.0, 5.0, -3.0, 2.0)))
+    // holes: a point inside the hole is NOT inside the polygon
+    val holed = Wkb.writePolygon(Array(
+      Array(0.0, 0, 10, 0, 10, 10, 0, 10, 0, 0),
+      Array(4.0, 4, 4, 6, 6, 6, 6, 4, 4, 4)))
+    assert(Clip.intersection(Wkb.writePoint(5, 5), holed).isEmpty)
+    assert(Clip.intersection(Wkb.writePoint(2, 2), holed).isDefined)
+    // operator level: one row per (point, region) containment
+    val pts = Seq((1L, Wkb.writePoint(5, 5)), (2L, Wkb.writePoint(15, 5)),
+      (3L, Wkb.writePoint(25, 5))).toDF("pid", "wkb_a")
+    val regions = Seq((10L, Wkb.writeBox(0, 0, 10, 10)), (20L, Wkb.writeBox(12, 0, 22, 10)))
+      .toDF("rid", "wkb_b")
+    val got = LayerAlgebra.intersection(pts, regions, "pid", "rid", "wkb_a", "wkb_b", level = 3)
+      .select("pid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, 20L)))
+    val erased = LayerAlgebra.erase(pts, regions, "pid", "rid", "wkb_a", "wkb_b", level = 3)
+      .select("pid").collect().map(_.getLong(0)).toSet
+    assert(erased == Set(3L))
+  }
+
+  test("multipoint WKB roundtrips through write/read/envelope") {
+    val coords = Array(1.5, -2.5, 30.25, 40.75, -5.0, 6.0)
+    val wkb = Wkb.writeMultiPoint(coords)
+    assert(Wkb.geomType(wkb) == Wkb.MultiPointType)
+    assert(Wkb.read(wkb).points.toSeq == coords.toSeq)
+    assert(Wkb.envelope(wkb) == ((-5.0, -2.5, 30.25, 40.75)))
+  }
 }
