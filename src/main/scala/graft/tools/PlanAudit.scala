@@ -13,7 +13,8 @@ object PlanAudit {
     val names = Seq("q05_filter_pred", "q02_groupby_agg", "q07_join_inner",
       "q22_pip_join", "q44_cosine_topk", "q16_events_window",
       "q61_layer_intersection", "q64_dissolve", "q67_zonal_full",
-      "q70_grid_nearest", "q50_ann_lsh")
+      "q70_grid_nearest", "q50_ann_lsh", "q93_gcp_poly", "q95_rpc_forward",
+      "q96_point_overlay")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       val df = graft.SparkEntry.queries(n)(spark, sf)
