@@ -14,7 +14,8 @@ object PlanAudit {
       "q22_pip_join", "q44_cosine_topk", "q16_events_window",
       "q61_layer_intersection", "q64_dissolve", "q67_zonal_full",
       "q70_grid_nearest", "q50_ann_lsh", "q93_gcp_poly", "q95_rpc_forward",
-      "q96_point_overlay")
+      "q96_point_overlay", "q85_sql_intersects_join", "q46_minhash_lsh",
+      "q87_buffer", "q88_grid_linear", "q89_density_mosaic")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       val df = graft.SparkEntry.queries(n)(spark, sf)
