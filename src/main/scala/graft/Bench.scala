@@ -20,7 +20,8 @@ object Bench {
     "q61_layer_intersection", "q64_dissolve", "q67_zonal_full", "q70_grid_nearest",
     // round-3 operator families
     "q85_sql_intersects_join", "q86_line_clip", "q87_buffer", "q88_grid_linear",
-    "q89_density_mosaic", "q90_grid_data_metrics", "q92_make_valid")
+    "q89_density_mosaic", "q90_grid_data_metrics", "q92_make_valid",
+    "q93_gcp_poly", "q95_rpc_forward", "q96_point_overlay", "q97_pansharpen")
 
   def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()

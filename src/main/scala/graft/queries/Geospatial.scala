@@ -405,6 +405,88 @@ object Geospatial {
           / 1000000.0) / CAST(count(*) AS DOUBLE)) AS avg_dist_pts
       FROM pairs GROUP BY t_id""")),
 
+    // §2.8 pansharpen — weighted-Brovey kernel (gdalpansharpen.cpp
+    // behavior) value-checked end-to-end on the lossless 3-band subset:
+    // the synthetic pan band, 2× ms downsample, quarter-offset bilinear
+    // upsample (dyadic-exact weights), 1/3-weight pseudo-pan, ratio
+    // multiply, and GDAL checksum are ALL mirrored op-for-op in SQL —
+    // every float op is either dyadic-exact or an identically-ordered
+    // exactly-rounded IEEE op, so checksum and mean compare bit-identically
+    // (q81 keeps the palette/dither half golden-only: median-cut recursion
+    // is not SQL-expressible).
+    ("q97_pansharpen", (s: SparkSession, dir: String) => {
+      Fixtures.imagesFromParts(s, dir)
+        .filter(col("w") <= 64 && col("key") % 2 === 1 && col("fmt") =!= "jpeg")
+        .withColumn("ps", pansharpen_profile(col("bytes"), col("fmt"), col("w"), col("h")))
+        .filter(col("ps").isNotNull)
+        .select(col("key"),
+          col("ps.checksums")(0).as("sharp_cks_b0"),
+          col("ps.mean").as("sharp_mean"))
+    }, Some("""
+      WITH keys AS (
+        SELECT p_partkey AS k,
+          CASE (p_partkey % 4) WHEN 0 THEN 16 WHEN 1 THEN 20 WHEN 2 THEN 64 ELSE 256 END AS sz
+        FROM part
+        WHERE (p_partkey % 2) = 1 AND (p_partkey % 3) <> 2),
+      k2 AS (SELECT k, sz, sz // 2 AS mw FROM keys WHERE sz <= 64),
+      -- 2x-downsampled ms band (all source bands are the same pattern):
+      -- floor(mean-of-2x2-block + 0.5), blocks always full (sz even)
+      g1 AS (SELECT k, sz, mw, unnest(generate_series(0, mw - 1)) AS mx FROM k2),
+      g2 AS (SELECT k, sz, mw, mx, unnest(generate_series(0, mw - 1)) AS my FROM g1),
+      msg AS (
+        SELECT k, mx, my,
+          CAST(floor((CAST(
+            (((2*mx)*7   + (2*my)*13   + k*31) % 256) +
+            (((2*mx+1)*7 + (2*my)*13   + k*31) % 256) +
+            (((2*mx)*7   + (2*my+1)*13 + k*31) % 256) +
+            (((2*mx+1)*7 + (2*my+1)*13 + k*31) % 256)
+            AS DOUBLE) / 4) + 0.5) AS BIGINT) AS m
+        FROM g2),
+      -- pan-resolution pixel grid with bilinear source cell + dyadic weights
+      p1 AS (SELECT k, sz, mw, unnest(generate_series(0, sz - 1)) AS x FROM k2),
+      p2 AS (SELECT k, sz, mw, x, unnest(generate_series(0, sz - 1)) AS y FROM p1),
+      pxc AS (
+        SELECT k, sz, x, y,
+          ((x*7 + y*13 + k*31) % 256) AS pan,
+          CASE WHEN x % 2 = 0 THEN x//2 - 1 ELSE (x - 1)//2 END AS x0,
+          CASE WHEN y % 2 = 0 THEN y//2 - 1 ELSE (y - 1)//2 END AS y0,
+          CASE WHEN x % 2 = 0 THEN CAST(0.75 AS DOUBLE) ELSE CAST(0.25 AS DOUBLE) END AS tx,
+          CASE WHEN y % 2 = 0 THEN CAST(0.75 AS DOUBLE) ELSE CAST(0.25 AS DOUBLE) END AS ty,
+          mw
+        FROM p2),
+      bil AS (
+        SELECT p.k, p.sz, p.x, p.y, p.pan,
+          ((((m00.m * (CAST(1 AS DOUBLE) - p.tx)) * (CAST(1 AS DOUBLE) - p.ty))
+            + ((m10.m * p.tx) * (CAST(1 AS DOUBLE) - p.ty)))
+            + ((m01.m * (CAST(1 AS DOUBLE) - p.tx)) * p.ty))
+            + ((m11.m * p.tx) * p.ty) AS u
+        FROM pxc p
+        JOIN msg m00 ON m00.k = p.k AND m00.mx = greatest(0, least(p.mw - 1, p.x0))
+                     AND m00.my = greatest(0, least(p.mw - 1, p.y0))
+        JOIN msg m10 ON m10.k = p.k AND m10.mx = greatest(0, least(p.mw - 1, p.x0 + 1))
+                     AND m10.my = greatest(0, least(p.mw - 1, p.y0))
+        JOIN msg m01 ON m01.k = p.k AND m01.mx = greatest(0, least(p.mw - 1, p.x0))
+                     AND m01.my = greatest(0, least(p.mw - 1, p.y0 + 1))
+        JOIN msg m11 ON m11.k = p.k AND m11.mx = greatest(0, least(p.mw - 1, p.x0 + 1))
+                     AND m11.my = greatest(0, least(p.mw - 1, p.y0 + 1))),
+      sharp AS (
+        SELECT k, sz, x, y,
+          CASE WHEN v0 < 0 THEN 0 WHEN v0 > 255 THEN 255 ELSE v0 END AS v
+        FROM (
+          SELECT k, sz, x, y,
+            CAST(floor((u * (CASE WHEN pseudo = 0 THEN CAST(0 AS DOUBLE)
+                             ELSE CAST(pan AS DOUBLE) / pseudo END)) + 0.5) AS BIGINT) AS v0
+          FROM (
+            SELECT k, sz, x, y, pan, u,
+              (((u * (CAST(1 AS DOUBLE)/3)) + (u * (CAST(1 AS DOUBLE)/3)))
+                + (u * (CAST(1 AS DOUBLE)/3))) AS pseudo
+            FROM bil)))
+      SELECT k AS key,
+        CAST(sum(v % ([7,11,13,17,19,23,29,31,37,41,43])[((y * sz + x) % 11) + 1]) % 65536 AS INT)
+          AS sharp_cks_b0,
+        (CAST(3 * sum(v) AS DOUBLE) / ((CAST(3 AS DOUBLE) * sz) * sz)) AS sharp_mean
+      FROM sharp GROUP BY k, sz""")),
+
     // §2.8 transformers — GCP polynomial (alg/gdal_crs.cpp): the fixture's
     // geo targets are an EXACT order-2 map with 2⁻⁵-grid coefficients, so
     // the unique least-squares fit recovers it to ~1e-12 and transformed
