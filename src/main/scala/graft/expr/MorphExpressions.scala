@@ -196,3 +196,30 @@ case class SliceRaster(children: Seq[Expression]) extends Expression with Expect
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): SliceRaster =
     copy(children = c)
 }
+
+/** viewshed_vis(bytes, fmt, w, h, ox, oy, obsH, tgtH) → array<int>
+  * visibility map (255/0, row-major) of the 1-band DEM from observer
+  * cell (ox, oy) — Wang propagation, Normal/Edge defaults
+  * (alg/viewshed/viewshed_executor.cpp; core.Viewshed). */
+case class ViewshedVis(children: Seq[Expression]) extends Expression with ExpectsInputTypes with CodegenFallback {
+  require(children.length == 8, "viewshed_vis(bytes, fmt, w, h, ox, oy, obsH, tgtH)")
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(BinaryType, StringType, IntegerType, IntegerType, IntegerType, IntegerType, DoubleType, DoubleType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "viewshed_vis"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    if (vals.exists(_ == null)) return null
+    val w = vals(2).asInstanceOf[Int]; val h = vals(3).asInstanceOf[Int]
+    val r = ImageCodec.decode(vals(0).asInstanceOf[Array[Byte]], vals(1).toString, w, h)
+    val vis = Viewshed.viewshed(r.bands(0), w, h,
+      vals(4).asInstanceOf[Int], vals(5).asInstanceOf[Int],
+      vals(6).asInstanceOf[Double], vals(7).asInstanceOf[Double])
+    new GenericArrayData(vis)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): ViewshedVis =
+    copy(children = c)
+}

@@ -116,6 +116,11 @@ object functions {
   def sample_at_alg(bytes: Column, fmt: Column, meta9: Column, lon: Column, lat: Column, alg: Column): Column =
     toCol(SampleAtAlg(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(lon), toExpr(lat), toExpr(alg))))
 
+  def viewshed_vis(bytes: Column, fmt: Column, w: Column, h: Column,
+                   ox: Column, oy: Column, obsH: Column, tgtH: Column): Column =
+    toCol(ViewshedVis(Seq(toExpr(bytes), toExpr(fmt), toExpr(w), toExpr(h),
+      toExpr(ox), toExpr(oy), toExpr(obsH), toExpr(tgtH))))
+
   def sieve_stats(bytes: Column, fmt: Column, meta9: Column, shift: Column, threshold: Column, connect8: Column): Column =
     toCol(SieveStats(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(shift), toExpr(threshold), toExpr(connect8))))
 

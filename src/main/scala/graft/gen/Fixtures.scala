@@ -262,6 +262,36 @@ object Fixtures {
       lineNum = lineNum, lineDen = lineDen, sampNum = sampNum, sampDen = sampDen)
   }
 
+  /** 33×33 single-band DEMs from nation keys: flat 0 with a square wall
+    * ring of height 22+4·(k%11) at Chebyshev distance 3+k%5 around the
+    * center. With observer height 2 at the center, visibility is
+    * combinatorially determined with structural float margins (see the
+    * q98 oracle derivation): interior cells keep adjusted height exactly
+    * −2 and propagate minZ = −2·j/(j−1) (margin ≥ 2/32); ring cells are
+    * 20–60 above that; behind-ring minZ ≥ (wallH−2)·j/(j−1) ≥ 20 vs −2.
+    * Drift ~1e-12 can never flip a verdict. */
+  def demsFromNation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/nation.parquet").select(col("n_nationkey").cast("int")).as[Int]
+      .map { k =>
+        val w = 33
+        val dw = 3 + k % 5
+        val wallH = 22 + (k % 11) * 4
+        val band = new Array[Int](w * w)
+        var y = 0
+        while (y < w) {
+          var x = 0
+          while (x < w) {
+            if (math.max(math.abs(x - 16), math.abs(y - 16)) == dw) band(y * w + x) = wallH
+            x += 1
+          }
+          y += 1
+        }
+        (k.toLong, ImageCodec.encodeRaw(Raster(w, w, Array(band))), w, w)
+      }
+      .toDF("dem_id", "bytes", "w", "h")
+  }
+
   /** RPC probe points: lon ∈ [5,15], lat ∈ [15,25], h ∈ [−40,40] — all
     * inside the benchRpc validity domain (|normalized| ≤ 1). Every op here
     * is mirrored verbatim in the q95 oracle SQL. */

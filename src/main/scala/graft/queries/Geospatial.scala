@@ -487,6 +487,32 @@ object Geospatial {
         (CAST(3 * sum(v) AS DOUBLE) / ((CAST(3 AS DOUBLE) * sz) * sz)) AS sharp_mean
       FROM sharp GROUP BY k, sz""")),
 
+    // §2.8 viewshed (alg/viewshed/viewshed_executor.cpp Wang propagation,
+    // Normal/Edge defaults): flat DEM + square wall ring at Chebyshev
+    // distance dw ⇒ every cell's visibility is combinatorially
+    // Chebyshev(cell) <= dw, with STRUCTURAL float margins (interior
+    // minZ = −2j/(j−1) vs adjusted −2 ⇒ margin ≥ 2/32; behind-ring
+    // minZ ≥ (wallH−2)·j/(j−1) ≥ 20 vs −2) that ~1e-12 drift cannot
+    // flip — so the full 33×33 visibility raster has a pure-integer
+    // oracle. ViewshedSpec separately pins the propagation against an
+    // exact-rational 1-D rule on arbitrary DEMs.
+    ("q98_viewshed", (s: SparkSession, dir: String) => {
+      Fixtures.demsFromNation(s, dir)
+        .withColumn("vis", viewshed_vis(col("bytes"), lit("raw"), col("w"), col("h"),
+          lit(16), lit(16), lit(2.0), lit(0.0)))
+        .select(col("dem_id"), posexplode(col("vis")).as(Seq("idx", "v")))
+        .select(col("dem_id"),
+          (col("idx") % 33).as("x"), (col("idx") / 33).cast("int").as("y"), col("v"))
+    }, Some("""
+      WITH g1 AS (SELECT CAST(n_nationkey AS BIGINT) AS dem_id,
+                         3 + (n_nationkey % 5) AS dw,
+                         unnest(generate_series(0, 32)) AS y
+                  FROM nation),
+      g2 AS (SELECT dem_id, dw, y, unnest(generate_series(0, 32)) AS x FROM g1)
+      SELECT dem_id, CAST(x AS INT) AS x, CAST(y AS INT) AS y,
+        CASE WHEN greatest(abs(x - 16), abs(y - 16)) <= dw THEN 255 ELSE 0 END AS v
+      FROM g2""")),
+
     // §2.8 transformers — GCP polynomial (alg/gdal_crs.cpp): the fixture's
     // geo targets are an EXACT order-2 map with 2⁻⁵-grid coefficients, so
     // the unique least-squares fit recovers it to ~1e-12 and transformed
