@@ -292,6 +292,16 @@ object Fixtures {
       .toDF("dem_id", "bytes", "w", "h")
   }
 
+  /** 25 IVF coarse-quantizer centroids from nation keys; component i of
+    * centroid j is ((j·31 + i·17) mod 64 − 32)/32 — a dyadic rational
+    * exact in BOTH float and double, so the quantized distance algebra is
+    * bit-identical between the engine and the SQL oracle. */
+  def centroidsFromNation(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey").cast("int").as("cent_id"),
+        expr("transform(sequence(0, 63), i -> " +
+          "cast(cast((n_nationkey*31 + i*17) % 64 - 32 as double)/32 as float))").as("cent_emb"))
+
   /** RPC probe points: lon ∈ [5,15], lat ∈ [15,25], h ∈ [−40,40] — all
     * inside the benchRpc validity domain (|normalized| ≤ 1). Every op here
     * is mirrored verbatim in the q95 oracle SQL. */

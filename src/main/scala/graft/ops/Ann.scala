@@ -78,4 +78,86 @@ object Ann {
     expr(s"""aggregate(
       zip_with($embCol, $embCol, (x, y) -> cast(round(cast(x as double) * cast(y as double) * $Scale) as bigint)),
       0L, (acc, v) -> acc + v)""")
+
+  /** Quantized dot product of an embedding column against a literal
+    * centroid vector (codegen'd HOFs, no UDF). */
+  private def qdotLit(embCol: org.apache.spark.sql.Column,
+                      cent: Array[Float]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{aggregate => agg_, zip_with => zip_}
+    agg_(
+      zip_(embCol, typedLit(cent.toSeq),
+        (x, y) => round(x.cast("double") * y.cast("double") * Scale).cast("bigint")),
+      lit(0L), (acc, v) => acc + v)
+  }
+
+  /** Collected (cent_id ascending) centroid list, guarded — a coarse
+    * quantizer is a small driver-side object, like a GCP set. */
+  private def collectCentroids(centroids: DataFrame): Array[(Int, Array[Float])] = {
+    val rows = centroids.select(col("cent_id").cast("int"), col("cent_emb"))
+      .limit(65537).collect()
+    require(rows.length <= 65536, "IVF coarse quantizer must be a small centroid set")
+    rows.map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+  }
+
+  /** REDUCED quantized L2 distance to centroid j: qnormC_j − 2·qdot(x,c_j)
+    * (the ‖x‖² term is row-constant and cancels in the argmin; both terms
+    * are exact int64 under the Scale quantization, so assignment is
+    * order-free and SQL-mirrorable). */
+  private def reducedDist(embCol: org.apache.spark.sql.Column,
+                          cent: Array[Float]): org.apache.spark.sql.Column = {
+    var qn = 0L
+    var i = 0
+    while (i < cent.length) {
+      val v = cent(i).toDouble
+      qn += math.round((v * v) * Scale)
+      i += 1
+    }
+    lit(qn) - lit(2L) * qdotLit(embCol, cent)
+  }
+
+  /** Nearest-centroid cell id as a SHUFFLE-FREE map over the rows (the
+    * IVF inverted-list assignment): argmin of the reduced distances,
+    * ties to the lowest cent_id (array_position finds the first
+    * minimum; centroids are ordered by id). */
+  def ivfCell(embCol: org.apache.spark.sql.Column,
+              cents: Array[(Int, Array[Float])]): org.apache.spark.sql.Column = {
+    val dists = array(cents.map(c => reducedDist(embCol, c._2)): _*)
+    element_at(
+      typedLit(cents.map(_._1).toSeq),
+      array_position(dists, array_min(dists)).cast("int"))
+  }
+
+  /** IVF (inverted-file) approximate top-k — the coarse-quantizer scale
+    * path alongside lshTopK: candidates are assigned to their nearest
+    * centroid's list by a map-only argmin; each query probes its `nprobe`
+    * nearest lists and re-ranks those candidates exactly (the classic
+    * IndexIVFFlat search shape). Recall < 1 when the true neighbor's
+    * list is not probed; nprobe = #centroids degenerates to bruteTopK
+    * order. The candidate side is never exploded or shuffled before the
+    * per-query top-k window; query-cell pairs and query embeddings ride
+    * broadcasts. */
+  def ivfTopK(queries: DataFrame, cands: DataFrame, centroids: DataFrame,
+              nprobe: Int, k: Int): DataFrame = {
+    val cents = collectCentroids(centroids)
+    require(nprobe >= 1 && nprobe <= cents.length, "1 <= nprobe <= #centroids")
+    // query probes: nprobe nearest cells per query (queries are few —
+    // the explode is over #queries × #centroids)
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("__d"), col("cell"))
+    val qCells = queries
+      .select(col("q_id"), posexplode(array(cents.map(c =>
+        struct(lit(c._1).as("cell"), reducedDist(col("q_emb"), c._2).as("__d"))): _*)))
+      .select(col("q_id"), col("col.cell").as("cell"), col("col.__d").as("__d"))
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= nprobe)
+      .select(col("q_id"), col("cell"))
+    val assigned = graft.pipeline.Spread.toCores(cands)
+      .withColumn("cell", ivfCell(col("c_emb"), cents))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id"))
+    assigned.join(broadcast(qCells), Seq("cell"))
+      .join(broadcast(queries), Seq("q_id"))
+      .withColumn("score", qdot("q_emb", "c_emb"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("score"), col("rank"))
+  }
 }

@@ -424,6 +424,56 @@ object TrainingData {
     // multimodal: opaque binary + typed metadata → decode/feature plumbing
     // (image decode is real JVM code; see q30 for stats — here: per-format
     // feature rows incl. a deterministic stub for non-image payloads)
+    // IVF coarse-quantizer ANN (the second scale path beside q50's LSH):
+    // map-only nearest-centroid assignment (reduced quantized L2 — the
+    // ‖x‖² term cancels in the argmin, leaving exact int64 algebra),
+    // nprobe-nearest-list probe, exact re-rank. Every distance and score
+    // is an exact integer, and centroid components are dyadic rationals
+    // exact in float AND double — the oracle re-derives assignment, probe
+    // and ranking bit-identically.
+    ("q99_ivf_topk", (s: SparkSession, dir: String) => {
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val cands = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      Ann.ivfTopK(queries, cands, graft.gen.Fixtures.centroidsFromNation(s, dir), nprobe = 3, k = 5)
+    }, Some(s"""
+      WITH qn AS (
+        SELECT CAST(n_nationkey AS INT) AS cent_id,
+          (SELECT CAST(sum(CAST(round((
+             (CAST((n_nationkey*31 + (i-1)*17) % 64 - 32 AS DOUBLE)/32)
+             * (CAST((n_nationkey*31 + (i-1)*17) % 64 - 32 AS DOUBLE)/32)) * ${Ann.Scale}) AS BIGINT)) AS BIGINT)
+           FROM unnest(generate_series(1, 64)) AS t(i)) AS qnc
+        FROM nation),
+      dist AS (
+        SELECT e.vec_id, q.cent_id,
+          q.qnc - 2 * (SELECT CAST(sum(CAST(round((CAST(e.embedding[i] AS DOUBLE)
+                         * (CAST((q.cent_id*31 + (i-1)*17) % 64 - 32 AS DOUBLE)/32)) * ${Ann.Scale}) AS BIGINT)) AS BIGINT)
+                       FROM unnest(generate_series(1, 64)) AS t(i)) AS d
+        FROM embeddings e, qn q),
+      acell AS (
+        SELECT vec_id AS c_id, cent_id AS cell FROM (
+          SELECT vec_id, cent_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
+          FROM dist) WHERE rn = 1),
+      qcell AS (
+        SELECT vec_id AS q_id, cent_id AS cell FROM (
+          SELECT vec_id, cent_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
+          FROM dist WHERE vec_id < 10) WHERE rn <= 3),
+      scored AS (
+        SELECT qc.q_id, a.c_id,
+          (SELECT CAST(sum(CAST(round((CAST(q.embedding[i] AS DOUBLE)
+                     * CAST(c.embedding[i] AS DOUBLE)) * ${Ann.Scale}) AS BIGINT)) AS BIGINT)
+           FROM unnest(generate_series(1, 64)) AS t(i)) AS score
+        FROM qcell qc JOIN acell a ON a.cell = qc.cell
+        JOIN embeddings q ON q.vec_id = qc.q_id
+        JOIN embeddings c ON c.vec_id = a.c_id)
+      SELECT q_id, c_id, score, rank FROM (
+        SELECT q_id, c_id, score,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS INT) AS rank
+        FROM scored) WHERE rank <= 5""")),
+
     ("q51_multimodal_features", (s: SparkSession, dir: String) => {
       graft.gen.Fixtures.imagesFromParts(s, dir)
         .filter(col("key") % 5 === 0)

@@ -86,6 +86,31 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("IVF with nprobe = #centroids reproduces brute force exactly") {
+    val e = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val cents = graft.gen.Fixtures.centroidsFromNation(spark, TestSpark.Sf)
+    val exact = Ann.bruteTopK(q, c, 5)
+      .select("q_id", "c_id", "score", "rank").as[(Long, Long, Long, Int)].collect().toSet
+    val full = Ann.ivfTopK(q, c, cents, nprobe = 25, k = 5)
+      .select("q_id", "c_id", "score", "rank").as[(Long, Long, Long, Int)].collect().toSet
+    assert(full == exact, "probing every list must equal brute force bit-for-bit")
+  }
+
+  test("IVF at nprobe = 3 keeps useful recall and never exceeds k") {
+    val e = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20).select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val cents = graft.gen.Fixtures.centroidsFromNation(spark, TestSpark.Sf)
+    val exact = Ann.bruteTopK(q, c, 5).select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val approx = Ann.ivfTopK(q, c, cents, nprobe = 3, k = 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect()
+    assert(approx.groupBy(_._1).values.forall(_.length <= 5))
+    val recall = (exact & approx.toSet).size.toDouble / exact.size
+    assert(recall >= 0.2, s"recall $recall — 3 of 25 arbitrary-grid lists must still find a fifth of true neighbors")
+  }
+
   test("hot-bucket cap keeps a mass-duplicate corpus from going quadratic") {
     // 2000 identical docs + a distinct pair: uncapped, the identical docs
     // alone would emit ~2M candidate pairs; the cap drops their buckets
