@@ -36,6 +36,23 @@ object Streams {
   final case class SessionAgg(user_id: Long, n_sessions: Int, n_events: Long)
   final case class SessState(lastTs: Long, sessions: Int, events: Long)
 
+  /** Streaming exact deduplication for an ingest pipeline: content-hash
+    * dedup with bounded state — `dropDuplicatesWithinWatermark` keeps a
+    * hash's state only until the watermark passes it, so state size is
+    * O(arrival rate × watermark horizon), never O(corpus). The batch
+    * analog (Dedup.exact) re-derives survivors globally; this is the
+    * continuous front-door filter a 100 TB ingest runs BEFORE the batch
+    * dedup ever sees the data. Works on batch frames too (falls back to
+    * plain dropDuplicates semantics under the same key). */
+  def dedupStream(docs: DataFrame, tsCol: String = "ts", textCol: String = "text",
+                  watermark: String = "2 hours"): DataFrame = {
+    val hashed = docs.withColumn("text_md5", md5(col(textCol)))
+    if (docs.isStreaming)
+      hashed.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark("text_md5")
+    else hashed.dropDuplicates("text_md5")
+  }
+
   /** Stateful per-user session counting (gap > 30 min ⇒ new session) via
     * flatMapGroupsWithState — the custom-state streaming extension point.
     * Emits one running summary row per user per trigger. */

@@ -66,6 +66,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup suppresses in-watermark duplicates and expires state") {
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup").toString
+    def write(rows: Seq[(Long, String, String)]): Unit =
+      rows.map { case (id, ts, text) => (id, Timestamp.valueOf(ts), text) }
+        .toDF("doc_id", "ts", "text")
+        .coalesce(1).write.mode("append").parquet(dir)
+
+    // batch 1: A, dup-of-A (20 min later, inside the 2h watermark), B
+    write(Seq(
+      (1L, "2024-01-01 10:00:00", "document alpha"),
+      (2L, "2024-01-01 10:20:00", "document alpha"),
+      (3L, "2024-01-01 10:30:00", "document beta")))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, ts TIMESTAMP, text STRING")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = Streams.dedupStream(stream).writeStream
+      .outputMode("append").format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: unrelated far-future doc advances the watermark past
+      // alpha's state (expiry applies at end-of-batch, so the advance
+      // must land one batch BEFORE the re-arrival)
+      write(Seq((9L, "2024-01-02 11:00:00", "document gamma")))
+      q.processAllAvailable()
+      // batch 3: re-arrival of A — its state expired with the watermark,
+      // so the duplicate passes (bounded-state semantics)
+      write(Seq((4L, "2024-01-02 12:00:00", "document alpha")))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("doc_id").as[Long].collect().toSet
+      assert(ids.contains(1L) && ids.contains(3L), "first arrivals pass")
+      assert(!ids.contains(2L), "in-watermark duplicate suppressed")
+      assert(ids.contains(4L), "state expired past the watermark — re-arrival passes")
+    } finally q.stop()
+    // batch fallback: plain global dedup under the same key
+    val batch = Streams.dedupStream(
+      Seq((1L, Timestamp.valueOf("2024-01-01 10:00:00"), "x"),
+        (2L, Timestamp.valueOf("2024-01-01 11:00:00"), "x"))
+        .toDF("doc_id", "ts", "text"))
+    assert(batch.count() == 1)
+  }
+
   test("stateful sessionize final state equals the batch window computation") {
     val dir = eventsDir
     val stream = spark.readStream.schema(Streams.EventSchema)
