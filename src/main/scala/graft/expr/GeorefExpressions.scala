@@ -32,6 +32,31 @@ object GeorefEval {
   }
 }
 
+/** gcp_to_gt(pxs, pys, gxs, gys) → 6-element affine geotransform fitted
+  * from PER-ROW control points (GDALGCPsToGeoTransform over a dataset's
+  * own GCP list — the tile-index/raster-ingest shape, where every raster
+  * carries its own control points). NULL when under-determined. */
+case class GcpToGt(children: Seq[Expression])
+    extends Expression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(children.length == 4, "gcp_to_gt(pxs, pys, gxs, gys)")
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq.fill(4)(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "gcp_to_gt"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    if (vals.exists(_ == null)) return null
+    val arrs = vals.map(_.asInstanceOf[ArrayData].toDoubleArray())
+    if (arrs.exists(_.length != arrs.head.length)) return null
+    GcpPoly.gcpsToGeoTransform(arrs(0), arrs(1), arrs(2), arrs(3))
+      .map(new GenericArrayData(_)).orNull
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): GcpToGt =
+    copy(children = c)
+}
+
 /** gcp_poly_transform(x, y) with a driver-fitted polynomial → [tx, ty]. */
 case class GcpPolyEval(left: Expression, right: Expression, fit: GcpPoly.Fit)
     extends BinaryExpression with ImplicitCastInputTypes {

@@ -116,6 +116,9 @@ object functions {
   def sample_at_alg(bytes: Column, fmt: Column, meta9: Column, lon: Column, lat: Column, alg: Column): Column =
     toCol(SampleAtAlg(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(lon), toExpr(lat), toExpr(alg))))
 
+  def gcp_to_gt(pxs: Column, pys: Column, gxs: Column, gys: Column): Column =
+    toCol(GcpToGt(Seq(toExpr(pxs), toExpr(pys), toExpr(gxs), toExpr(gys))))
+
   def viewshed_vis(bytes: Column, fmt: Column, w: Column, h: Column,
                    ox: Column, oy: Column, obsH: Column, tgtH: Column): Column =
     toCol(ViewshedVis(Seq(toExpr(bytes), toExpr(fmt), toExpr(w), toExpr(h),

@@ -235,6 +235,44 @@ object Geospatial {
       WITH $ImgCte
       SELECT key, minx, miny, maxx, maxy FROM env""")),
 
+    // §2.8 transformers → georeferencing integration: each image's affine
+    // gt re-fitted PER ROW from its own 4 corner GCPs (gcp_to_gt, the
+    // GDALGCPsToGeoTransform ingest shape) and fed straight into the
+    // footprint operator. Corner targets are exactly affine, so the LSQ
+    // fit recovers the true gt to ~1e-12 and round(env·1e6) matches the
+    // closed-form env: the fixture's 10⁻³-degree coordinate grid puts
+    // every env·1e6 value ~500 units from a rounding boundary.
+    ("q100_gcp_footprint", (s: SparkSession, dir: String) => {
+      def geoAt(px: org.apache.spark.sql.Column, py: org.apache.spark.sql.Column, xAxis: Boolean) =
+        if (xAxis) col("gt")(0) + px * col("gt")(1) + py * col("gt")(2)
+        else col("gt")(3) + px * col("gt")(4) + py * col("gt")(5)
+      val wD = col("w").cast("double"); val hD = col("h").cast("double")
+      Fixtures.imagesFromParts(s, dir)
+        .filter(col("srid") === 4326)
+        .withColumn("pxs", array(lit(0.0), wD, lit(0.0), wD))
+        .withColumn("pys", array(lit(0.0), lit(0.0), hD, hD))
+        .withColumn("gxs", array(
+          geoAt(lit(0.0), lit(0.0), xAxis = true), geoAt(wD, lit(0.0), xAxis = true),
+          geoAt(lit(0.0), hD, xAxis = true), geoAt(wD, hD, xAxis = true)))
+        .withColumn("gys", array(
+          geoAt(lit(0.0), lit(0.0), xAxis = false), geoAt(wD, lit(0.0), xAxis = false),
+          geoAt(lit(0.0), hD, xAxis = false), geoAt(wD, hD, xAxis = false)))
+        .withColumn("gt2", gcp_to_gt(col("pxs"), col("pys"), col("gxs"), col("gys")))
+        .withColumn("env", footprint(col("gt2"), col("w"), col("h"), col("srid")))
+        .select(col("key"),
+          round(col("env")(0) * 1000000.0).cast("bigint").as("minx_q"),
+          round(col("env")(1) * 1000000.0).cast("bigint").as("miny_q"),
+          round(col("env")(2) * 1000000.0).cast("bigint").as("maxx_q"),
+          round(col("env")(3) * 1000000.0).cast("bigint").as("maxy_q"))
+    }, Some(s"""
+      WITH $ImgCte
+      SELECT key,
+        CAST(round(minx * 1000000.0) AS BIGINT) AS minx_q,
+        CAST(round(miny * 1000000.0) AS BIGINT) AS miny_q,
+        CAST(round(maxx * 1000000.0) AS BIGINT) AS maxx_q,
+        CAST(round(maxy * 1000000.0) AS BIGINT) AS maxy_q
+      FROM env""")),
+
     // §2.7 CRS transform 4326→3857 (floor-quantized transcendental output)
     ("q24_crs_3857", (s: SparkSession, dir: String) => {
       Fixtures.pointsFromOrders(s, dir)
