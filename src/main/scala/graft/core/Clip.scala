@@ -229,10 +229,21 @@ object Clip {
   private def selectPoints(subjectWkb: Array[Byte], clipWkb: Array[Byte],
                            keepInside: Boolean): Option[Array[Byte]] = {
     val pts = Wkb.read(subjectWkb).points
+    // parse the clip ONCE; per-member tests walk the parsed rings
+    val clip = Wkb.read(clipWkb).polygons
+    @inline def inside(px: Double, py: Double): Boolean = {
+      var parity = false
+      var p = 0
+      while (p < clip.length) {
+        if (Pip.inPolygon(clip(p), px, py)) parity = !parity
+        p += 1
+      }
+      parity
+    }
     val kept = Array.newBuilder[Double]
     var i = 0
     while (i < pts.length) {
-      if (Pip.contains(clipWkb, pts(i), pts(i + 1)) == keepInside) {
+      if (inside(pts(i), pts(i + 1)) == keepInside) {
         kept += pts(i); kept += pts(i + 1)
       }
       i += 2

@@ -265,6 +265,9 @@ object Wkb {
     def polyStr(p: Polygon): String = p.rings.map(ringStr).mkString("(", ",", ")")
     g.geomType match {
       case PointType => s"POINT (${fmt(g.points(0))} ${fmt(g.points(1))})"
+      case MultiPointType =>
+        g.points.grouped(2).map(p => s"(${fmt(p(0))} ${fmt(p(1))})")
+          .mkString("MULTIPOINT (", ",", ")")
       case PolygonType => s"POLYGON ${polyStr(g.polygons(0))}"
       case MultiPolygonType => s"MULTIPOLYGON ${g.polygons.map(polyStr).mkString("(", ",", ")")}"
       case LineStringType => s"LINESTRING ${ringStr(g.points)}"

@@ -50,8 +50,11 @@ case class GcpToGt(children: Seq[Expression])
     if (vals.exists(_ == null)) return null
     val arrs = vals.map(_.asInstanceOf[ArrayData].toDoubleArray())
     if (arrs.exists(_.length != arrs.head.length)) return null
-    GcpPoly.gcpsToGeoTransform(arrs(0), arrs(1), arrs(2), arrs(3))
+    // degenerate per-row GCP sets (collinear/duplicate points make the
+    // order-1 solve singular) yield NULL, matching the n<2 path
+    try GcpPoly.gcpsToGeoTransform(arrs(0), arrs(1), arrs(2), arrs(3))
       .map(new GenericArrayData(_)).orNull
+    catch { case _: IllegalArgumentException => null }
   }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): GcpToGt =
     copy(children = c)

@@ -213,9 +213,12 @@ case class ViewshedVis(children: Seq[Expression]) extends Expression with Expect
     val vals = children.map(_.eval(input))
     if (vals.exists(_ == null)) return null
     val w = vals(2).asInstanceOf[Int]; val h = vals(3).asInstanceOf[Int]
+    val ox = vals(4).asInstanceOf[Int]; val oy = vals(5).asInstanceOf[Int]
+    // observer coordinates come from data — out-of-raster rows yield NULL
+    // rather than aborting the job
+    if (ox < 0 || ox >= w || oy < 0 || oy >= h) return null
     val r = ImageCodec.decode(vals(0).asInstanceOf[Array[Byte]], vals(1).toString, w, h)
-    val vis = Viewshed.viewshed(r.bands(0), w, h,
-      vals(4).asInstanceOf[Int], vals(5).asInstanceOf[Int],
+    val vis = Viewshed.viewshed(r.bands(0), w, h, ox, oy,
       vals(6).asInstanceOf[Double], vals(7).asInstanceOf[Double])
     new GenericArrayData(vis)
   }

@@ -28,15 +28,20 @@ object Ann {
     * Query side is broadcast (it's the small side by construction); the
     * candidate scan stays partition-parallel with no shuffle until the
     * per-query top-k window. */
-  def bruteTopK(queries: DataFrame, cands: DataFrame, k: Int): DataFrame = {
+  /** Shared scoring/ranking contract: quantized-dot score, total order
+    * (score desc, c_id), top-k — `pairs` must carry q_emb and c_emb. */
+  private def rankTopK(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id"))
-    // the scoring scan must fan across cores even for narrow-split inputs
-    graft.pipeline.Spread.toCores(cands).crossJoin(broadcast(queries))
+    pairs
       .withColumn("score", qdot("q_emb", "c_emb"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("score"), col("rank"))
   }
+
+  def bruteTopK(queries: DataFrame, cands: DataFrame, k: Int): DataFrame =
+    // the scoring scan must fan across cores even for narrow-split inputs
+    rankTopK(graft.pipeline.Spread.toCores(cands).crossJoin(broadcast(queries)), k)
 
   /** LSH-bucketed approximate top-k: both sides get an nBits random-
     * hyperplane signature; candidates are fetched from buckets agreeing on
@@ -61,16 +66,12 @@ object Ann {
     val spreadCands = graft.pipeline.Spread.toCores(cands)
     val qb = banded(queries, "q_id", "q_emb")
     val cb = banded(spreadCands, "c_id", "c_emb")
-    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id"))
-    qb.join(cb, Seq("band", "bkey"))
-      .select(col("q_id"), col("c_id"))
-      .dropDuplicates("q_id", "c_id") // a pair may collide in several bands
-      .join(broadcast(queries), Seq("q_id"))
-      .join(cands, Seq("c_id"))
-      .withColumn("score", qdot("q_emb", "c_emb"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("c_id"), col("score"), col("rank"))
+    rankTopK(
+      qb.join(cb, Seq("band", "bkey"))
+        .select(col("q_id"), col("c_id"))
+        .dropDuplicates("q_id", "c_id") // a pair may collide in several bands
+        .join(broadcast(queries), Seq("q_id"))
+        .join(cands, Seq("c_id")), k)
   }
 
   /** Quantized squared L2 norm (same exactness discipline). */
@@ -140,10 +141,13 @@ object Ann {
               nprobe: Int, k: Int): DataFrame = {
     val cents = collectCentroids(centroids)
     require(nprobe >= 1 && nprobe <= cents.length, "1 <= nprobe <= #centroids")
+    // the query plan is consumed twice (probe derivation + re-rank join);
+    // persist it so its upstream scan runs once — released by the harness
+    val q = graft.pipeline.Caches.persist(queries)
     // query probes: nprobe nearest cells per query (queries are few —
     // the explode is over #queries × #centroids)
     val wq = Window.partitionBy(col("q_id")).orderBy(col("__d"), col("cell"))
-    val qCells = queries
+    val qCells = q
       .select(col("q_id"), posexplode(array(cents.map(c =>
         struct(lit(c._1).as("cell"), reducedDist(col("q_emb"), c._2).as("__d"))): _*)))
       .select(col("q_id"), col("col.cell").as("cell"), col("col.__d").as("__d"))
@@ -152,12 +156,8 @@ object Ann {
       .select(col("q_id"), col("cell"))
     val assigned = graft.pipeline.Spread.toCores(cands)
       .withColumn("cell", ivfCell(col("c_emb"), cents))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id"))
-    assigned.join(broadcast(qCells), Seq("cell"))
-      .join(broadcast(queries), Seq("q_id"))
-      .withColumn("score", qdot("q_emb", "c_emb"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("c_id"), col("score"), col("rank"))
+    rankTopK(
+      assigned.join(broadcast(qCells), Seq("cell"))
+        .join(broadcast(q), Seq("q_id")), k)
   }
 }
