@@ -238,10 +238,20 @@ object Delaunay {
           }
           k += 1
         }
-        // link fan siblings by shared (vertex, p) edges
+        // link fan siblings by shared (vertex, p) edges. Each cavity-
+        // boundary vertex must start (and end) EXACTLY one boundary edge —
+        // a simple cavity. Inconsistent float circumcircle verdicts could
+        // in principle produce a boundary touching a vertex twice; a map
+        // overwrite would then silently corrupt adjacency, so fail fast
+        // instead (callers treat it as degenerate input).
         val byA = new scala.collection.mutable.HashMap[Int, Int]() // boundary start vert -> tri
         k = 0
-        while (k < fA.length) { byA(fA(k)) = newTris(k); k += 1 }
+        while (k < fA.length) {
+          if (byA.put(fA(k), newTris(k)).isDefined)
+            throw new IllegalStateException(
+              s"non-simple insertion cavity at vertex ${fA(k)}: degenerate/near-collinear input")
+          k += 1
+        }
         k = 0
         while (k < fA.length) {
           val t = newTris(k)
@@ -253,7 +263,12 @@ object Delaunay {
         // second pass for edge 2 links (triangle whose fB == this fA)
         val byB = new scala.collection.mutable.HashMap[Int, Int]()
         k = 0
-        while (k < fA.length) { byB(fB(k)) = newTris(k); k += 1 }
+        while (k < fA.length) {
+          if (byB.put(fB(k), newTris(k)).isDefined)
+            throw new IllegalStateException(
+              s"non-simple insertion cavity at vertex ${fB(k)}: degenerate/near-collinear input")
+          k += 1
+        }
         k = 0
         while (k < fA.length) {
           byB.get(fA(k)).foreach(nt => adj(3 * newTris(k) + 2) = nt)

@@ -249,31 +249,63 @@ case class StTransform(first: Expression, second: Expression, third: Expression)
   * order; area and coverage are exact). */
 object UnionAgg extends org.apache.spark.sql.expressions.Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
   import graft.core.Wkb
-  // buffer = multipolygon WKB of accumulated convex pieces (possibly
-  // overlapping across inputs; disjoint within one input); empty = ∅
+  // buffer = [4-byte BE watermark][multipolygon WKB of accumulated convex
+  // pieces] (pieces possibly overlapping across inputs; disjoint within
+  // one input); empty = ∅. The watermark is the piece count left by the
+  // last in-flight compaction: unbounded concat would grow the shuffled
+  // buffer O(total input pieces) on mass-duplicate or very large groups
+  // (ultimately toward the JVM 2 GB array limit), so once the count
+  // crosses max(CompactMin, 2×watermark) the buffer is compacted with the
+  // same cascaded merge `finish` uses. The doubling schedule makes the
+  // amortized compaction cost O(log) per group: duplicate-heavy buffers
+  // collapse and stay small; genuinely wide coverage compacts only when
+  // it has doubled since the last pass.
+  private val CompactMin = 512
+  private def unpack(buf: Array[Byte]): (Int, Array[Array[Double]]) =
+    if (buf.isEmpty) (0, Array.empty)
+    else {
+      val wm = ((buf(0) & 0xFF) << 24) | ((buf(1) & 0xFF) << 16) |
+        ((buf(2) & 0xFF) << 8) | (buf(3) & 0xFF)
+      val wkb = java.util.Arrays.copyOfRange(buf, 4, buf.length)
+      (wm, Wkb.read(wkb).polygons.map(_.rings(0)))
+    }
+  private def pack(wm: Int, pieces: Array[Array[Double]]): Array[Byte] = {
+    if (pieces.isEmpty) return Array.emptyByteArray
+    val wkb = Wkb.writeMultiPolygon(pieces.map(r => Array(r)))
+    val out = new Array[Byte](wkb.length + 4)
+    out(0) = (wm >>> 24).toByte; out(1) = (wm >>> 16).toByte
+    out(2) = (wm >>> 8).toByte; out(3) = wm.toByte
+    System.arraycopy(wkb, 0, out, 4, wkb.length)
+    out
+  }
+  private def combine(wm: Int, a: Array[Array[Double]], b: Array[Array[Double]]): Array[Byte] = {
+    val all = a ++ b
+    if (all.length >= math.max(CompactMin, 2 * wm)) {
+      val compacted = Clip.unionPieces(all.map(Array(_)))
+      pack(compacted.length, compacted)
+    } else pack(wm, all)
+  }
   override def zero: Array[Byte] = Array.emptyByteArray
   override def reduce(buf: Array[Byte], geom: Array[Byte]): Array[Byte] = {
     if (geom == null || geom.isEmpty) return buf
-    merge(buf, decompose(geom))
+    val pieces = graft.core.Triangulate.convexPieces(geom)
+    if (pieces.isEmpty) return buf
+    val (wm, a) = unpack(buf)
+    combine(wm, a, pieces)
   }
   override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
     if (a.isEmpty) return b
     if (b.isEmpty) return a
-    val aParts = Wkb.read(a).polygons
-    val bParts = Wkb.read(b).polygons
-    Wkb.writeMultiPolygon((aParts ++ bParts).map(_.rings))
+    val (wmA, aR) = unpack(a)
+    val (wmB, bR) = unpack(b)
+    combine(math.max(wmA, wmB), aR, bR)
   }
   override def finish(buf: Array[Byte]): Array[Byte] = {
     if (buf.isEmpty) return null
     // each buffered piece is convex: union as single-piece groups
-    val groups = Wkb.read(buf).polygons.map(p => Array(p.rings(0)))
+    val groups = unpack(buf)._2.map(Array(_))
     val pieces = Clip.unionPieces(groups)
     if (pieces.isEmpty) null else Wkb.writeMultiPolygon(pieces.map(r => Array(r)))
-  }
-  private def decompose(geom: Array[Byte]): Array[Byte] = {
-    val pieces = graft.core.Triangulate.convexPieces(geom)
-    if (pieces.isEmpty) Array.emptyByteArray
-    else Wkb.writeMultiPolygon(pieces.map(r => Array(r)))
   }
   override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
     org.apache.spark.sql.Encoders.BINARY

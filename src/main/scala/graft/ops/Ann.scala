@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.text.textfunctions._
+import scala.jdk.CollectionConverters._
 
 /** Similarity search over an embedding column (array<float>).
   *
@@ -128,6 +129,23 @@ object Ann {
       array_position(dists, array_min(dists)).cast("int"))
   }
 
+  /** Exact driver-side mirror of [[reducedDist]]: identical int64 algebra
+    * with Spark's `round` semantics per dot component (Round on a double
+    * is BigDecimal HALF_UP — java's Math.round differs on negative .5
+    * ties), so the cells chosen here are bit-identical to the former
+    * in-plan derivation and to the SQL oracle. */
+  private def reducedDistDriver(emb: Array[Float], cent: Array[Float]): Long = {
+    var qn = 0L; var dot = 0L; var i = 0
+    while (i < cent.length) {
+      val v = cent(i).toDouble
+      qn += math.round((v * v) * Scale)
+      dot += java.math.BigDecimal.valueOf(emb(i).toDouble * v * Scale)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+      i += 1
+    }
+    qn - 2L * dot
+  }
+
   /** IVF (inverted-file) approximate top-k — the coarse-quantizer scale
     * path alongside lshTopK: candidates are assigned to their nearest
     * centroid's list by a map-only argmin; each query probes its `nprobe`
@@ -135,29 +153,39 @@ object Ann {
     * IndexIVFFlat search shape). Recall < 1 when the true neighbor's
     * list is not probed; nprobe = #centroids degenerates to bruteTopK
     * order. The candidate side is never exploded or shuffled before the
-    * per-query top-k window; query-cell pairs and query embeddings ride
-    * broadcasts. */
+    * per-query top-k window.
+    *
+    * The query side is broadcast-sized BY CONTRACT (it rides broadcast
+    * joins), so it is collected once and its nprobe-nearest probe cells
+    * are computed at plan time from the already-collected centroid array
+    * — one tiny collect job instead of a #queries×#centroids explode +
+    * window (which cost ~10 Spark jobs for 50 output rows). */
   def ivfTopK(queries: DataFrame, cands: DataFrame, centroids: DataFrame,
               nprobe: Int, k: Int): DataFrame = {
+    val spark = queries.sparkSession
     val cents = collectCentroids(centroids)
     require(nprobe >= 1 && nprobe <= cents.length, "1 <= nprobe <= #centroids")
-    // the query plan is consumed twice (probe derivation + re-rank join);
-    // persist it so its upstream scan runs once — released by the harness
-    val q = graft.pipeline.Caches.persist(queries)
-    // query probes: nprobe nearest cells per query (queries are few —
-    // the explode is over #queries × #centroids)
-    val wq = Window.partitionBy(col("q_id")).orderBy(col("__d"), col("cell"))
-    val qCells = q
-      .select(col("q_id"), posexplode(array(cents.map(c =>
-        struct(lit(c._1).as("cell"), reducedDist(col("q_emb"), c._2).as("__d"))): _*)))
-      .select(col("q_id"), col("col.cell").as("cell"), col("col.__d").as("__d"))
-      .withColumn("__rn", row_number().over(wq))
-      .filter(col("__rn") <= nprobe)
-      .select(col("q_id"), col("cell"))
+    val qProj = queries.select(col("q_id"), col("q_emb"))
+    val qRows = qProj.limit(65537).collect()
+    require(qRows.length <= 65536, "IVF query side must be broadcast-sized")
+    // probe cells per query: nprobe nearest by (reduced distance, cent_id)
+    val probeRows: Seq[org.apache.spark.sql.Row] = qRows.toSeq.flatMap { r =>
+      val emb = r.getSeq[Float](1).toArray
+      cents.map { case (cid, c) => (cid, reducedDistDriver(emb, c)) }
+        .sortBy { case (cid, d) => (d, cid) }
+        .take(nprobe)
+        .map { case (cid, _) => org.apache.spark.sql.Row(r.get(0), cid) }
+    }
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val qCells = spark.createDataFrame(
+      new java.util.ArrayList(probeRows.asJava),
+      StructType(Seq(qProj.schema("q_id"), StructField("cell", IntegerType, nullable = false))))
+    // re-rank side rebuilt from the SAME collected rows (no second scan)
+    val qLocal = spark.createDataFrame(new java.util.ArrayList(qRows.toSeq.asJava), qProj.schema)
     val assigned = graft.pipeline.Spread.toCores(cands)
       .withColumn("cell", ivfCell(col("c_emb"), cents))
     rankTopK(
       assigned.join(broadcast(qCells), Seq("cell"))
-        .join(broadcast(q), Seq("q_id")), k)
+        .join(broadcast(qLocal), Seq("q_id")), k)
   }
 }

@@ -65,7 +65,11 @@ object Knn {
         count(lit(1)).over(wAll) === k && max(col("dist2")).over(wAll) < safe2)
       .select(col("t_id"), col("p_id"), col("dist2"), col("rank"), col("__resolved"))
 
-    var frontier = graft.pipeline.Caches.persist(targets)
+    // persist a projected COPY, not the caller's frame: the first-round
+    // Caches.drop(frontier) must never unpersist a frame the caller may
+    // have cached for reuse (the Project gives it a distinct cache entry)
+    var frontier = graft.pipeline.Caches.persist(
+      targets.select(targets.columns.map(col): _*))
     // -1 = unknown (skip the up-front count; round 1 runs unconditionally
     // and the per-round count doubles as the loop-exit check)
     var frontierN = -1L
