@@ -84,6 +84,182 @@ object Contour {
     }
   }
 
+  /** One level interval's polygon output (iso-POLYGON mode): the region
+    * where lvlLo <= v < lvlHi, as nPieces disjoint convex pieces with
+    * exact quantized area (units of 2^-23 cell²) and an optional
+    * multipolygon WKB in geo coordinates. */
+  final case class Band(iv: Int, lvlLo: Double, lvlHi: Double,
+                        nPieces: Int, areaQ: Long, wkb: Array[Byte])
+
+  /** Full triangle area (cell²/4) in areaQ units (2^-23 cell²). */
+  val FullTriQ: Long = 2L * 1024L * 1024L
+
+  /** Quantized crossing fraction (in 1/1024 edge units) of level L on the
+    * edge from value x to value y — round is HALF_UP in both engines, and
+    * exact .5 ties are impossible for integer-valued rasters with the
+    * 1024 quantum (a tie needs 2-adic valuation ≥ 11 on an edge delta
+    * ≤ 2^10; see q39 oracle derivation). */
+  @inline def crossFq(x: Double, y: Double, level: Double): Long =
+    math.round(1024.0 * (level - x) / (y - x))
+
+  /** Area (areaQ units) of {v >= L} within ONE center-split triangle with
+    * vertex values (va, vb, vc), under barycentric-linear interpolation
+    * with 1/1024-quantized edge crossings. Closed form: a one-vertex cut
+    * from apex with leg fractions f, g is exactly 2·f·g (the lattice
+    * shoelace identity the SQL oracle mirrors). */
+  def triAreaGeq(va: Double, vb: Double, vc: Double, level: Double): Long = {
+    val ba = va >= level; val bb = vb >= level; val bc = vc >= level
+    val n = (if (ba) 1 else 0) + (if (bb) 1 else 0) + (if (bc) 1 else 0)
+    n match {
+      case 0 => 0L
+      case 3 => FullTriQ
+      case 1 =>
+        if (ba) 2L * crossFq(va, vb, level) * crossFq(va, vc, level)
+        else if (bb) 2L * crossFq(vb, va, level) * crossFq(vb, vc, level)
+        else 2L * crossFq(vc, va, level) * crossFq(vc, vb, level)
+      case _ =>
+        if (!ba) FullTriQ - 2L * crossFq(va, vb, level) * crossFq(va, vc, level)
+        else if (!bb) FullTriQ - 2L * crossFq(vb, va, level) * crossFq(vb, vc, level)
+        else FullTriQ - 2L * crossFq(vc, va, level) * crossFq(vc, vb, level)
+    }
+  }
+
+  /** Iso-polygon extraction between consecutive levels (reference:
+    * alg/contour.cpp:569 GDALContourGenerateEx polygon branch +
+    * alg/marching_squares/polygon_ring_appender.h — behavior only).
+    * Emits one Band per interval: (-inf, l1), [l1, l2), ..., [ln, +inf).
+    *
+    * Geometry variant (documented): each cell square is split into 4
+    * triangles at its center (center value = corner average — the same
+    * disambiguation the line writer applies to saddles), so every band
+    * piece is CONVEX and the interval region is a disjoint convex-piece
+    * multipolygon: same class coverage as the reference's merged rings,
+    * exactly additive area (ring merging is available downstream via
+    * st_union_agg). Crossing quantization puts all vertices on a
+    * 1/2048-cell lattice, making areas exact int64 — the q39 SQL oracle
+    * re-derives the per-interval area sums from the pixel grid. */
+  def bands(band: Array[Int], w: Int, h: Int, gt: Array[Double],
+            levels: Seq[Double], emitWkb: Boolean): Seq[Band] = {
+    val ls = levels.sorted.toArray
+    val nIv = ls.length + 1
+    val areas = new Array[Long](nIv)
+    val counts = new Array[Int](nIv)
+    val rings: Array[mutable.ArrayBuffer[Array[Double]]] =
+      if (emitWkb) Array.fill(nIv)(mutable.ArrayBuffer.empty[Array[Double]]) else null
+    @inline def v(x: Int, y: Int): Double = band(y * w + x).toDouble
+    // triangle walk buffers (≤ 3 vertices + 2 crossings per edge)
+    val px = new Array[Double](12); val py = new Array[Double](12)
+    var cy = 0
+    while (cy < h - 1) {
+      var cx = 0
+      while (cx < w - 1) {
+        val tl = v(cx, cy); val tr = v(cx + 1, cy)
+        val bl = v(cx, cy + 1); val br = v(cx + 1, cy + 1)
+        val c4 = (tl + tr + br + bl) / 4.0 // dyadic: exact in double
+        // triangles (P0, P1, C) in boundary-walk order; lattice coords in
+        // 1/2048-cell units relative to the cell's TL pixel center
+        val tvals = Array(tl, tr, br, bl)
+        val txs = Array(0L, 2048L, 2048L, 0L)
+        val tys = Array(0L, 0L, 2048L, 2048L)
+        var t = 0
+        while (t < 4) {
+          val va = tvals(t); val vb = tvals((t + 1) % 4)
+          val ax = txs(t); val ay = tys(t)
+          val bx = txs((t + 1) % 4); val by = tys((t + 1) % 4)
+          var iv = 0
+          while (iv < nIv) {
+            val lo = if (iv == 0) Double.NegativeInfinity else ls(iv - 1)
+            val hi = if (iv == nIv - 1) Double.PositiveInfinity else ls(iv)
+            val aLo = if (iv == 0) FullTriQ else triAreaGeq(va, vb, c4, lo)
+            val aHi = if (iv == nIv - 1) 0L else triAreaGeq(va, vb, c4, hi)
+            val dq = aLo - aHi
+            if (dq > 0L) {
+              counts(iv) += 1
+              areas(iv) += dq
+              if (emitWkb) {
+                val n = walkBand(va, vb, c4, ax, ay, bx, by, lo, hi, px, py)
+                if (n >= 3) {
+                  // lattice → pixel-center space → geo space, closed ring
+                  val ring = new Array[Double]((n + 1) * 2)
+                  var i = 0
+                  while (i <= n) {
+                    val j = i % n
+                    val pxx = cx + 0.5 + px(j) / 2048.0
+                    val pyy = cy + 0.5 + py(j) / 2048.0
+                    ring(2 * i) = GeoTransform.applyX(gt, pxx, pyy)
+                    ring(2 * i + 1) = GeoTransform.applyY(gt, pxx, pyy)
+                    i += 1
+                  }
+                  rings(iv) += ring
+                }
+              }
+            }
+            iv += 1
+          }
+          t += 1
+        }
+        cx += 1
+      }
+      cy += 1
+    }
+    (0 until nIv).map { iv =>
+      val lo = if (iv == 0) Double.NegativeInfinity else ls(iv - 1)
+      val hi = if (iv == nIv - 1) Double.PositiveInfinity else ls(iv)
+      val wkb =
+        if (emitWkb && rings(iv).nonEmpty)
+          Wkb.writeMultiPolygon(rings(iv).toArray.map(r => Array(r)))
+        else null
+      Band(iv, lo, hi, counts(iv), areas(iv), wkb)
+    }
+  }
+
+  /** Walk one triangle's boundary collecting the convex band polygon
+    * {lo <= v < hi} (vertices in band + quantized level crossings, in
+    * boundary order); writes lattice coords into (outX, outY), returns
+    * the deduplicated vertex count. */
+  private def walkBand(va: Double, vb: Double, vc: Double,
+                       ax: Long, ay: Long, bx: Long, by: Long,
+                       lo: Double, hi: Double,
+                       outX: Array[Double], outY: Array[Double]): Int = {
+    val cxl = 1024L; val cyl = 1024L
+    val vs = Array(va, vb, vc)
+    val xs = Array(ax.toDouble, bx.toDouble, cxl.toDouble)
+    val ys = Array(ay.toDouble, by.toDouble, cyl.toDouble)
+    var n = 0
+    @inline def push(x: Double, y: Double): Unit = {
+      if (n == 0 || outX(n - 1) != x || outY(n - 1) != y) {
+        outX(n) = x; outY(n) = y; n += 1
+      }
+    }
+    var e = 0
+    while (e < 3) {
+      val i0 = e; val i1 = (e + 1) % 3
+      val v0 = vs(i0); val v1 = vs(i1)
+      if (v0 >= lo && v0 < hi) push(xs(i0), ys(i0))
+      // crossings of lo/hi on this edge, ordered by fraction from i0
+      var f1 = -1L; var f2 = -1L; var first = true
+      @inline def cross(level: Double): Unit = {
+        if (level.isInfinite) ()
+        else if ((v0 >= level) != (v1 >= level)) {
+          val f = crossFq(v0, v1, level)
+          if (first) { f1 = f; first = false } else f2 = f
+        }
+      }
+      cross(lo); cross(hi)
+      if (f1 >= 0 && f2 >= 0 && f2 < f1) { val t = f1; f1 = f2; f2 = t }
+      @inline def pushF(f: Long): Unit = {
+        push(xs(i0) + f * (xs(i1) - xs(i0)) / 1024.0,
+          ys(i0) + f * (ys(i1) - ys(i0)) / 1024.0)
+      }
+      if (f1 >= 0) pushF(f1)
+      if (f2 >= 0) pushF(f2)
+      e += 1
+    }
+    // drop a trailing duplicate of the first point
+    while (n > 1 && outX(n - 1) == outX(0) && outY(n - 1) == outY(0)) n -= 1
+    n
+  }
+
   /** Chain segments into maximal polylines by matching quantized endpoints. */
   private def chain(segs: Seq[Seg]): Seq[Array[Double]] = {
     @inline def key(x: Double, y: Double): (Long, Long) =

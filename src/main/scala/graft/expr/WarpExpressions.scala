@@ -245,6 +245,50 @@ case class ContourLines(children: Seq[Expression]) extends Expression with Expec
     copy(children = c)
 }
 
+/** contour_polygons(bytes, fmt, meta9, levels, emit_wkb) →
+  * array<struct<iv:int, lvl_lo:double, lvl_hi:double, n_pieces:int,
+  * area_q:bigint, wkb:binary>> — per-image iso-POLYGONS between
+  * consecutive levels (§2.8 contour polygon mode, alg/contour.cpp:569
+  * polygonize branch). One struct per interval including the open
+  * under/over classes (lvl_lo/lvl_hi = ±inf at the ends); area_q is the
+  * exact quantized region area in 2^-23 cell² units (Contour.bands).
+  * Pass emit_wkb=false on wide scans: the multipolygon WKB of a 64²
+  * image is ~MB-scale, while the numeric fields are what aggregation
+  * pipelines consume. */
+case class ContourPolygons(children: Seq[Expression]) extends Expression with ExpectsInputTypes with CodegenFallback {
+  require(children.length == 5, "contour_polygons(bytes, fmt, meta9, levels, emit_wkb)")
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(BinaryType, StringType, ArrayType(DoubleType), ArrayType(DoubleType), BooleanType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("iv", IntegerType, nullable = false),
+    StructField("lvl_lo", DoubleType, nullable = false),
+    StructField("lvl_hi", DoubleType, nullable = false),
+    StructField("n_pieces", IntegerType, nullable = false),
+    StructField("area_q", LongType, nullable = false),
+    StructField("wkb", BinaryType, nullable = true))), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "contour_polygons"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    if (vals.exists(_ == null)) return null
+    val meta = vals(2).asInstanceOf[ArrayData].toDoubleArray()
+    val w = meta(0).toInt; val h = meta(1).toInt
+    val gt = java.util.Arrays.copyOfRange(meta, 3, 9)
+    val levels = vals(3).asInstanceOf[ArrayData].toDoubleArray()
+    val emitWkb = vals(4).asInstanceOf[Boolean]
+    val r = ImageCodec.decode(vals(0).asInstanceOf[Array[Byte]], vals(1).toString, w, h)
+    val bands = Contour.bands(r.bands(0), w, h, gt, levels.toSeq, emitWkb)
+    new GenericArrayData(bands.map { b =>
+      org.apache.spark.sql.catalyst.InternalRow(
+        b.iv, b.lvlLo, b.lvlHi, b.nPieces, b.areaQ, b.wkb)
+    }.toArray[Any])
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): ContourPolygons =
+    copy(children = c)
+}
+
 /** sample_at(bytes, fmt, meta9, lon, lat) → int: band-0 value at a geo
   * point via inverse geotransform + nearest-neighbor kernel (the
   * GDALInterpolateAtPoint surface, alg/gdal_interpolateatpoint.cpp:415

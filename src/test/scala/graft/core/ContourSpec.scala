@@ -64,4 +64,71 @@ class ContourSpec extends AnyFunSuite {
     val xs = lines.head.coords.zipWithIndex.collect { case (v, i) if i % 2 == 0 => v }
     assert(xs.forall(x => math.abs(x - (100.0 + 2.0 * 5.0)) < 1e-9))
   }
+
+  // ---- iso-polygon (band) mode ----
+
+  private def shoelace2(ring: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i + 3 < ring.length) {
+      s += ring(i) * ring(i + 3) - ring(i + 2) * ring(i + 1)
+      i += 2
+    }
+    math.abs(s)
+  }
+
+  test("band areas partition the cell grid exactly (stripe fixture pattern)") {
+    for (key <- Seq(1L, 2L, 5L, 8L); sz <- Seq(16, 20)) {
+      val band = Array.tabulate(sz * sz) { i =>
+        val x = i % sz; val y = i / sz
+        ((x * 7 + y * 13 + key * 31) % 256).toInt
+      }
+      val bs = Contour.bands(band, sz, sz, idGt, Seq(64.0, 128.0, 192.0), emitWkb = false)
+      assert(bs.length == 4)
+      assert(bs.map(_.iv) == Seq(0, 1, 2, 3))
+      val full = (sz - 1).toLong * (sz - 1) * 4L * Contour.FullTriQ
+      assert(bs.map(_.areaQ).sum == full, s"key=$key sz=$sz")
+      assert(bs.forall(_.areaQ >= 0))
+    }
+  }
+
+  test("emitted band polygons have exactly the quantized area (shoelace == area_q)") {
+    val sz = 16
+    val band = Array.tabulate(sz * sz) { i =>
+      val x = i % sz; val y = i / sz
+      ((x * 7 + y * 13 + 3 * 31) % 256).toInt
+    }
+    val bs = Contour.bands(band, sz, sz, idGt, Seq(64.0, 128.0, 192.0), emitWkb = true)
+    bs.foreach { b =>
+      if (b.areaQ > 0) {
+        assert(b.wkb != null)
+        val polys = Wkb.read(b.wkb).polygons
+        assert(polys.length == b.nPieces, s"iv=${b.iv}")
+        // every vertex is on the 1/2048-pixel lattice -> shoelace is exact
+        val sum2 = polys.map(p => shoelace2(p.rings(0))).sum
+        assert(math.round(sum2 * (1L << 22)).toDouble == b.areaQ.toDouble * 1.0, s"iv=${b.iv}")
+      } else assert(b.wkb == null && b.nPieces == 0)
+    }
+  }
+
+  test("uniform raster puts the whole area in one interval") {
+    val band = Array.fill(25)(100)
+    val bs = Contour.bands(band, 5, 5, idGt, Seq(64.0, 128.0), emitWkb = true)
+    assert(bs.map(_.areaQ) == Seq(0L, 16L * 4 * Contour.FullTriQ, 0L))
+    assert(bs(1).nPieces == 16 * 4)
+    // interval bounds are carried on the struct
+    assert(bs(0).lvlLo.isNegInfinity && bs(2).lvlHi.isPosInfinity)
+    assert(bs(1).lvlLo == 64.0 && bs(1).lvlHi == 128.0)
+  }
+
+  test("linear ramp splits a single cell at the interpolated chord (exact fractions)") {
+    // one cell: tl=0 tr=0 / bl=100 br=100, level 50: band [50,inf) is the
+    // lower half of the cell; center = 50 sits exactly on the level
+    val band = Array(0, 0, 100, 100)
+    val bs = Contour.bands(band, 2, 2, idGt, Seq(50.0), emitWkb = true)
+    assert(bs.map(_.iv) == Seq(0, 1))
+    // halves: each 2 of the 4 triangles' worth of area
+    assert(bs(0).areaQ == 2L * Contour.FullTriQ)
+    assert(bs(1).areaQ == 2L * Contour.FullTriQ)
+  }
 }
