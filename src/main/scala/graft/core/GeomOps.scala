@@ -269,6 +269,29 @@ object GeomOps {
 
   // ---- convex hull ---------------------------------------------------------
 
+  /** Concave hull of all vertices (chi-shape over the Delaunay core; the
+    * gdalalg_vector_concave_hull.cpp / GEOS ConcaveHull ratio contract:
+    * 1 → convex hull, → 0 → maximally concave). Falls back to the convex
+    * hull on degenerate inputs (collinear, < 3 distinct points). */
+  def concaveHull(wkb: Array[Byte], ratio: Double): Array[Byte] = {
+    val g = Wkb.read(wkb)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    var i = 0
+    while (i < g.points.length) { buf += ((g.points(i), g.points(i + 1))); i += 2 }
+    g.lines.foreach { line =>
+      var j = 0
+      while (j < line.length) { buf += ((line(j), line(j + 1))); j += 2 }
+    }
+    g.polygons.foreach(_.rings.foreach { ring =>
+      var j = 0
+      while (j < ring.length - 2) { buf += ((ring(j), ring(j + 1))); j += 2 }
+    })
+    val pts = buf.distinct.toArray
+    if (pts.length < 3) return convexHull(wkb)
+    val ring = ConcaveHull.hullRing(pts.map(_._1), pts.map(_._2), ratio)
+    if (ring == null) convexHull(wkb) else Wkb.writePolygon(Array(ring))
+  }
+
   /** Convex hull of all vertices (Andrew monotone chain) → polygon WKB.
     * Degenerate inputs (<3 distinct points) return a polygon collapsing to
     * the available points (matching the practical use: hull of footprints). */

@@ -79,6 +79,22 @@ case class StDistance(left: Expression, right: Expression)
 
 /** st_convexhull(wkb) → polygon WKB (Andrew monotone chain over vertices;
   * ogrgeometry ConvexHull :4449). */
+/** st_concave_hull(wkb, ratio) → polygon WKB — chi-shape concave hull
+  * (gdalalg_vector_concave_hull.cpp ratio contract; GeomOps.concaveHull). */
+case class StConcaveHull(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_concave_hull"
+  override protected def nullSafeEval(wkb: Any, r: Any): Any =
+    GeomOps.concaveHull(wkb.asInstanceOf[Array[Byte]], r.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, r) => s"graft.core.GeomOps.concaveHull($w, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StConcaveHull =
+    copy(left = l, right = r)
+}
+
 case class StConvexHull(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(BinaryType)
@@ -451,15 +467,26 @@ case class StCollect(child: Expression)
     if (v == null) return null
     val arr = v.asInstanceOf[ArrayData]
     val parts = scala.collection.mutable.ArrayBuffer.empty[Array[Array[Double]]]
+    val lines = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val pts = scala.collection.mutable.ArrayBuffer.empty[Double]
     var i = 0
     while (i < arr.numElements()) {
       val w = arr.getBinary(i)
-      if (w != null) graft.core.Wkb.read(w).polygons.foreach(p => parts += p.rings)
+      if (w != null) {
+        val g = graft.core.Wkb.read(w)
+        g.polygons.foreach(p => parts += p.rings)
+        g.lines.foreach(l => lines += l)
+        pts ++= g.points
+      }
       i += 1
     }
-    if (parts.isEmpty) null
-    else if (parts.length == 1) graft.core.Wkb.writePolygon(parts(0))
-    else graft.core.Wkb.writeMultiPolygon(parts.toArray)
+    // highest-dimension member wins (the OGR GeometryCollection-flatten
+    // convention for homogeneous collects)
+    if (parts.length == 1) graft.core.Wkb.writePolygon(parts(0))
+    else if (parts.nonEmpty) graft.core.Wkb.writeMultiPolygon(parts.toArray)
+    else if (lines.nonEmpty) graft.core.Wkb.writeMultiLineString(lines.toArray)
+    else if (pts.nonEmpty) graft.core.Wkb.writeMultiPoint(pts.toArray)
+    else null
   }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): StCollect =
     StCollect(c(0))

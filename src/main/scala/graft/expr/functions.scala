@@ -182,6 +182,8 @@ object functions {
   def st_crosses(a: Column, b: Column): Column = pred("crosses", a, b)
   def st_equals(a: Column, b: Column): Column = pred("equals", a, b)
   def st_convexhull(wkb: Column): Column = toCol(StConvexHull(toExpr(wkb)))
+  def st_concave_hull(wkb: Column, ratio: Column): Column =
+    toCol(StConcaveHull(toExpr(wkb), toExpr(ratio)))
   def st_intersection(subject: Column, convexClip: Column): Column =
     toCol(StIntersection(toExpr(subject), toExpr(convexClip)))
   def st_difference(subject: Column, convexClip: Column): Column =
@@ -335,6 +337,8 @@ object GraftExtensions {
       (e: Seq[Expression]) => StArea2Q(e(0), e(1)))),
     "st_make_point" -> ((info("st_make_point", "st_make_point(x, y) - point wkb"),
       (e: Seq[Expression]) => StMakePoint(e(0), e(1)))),
+    "st_concave_hull" -> ((info("st_concave_hull", "st_concave_hull(wkb, ratio) - chi-shape concave hull"),
+      (e: Seq[Expression]) => StConcaveHull(e(0), e(1)))),
     "zone_stats_full" -> ((info("zone_stats_full", "zone_stats_full(bytes, fmt, meta9, zone_wkb, weights_band) - full zonal stat record"),
       (e: Seq[Expression]) => ZoneStatsFull(e))),
     "focal_multi" -> ((info("focal_multi", "focal_multi(bytes, fmt, meta9, ops) - all focal derivatives from one decode"),

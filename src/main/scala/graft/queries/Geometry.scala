@@ -223,6 +223,36 @@ object Geometry {
       FROM boxes a JOIN boxes b ON a.region_id + 1 = b.region_id
       WHERE a.region_id % 5 < 4""")),
 
+    // §2.8 ConcaveHull (gdalalg_vector_concave_hull.cpp / GEOS ratio
+    // contract; chi-shape over the Delaunay core). Fixture: per nation
+    // key, the integer lattice points of a plus/cross (arms half-width w,
+    // half-length l); at ratio 0.05 the carve provably recovers the exact
+    // cross outline (boundary unit edges ≤ threshold < √2 diagonal of the
+    // reentrant corners; empirically verified over the full key range in
+    // ConcaveHullSpec) — so area and ring vertex count are closed-form:
+    // area = 8lw − 4w², perimeter points = 8l.
+    ("q102_concave_hull", (s: SparkSession, dir: String) => {
+      val pts = s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey").cast("int").as("k"))
+        .withColumn("l", lit(4) + col("k") % 3)
+        .withColumn("w", lit(1) + col("k") % 2)
+        .withColumn("x", explode(sequence(-col("l"), col("l"))))
+        .withColumn("y", explode(sequence(-col("l"), col("l"))))
+        .filter((abs(col("y")) <= col("w") && abs(col("x")) <= col("l"))
+          || (abs(col("x")) <= col("w") && abs(col("y")) <= col("l")))
+        .withColumn("pt", st_make_point(col("x").cast("double"), col("y").cast("double")))
+      pts.groupBy(col("k"))
+        .agg(st_concave_hull(st_collect(collect_list(col("pt"))), lit(0.05)).as("hull"))
+        .select(col("k"),
+          st_area2_q(col("hull"), lit(1e6)).as("hull2q"),
+          st_num_points(col("hull")).as("npoints"))
+    }, Some("""
+      SELECT CAST(n_nationkey AS INT) AS k,
+        CAST(2 * (8 * l * w - 4 * w * w) AS BIGINT) * 1000000000000 AS hull2q,
+        CAST(8 * l + 1 AS INT) AS npoints
+      FROM (SELECT n_nationkey, 4 + n_nationkey % 3 AS l, 1 + n_nationkey % 2 AS w
+            FROM nation)""")),
+
     // §2.3/§2.10 SQL-surface geometry×geometry join: a plain
     // `JOIN ... ON st_intersects(a,b)` that the CellJoinRule optimizer
     // rewrite turns into a cell-keyed equi-join (both-sides explode +

@@ -808,50 +808,36 @@ object Geospatial {
       Tiling.rendered(Tiling.pyramid(images, zmin = 2, zmax = 5))
         .select(col("z"), col("x"), col("y"), col("qk"), col("n_images"),
           (col("png").isNotNull && length(col("png")) > 0).as("has_png"))
-    }, Some {
-      val qkCase = (2 to 5).map(z =>
-        s"WHEN $z THEN ${quadkeySql("x", "y", z)}").mkString("CASE z ", " ", " END")
-      s"""
-      WITH timg AS (
-        SELECT p_partkey AS key,
-          CASE (p_partkey % 4) WHEN 0 THEN 16 WHEN 1 THEN 20 WHEN 2 THEN 64 ELSE 256 END AS sz,
-          (CAST(0.01 AS DOUBLE) * (1 + (p_partkey % 499))) AS span,
-          ((((p_partkey * 9973) % 350000) / 1000.0) - 180.0) AS lon0,
-          ((((p_partkey * 7919) % 160000) / 1000.0) - 80.0) AS lat0
-        FROM part WHERE (p_partkey % 10) = 0),
-      tenv AS (
-        SELECT key, lon0 AS minx, (lat0 + (sz * (-(span / sz)))) AS miny,
-               (lon0 + (sz * (span / sz))) AS maxx, lat0 AS maxy
-        FROM timg),
-      tm AS (
-        SELECT key,
-          (minx * $MercC) AS mx0, (maxx * $MercC) AS mx1,
-          ${mercY("miny")} AS my0, ${mercY("maxy")} AS my1
-        FROM tenv),
-      trange AS (
-        SELECT key,
-          CAST(least(greatest(floor((((mx0 - $OriginX) / ${spanZ("5")}) + 0.001)), 0.0), 31.0) AS BIGINT) AS tx0,
-          CAST(least(greatest(floor((((mx1 - $OriginX) / ${spanZ("5")}) + 0.001)), 0.0), 31.0) AS BIGINT) AS tx1,
-          CAST(least(greatest(floor(((($OriginY - my1) / ${spanZ("5")}) + 0.001)), 0.0), 31.0) AS BIGINT) AS ty0,
-          CAST(least(greatest(floor(((($OriginY - my0) / ${spanZ("5")}) + 0.001)), 0.0), 31.0) AS BIGINT) AS ty1
-        FROM tm),
-      zz AS (SELECT key, tx0, tx1, ty0, ty1, unnest(generate_series(2, 5)) AS z FROM trange),
-      zs AS (SELECT key, tx0, tx1, ty0, ty1, z, (5 - z) AS shift FROM zz),
-      cx AS (SELECT key, tx0, tx1, ty0, ty1, z, shift,
-                    unnest(generate_series(tx0 >> shift, tx1 >> shift)) AS x FROM zs),
-      cxy AS (SELECT key, tx0, tx1, ty0, ty1, z, shift, x,
-                     unnest(generate_series(ty0 >> shift, ty1 >> shift)) AS y FROM cx),
-      contrib AS (
-        SELECT z, x, y,
-          (((least(tx1, (((x + 1) << shift) - 1)) - greatest(tx0, (x << shift))) + 1)
-           * ((least(ty1, (((y + 1) << shift) - 1)) - greatest(ty0, (y << shift))) + 1)) AS pairs
-        FROM cxy)
-      SELECT CAST(z AS INT) AS z, CAST(x AS INT) AS x, CAST(y AS INT) AS y,
-             $qkCase AS qk,
-             CAST(sum(pairs) AS BIGINT) AS n_images,
-             TRUE AS has_png
-      FROM contrib GROUP BY z, x, y"""
-    }),
+    }, Some(tilePyramidStructureSql)),
+
+    // §2.8 transformer→warp integration (the reference's actual use of the
+    // GCP family: GDALCreateGenImgProjTransformer2's GCP branch feeding
+    // gdalwarpoperation, alg/gdaltransformer.cpp:2467-2527): per-row
+    // corner GCPs → GDALGCPsToGeoTransform fit → the fitted geotransform
+    // drives the FULL warp + mosaic + overview pyramid end-to-end. The
+    // fixture GCPs are affine-exact, so the fitted gt reproduces the q31
+    // tile structure (ids, quadkeys, fan-in counts) — same oracle.
+    ("q101_gcp_warp_tiles", (s: SparkSession, dir: String) => {
+      def geoAt(px: org.apache.spark.sql.Column, py: org.apache.spark.sql.Column, xAxis: Boolean) =
+        if (xAxis) col("gt")(0) + px * col("gt")(1) + py * col("gt")(2)
+        else col("gt")(3) + px * col("gt")(4) + py * col("gt")(5)
+      val wD = col("w").cast("double"); val hD = col("h").cast("double")
+      val refit = Fixtures.imagesFromParts(s, dir).filter(col("key") % 10 === 0)
+        .withColumn("pxs", array(lit(0.0), wD, lit(0.0), wD))
+        .withColumn("pys", array(lit(0.0), lit(0.0), hD, hD))
+        .withColumn("gxs", array(
+          geoAt(lit(0.0), lit(0.0), xAxis = true), geoAt(wD, lit(0.0), xAxis = true),
+          geoAt(lit(0.0), hD, xAxis = true), geoAt(wD, hD, xAxis = true)))
+        .withColumn("gys", array(
+          geoAt(lit(0.0), lit(0.0), xAxis = false), geoAt(wD, lit(0.0), xAxis = false),
+          geoAt(lit(0.0), hD, xAxis = false), geoAt(wD, hD, xAxis = false)))
+        .withColumn("gt", gcp_to_gt(col("pxs"), col("pys"), col("gxs"), col("gys")))
+        .drop("pxs", "pys", "gxs", "gys")
+      Tiling.rendered(Tiling.pyramid(refit, zmin = 2, zmax = 5))
+        .select(col("z"), col("x"), col("y"), col("qk"), col("n_images"),
+          (col("png").isNotNull && length(col("png")) > 0).as("has_png"))
+    }, Some(tilePyramidStructureSql)),
+
 
     // §2.8 polygonize (quantized to 4 classes, 4-connected). Oracle: the
     // region COUNT equals the Euler characteristic Σcells − Σadjacencies +
@@ -1615,6 +1601,53 @@ object Geospatial {
       FROM s4 GROUP BY key, srid"""
     })
   )
+
+  /** q31/q101 shared structure oracle: tile ids, quadkeys and 4-fan-in
+    * contribution counts of the z2..z5 pyramid re-derived in SQL. */
+  private def tilePyramidStructureSql: String = {
+    val qkCase = (2 to 5).map(z =>
+      s"WHEN $z THEN ${quadkeySql("x", "y", z)}").mkString("CASE z ", " ", " END")
+    s"""
+      WITH timg AS (
+        SELECT p_partkey AS key,
+          CASE (p_partkey % 4) WHEN 0 THEN 16 WHEN 1 THEN 20 WHEN 2 THEN 64 ELSE 256 END AS sz,
+          (CAST(0.01 AS DOUBLE) * (1 + (p_partkey % 499))) AS span,
+          ((((p_partkey * 9973) % 350000) / 1000.0) - 180.0) AS lon0,
+          ((((p_partkey * 7919) % 160000) / 1000.0) - 80.0) AS lat0
+        FROM part WHERE (p_partkey % 10) = 0),
+      tenv AS (
+        SELECT key, lon0 AS minx, (lat0 + (sz * (-(span / sz)))) AS miny,
+               (lon0 + (sz * (span / sz))) AS maxx, lat0 AS maxy
+        FROM timg),
+      tm AS (
+        SELECT key,
+          (minx * $MercC) AS mx0, (maxx * $MercC) AS mx1,
+          ${mercY("miny")} AS my0, ${mercY("maxy")} AS my1
+        FROM tenv),
+      trange AS (
+        SELECT key,
+          CAST(least(greatest(floor((((mx0 - $OriginX) / ${spanZ("5")}) + 0.001)), 0.0), 31.0) AS BIGINT) AS tx0,
+          CAST(least(greatest(floor((((mx1 - $OriginX) / ${spanZ("5")}) + 0.001)), 0.0), 31.0) AS BIGINT) AS tx1,
+          CAST(least(greatest(floor(((($OriginY - my1) / ${spanZ("5")}) + 0.001)), 0.0), 31.0) AS BIGINT) AS ty0,
+          CAST(least(greatest(floor(((($OriginY - my0) / ${spanZ("5")}) + 0.001)), 0.0), 31.0) AS BIGINT) AS ty1
+        FROM tm),
+      zz AS (SELECT key, tx0, tx1, ty0, ty1, unnest(generate_series(2, 5)) AS z FROM trange),
+      zs AS (SELECT key, tx0, tx1, ty0, ty1, z, (5 - z) AS shift FROM zz),
+      cx AS (SELECT key, tx0, tx1, ty0, ty1, z, shift,
+                    unnest(generate_series(tx0 >> shift, tx1 >> shift)) AS x FROM zs),
+      cxy AS (SELECT key, tx0, tx1, ty0, ty1, z, shift, x,
+                     unnest(generate_series(ty0 >> shift, ty1 >> shift)) AS y FROM cx),
+      contrib AS (
+        SELECT z, x, y,
+          (((least(tx1, (((x + 1) << shift) - 1)) - greatest(tx0, (x << shift))) + 1)
+           * ((least(ty1, (((y + 1) << shift) - 1)) - greatest(ty0, (y << shift))) + 1)) AS pairs
+        FROM cxy)
+      SELECT CAST(z AS INT) AS z, CAST(x AS INT) AS x, CAST(y AS INT) AS y,
+             $qkCase AS qk,
+             CAST(sum(pairs) AS BIGINT) AS n_images,
+             TRUE AS has_png
+      FROM contrib GROUP BY z, x, y"""
+  }
 
   /** Flagship pipeline: decode→footprint→cells→PIP-join→tile-assign →
     * per-zoom summary (every north-rule noun in one plan). */
