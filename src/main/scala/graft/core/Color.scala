@@ -97,6 +97,29 @@ object Color {
     (best, bestRange)
   }
 
+  /** First median-cut split invariants (integer-exact and SQL-derivable —
+    * the q81 oracle for the otherwise irreducible recursion): the widest
+    * axis (ties → lowest, boxRange's rule), the split-channel value at
+    * the median position, the lo-box size, and the split-channel sums of
+    * both halves (tie placement cannot affect them: tied pixels share the
+    * channel value). None for uniform rasters (nothing splittable). */
+  def firstSplit(r: Raster): Option[(Int, Int, Int, Long, Long)] = {
+    if (r.nBands < 3) return None
+    val n = r.w * r.h
+    val px = Array.tabulate(n)(i => (r.bands(0)(i), r.bands(1)(i), r.bands(2)(i)))
+    val (axis, range) = boxRange(px)
+    if (range == 0) return None
+    val sorted = px.sortBy(p => channel(p, axis))
+    val half = n / 2
+    var lo = 0L; var hi = 0L
+    var i = 0
+    while (i < n) {
+      if (i < half) lo += channel(sorted(i), axis) else hi += channel(sorted(i), axis)
+      i += 1
+    }
+    Some((axis, channel(sorted(half), axis), half, lo, hi))
+  }
+
   private def mean3(box: Array[(Int, Int, Int)]): (Int, Int, Int) = {
     if (box.isEmpty) return (0, 0, 0)
     var r = 0L; var g = 0L; var b = 0L

@@ -293,6 +293,24 @@ object Delaunay {
     Tri(out.toArray)
   }
 
+  /** Circumcircle (centerX, centerY, radius²) of a triangle — the
+    * LOCALITY CERTIFICATE for per-tile triangulation: a locally-Delaunay
+    * triangle is also globally Delaunay whenever its circumcircle lies
+    * inside the region whose points the local set fully contains (its
+    * emptiness then holds against every point). Collinear triangles
+    * return an infinite radius (never certifiable). */
+  def circumcircle(ax: Double, ay: Double, bx: Double, by: Double,
+                   cx: Double, cy: Double): (Double, Double, Double) = {
+    val d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+    if (d == 0.0) return (0.0, 0.0, Double.PositiveInfinity)
+    val a2 = ax * ax + ay * ay
+    val b2 = bx * bx + by * by
+    val c2 = cx * cx + cy * cy
+    val ux = (a2 * (by - cy) + b2 * (cy - ay) + c2 * (ay - by)) / d
+    val uy = (a2 * (cx - bx) + b2 * (ax - cx) + c2 * (bx - ax)) / d
+    (ux, uy, (ax - ux) * (ax - ux) + (ay - uy) * (ay - uy))
+  }
+
   /** Barycentric weights of q in triangle (a, b, c); null if outside
     * (tolerance `eps` relative to the triangle area, so nodes on shared
     * edges land in one of the incident triangles). */

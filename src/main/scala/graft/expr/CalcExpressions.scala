@@ -155,6 +155,41 @@ case class RgbToPalette(children: Seq[Expression]) extends Expression with Expec
     copy(children = c)
 }
 
+/** median_cut_split(bytes, fmt, w, h) → struct<axis:int, median_v:int,
+  * n_lo:int, lo_sum:bigint, hi_sum:bigint> — the FIRST median-cut split's
+  * integer-exact invariants (Color.firstSplit): widest axis, split-channel
+  * value at the median position, lo-box size, per-half split-channel sums.
+  * The full recursion's palette/dither stay golden-pinned (ColorSpec);
+  * these fields give the q81 oracle an exact SQL mirror. */
+case class MedianCutSplit(children: Seq[Expression]) extends Expression with ExpectsInputTypes with CodegenFallback {
+  require(children.length == 4, "median_cut_split(bytes, fmt, w, h)")
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(BinaryType, StringType, IntegerType, IntegerType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("axis", IntegerType, nullable = false),
+    StructField("median_v", IntegerType, nullable = false),
+    StructField("n_lo", IntegerType, nullable = false),
+    StructField("lo_sum", LongType, nullable = false),
+    StructField("hi_sum", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "median_cut_split"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    if (vals.exists(_ == null)) return null
+    val w = vals(2).asInstanceOf[Int]; val h = vals(3).asInstanceOf[Int]
+    val r = ImageCodec.decode(vals(0).asInstanceOf[Array[Byte]], vals(1).toString, w, h)
+    Color.firstSplit(r) match {
+      case Some((axis, medianV, nLo, loSum, hiSum)) =>
+        org.apache.spark.sql.catalyst.InternalRow(axis, medianV, nLo, loSum, hiSum)
+      case None => null
+    }
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): MedianCutSplit =
+    copy(children = c)
+}
+
 /** warp_tile_alpha(bytes, fmt, meta9, tile, kernel, alpha) → planes buffer
   * whose last plane carries per-pixel DENSITY: `alpha` (0..255) where the
   * warp hit the source, 0 elsewhere (the global dfSrcDensity / source

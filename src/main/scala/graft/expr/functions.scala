@@ -156,6 +156,9 @@ object functions {
   def rgb_to_palette(bytes: Column, fmt: Column, w: Column, h: Column, nColors: Column): Column =
     toCol(RgbToPalette(Seq(toExpr(bytes), toExpr(fmt), toExpr(w), toExpr(h), toExpr(nColors))))
 
+  def median_cut_split(bytes: Column, fmt: Column, w: Column, h: Column): Column =
+    toCol(MedianCutSplit(Seq(toExpr(bytes), toExpr(fmt), toExpr(w), toExpr(h))))
+
   def contour_lines(bytes: Column, fmt: Column, meta9: Column, levels: Column): Column =
     toCol(ContourLines(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(levels))))
 

@@ -137,6 +137,27 @@ object Grid {
       .agg(sum(col("value_i")).as("sum_v"), count(lit(1)).as("n_pts"))
       .withColumn("avg_v", col("sum_v").cast("double") / col("n_pts").cast("double"))
 
+  /** Barycentric plane estimate with CANONICAL vertex order (sorted by
+    * (x, y)): the broadcast and per-tile paths locate the same global
+    * triangle under different local vertex ids, so ordering by coordinate
+    * makes the float arithmetic — and therefore the estimate —
+    * bit-identical across paths. NaN when q is outside the triangle. */
+  private[ops] def planeEst(x1: Double, y1: Double, v1: Double,
+                            x2: Double, y2: Double, v2: Double,
+                            x3: Double, y3: Double, v3: Double,
+                            qx: Double, qy: Double): Double = {
+    var ax = x1; var ay = y1; var av = v1
+    var bx = x2; var by = y2; var bv = v2
+    var cx = x3; var cy = y3; var cv = v3
+    @inline def lt(px: Double, py: Double, rx: Double, ry: Double): Boolean =
+      px < rx || (px == rx && py < ry)
+    if (lt(bx, by, ax, ay)) { val tx = ax; val ty = ay; val tv = av; ax = bx; ay = by; av = bv; bx = tx; by = ty; bv = tv }
+    if (lt(cx, cy, bx, by)) { val tx = bx; val ty = by; val tv = bv; bx = cx; by = cy; bv = cv; cx = tx; cy = ty; cv = tv }
+    if (lt(bx, by, ax, ay)) { val tx = ax; val ty = ay; val tv = av; ax = bx; ay = by; av = bv; bx = tx; by = ty; bv = tv }
+    val w = graft.core.Delaunay.barycentric(ax, ay, bx, by, cx, cy, qx, qy)
+    if (w == null) Double.NaN else w(0) * av + w(1) * bv + w(2) * cv
+  }
+
   /** GGA_Linear (alg/delaunay.c + gdal_alg.h:402 GGA_Linear): Delaunay
     * triangulation of the point layer, barycentric plane interpolation at
     * each node; nodes outside the convex hull are absent (the reference's
@@ -146,10 +167,9 @@ object Grid {
     * collected (size-guarded, like SpatialJoin.pipJoinIndexed) and
     * triangulated once; triangle envelopes bulk-load an STR tree that is
     * broadcast, and every target partition probes it with NO shuffle on
-    * the target side. At 100 TB the point side would triangulate per tile
-    * with ghost margins ≥ the local circumradius bound; this broadcast
-    * path covers the reference's single-node semantics and any
-    * dimension-sized point layer exactly.
+    * the target side. This broadcast path covers the reference's
+    * single-node semantics and any dimension-sized point layer exactly;
+    * [[linearTiled]] is the distributed path for larger layers.
     *
     * points(p_id, p_lon, p_lat, v double) × targets(t_id, t_lon, t_lat)
     * → (t_id, est). */
@@ -185,17 +205,109 @@ object Grid {
           while (h < hits.length && !found) {
             val t = hits(h)
             val a = tris(3 * t); val b = tris(3 * t + 1); val c = tris(3 * t + 2)
-            val w = graft.core.Delaunay.barycentric(
-              bxs(a), bys(a), bxs(b), bys(b), bxs(c), bys(c), qx, qy)
-            if (w != null) {
-              est = w(0) * bvs(a) + w(1) * bvs(b) + w(2) * bvs(c)
-              found = true
-            }
+            est = planeEst(bxs(a), bys(a), bvs(a), bxs(b), bys(b), bvs(b),
+              bxs(c), bys(c), bvs(c), qx, qy)
+            found = !est.isNaN
             h += 1
           }
           if (found) Some((tid, est)) else None
         }
       }
       .toDF("t_id", "est")
+  }
+
+  /** GGA_Linear at scale: PER-TILE Delaunay with ghost margins — the
+    * distributed path for point layers past [[linear]]'s driver guard.
+    *
+    * Points are replicated into every tile whose margin-expanded box
+    * contains them (replication factor (1 + 2·margin/tile)², a constant);
+    * targets go to their own tile; a cogroup triangulates each tile's
+    * point set once and answers that tile's nodes. A located triangle is
+    * accepted only under the LOCALITY CERTIFICATE (its circumcircle lies
+    * inside the tile's margin-expanded box — Delaunay.circumcircle): the
+    * local set contains every point of that region, so a certified
+    * triangle is a triangle of the GLOBAL triangulation and the estimate
+    * is bit-identical to the broadcast path (canonical-order planeEst).
+    * Nodes whose triangle fails the certificate are ABSENT — size
+    * `marginDeg` at or above the layer's local circumradius bound (for a
+    * max point spacing s, circumradii are ≤ ~s in the interior). Shuffle
+    * cost: one exchange of the (replicated) point layer on the tile key —
+    * no stage ever holds more than a tile's points in memory. */
+  def linearTiled(targets: DataFrame, points: DataFrame,
+                  tileDeg: Double, marginDeg: Double,
+                  maxPerTile: Int = 2000000): DataFrame = {
+    require(tileDeg > 0.0 && marginDeg >= 0.0, "tileDeg > 0, marginDeg >= 0")
+    require((180.0 + marginDeg) / tileDeg < 4095.0, "tile index must fit the packed key")
+    val spark = targets.sparkSession
+    import spark.implicits._
+    def packed(ix: org.apache.spark.sql.Column, iy: org.apache.spark.sql.Column) =
+      (ix + 4096L) * 8192L + (iy + 4096L)
+    val p = points
+      .select(col("p_lon").cast("double").as("p_lon"),
+        col("p_lat").cast("double").as("p_lat"), col("v").cast("double").as("v"))
+      .withColumn("ix", explode(sequence(
+        floor((col("p_lon") - marginDeg) / tileDeg).cast("long"),
+        floor((col("p_lon") + marginDeg) / tileDeg).cast("long"))))
+      .withColumn("iy", explode(sequence(
+        floor((col("p_lat") - marginDeg) / tileDeg).cast("long"),
+        floor((col("p_lat") + marginDeg) / tileDeg).cast("long"))))
+      .select(packed(col("ix"), col("iy")).as("tile"), col("p_lon"), col("p_lat"), col("v"))
+      .as[(Long, Double, Double, Double)]
+    val t = targets
+      .select(col("t_id").cast("long").as("t_id"),
+        col("t_lon").cast("double").as("t_lon"), col("t_lat").cast("double").as("t_lat"))
+      .select(packed(floor(col("t_lon") / tileDeg).cast("long"),
+        floor(col("t_lat") / tileDeg).cast("long")).as("tile"),
+        col("t_id"), col("t_lon"), col("t_lat"))
+      .as[(Long, Long, Double, Double)]
+    p.groupByKey(_._1).cogroup(t.groupByKey(_._1)) { (tile, pit, tit) =>
+      val tgts = tit.toArray
+      if (tgts.isEmpty) Iterator.empty
+      else {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double)]
+        var over = false
+        pit.foreach { r => if (buf.length > maxPerTile) over = true else buf += ((r._2, r._3, r._4)) }
+        require(!over, s"Grid.linearTiled: tile $tile exceeds maxPerTile=$maxPerTile — shrink tileDeg")
+        if (buf.length < 3) Iterator.empty
+        else {
+          val xs = buf.map(_._1).toArray
+          val ys = buf.map(_._2).toArray
+          val vs = buf.map(_._3).toArray
+          val tri = graft.core.Delaunay.triangulate(xs, ys)
+          val envs = Array.tabulate(tri.count) { k =>
+            val a = tri.tris(3 * k); val b = tri.tris(3 * k + 1); val c = tri.tris(3 * k + 2)
+            (math.min(xs(a), math.min(xs(b), xs(c))), math.min(ys(a), math.min(ys(b), ys(c))),
+              math.max(xs(a), math.max(xs(b), xs(c))), math.max(ys(a), math.max(ys(b), ys(c))))
+          }
+          val tree = graft.core.StrTree.build(envs)
+          val ix = tile / 8192L - 4096L; val iy = tile % 8192L - 4096L
+          val minX = ix * tileDeg - marginDeg; val maxX = (ix + 1) * tileDeg + marginDeg
+          val minY = iy * tileDeg - marginDeg; val maxY = (iy + 1) * tileDeg + marginDeg
+          tgts.iterator.flatMap { case (_, tid, qx, qy) =>
+            val hits = tree.query(qx, qy, qx, qy)
+            var est = Double.NaN
+            var found = false
+            var h = 0
+            while (h < hits.length && !found) {
+              val k = hits(h)
+              val a = tri.tris(3 * k); val b = tri.tris(3 * k + 1); val c = tri.tris(3 * k + 2)
+              val e = planeEst(xs(a), ys(a), vs(a), xs(b), ys(b), vs(b),
+                xs(c), ys(c), vs(c), qx, qy)
+              if (!e.isNaN) {
+                val (ccx, ccy, r2) = graft.core.Delaunay.circumcircle(
+                  xs(a), ys(a), xs(b), ys(b), xs(c), ys(c))
+                val r = math.sqrt(r2)
+                if (ccx - r >= minX && ccx + r <= maxX && ccy - r >= minY && ccy + r <= maxY) {
+                  est = e
+                  found = true
+                }
+              }
+              h += 1
+            }
+            if (found) Some((tid, est)) else None
+          }
+        }
+      }
+    }.toDF("t_id", "est")
   }
 }

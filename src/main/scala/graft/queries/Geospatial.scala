@@ -394,13 +394,18 @@ object Geospatial {
     ("q88_grid_linear", (s: SparkSession, dir: String) => {
       Grid.linear(Fixtures.planeTargets(s, dir), Fixtures.planeGridPoints(s, dir))
         .select(col("t_id"), round(col("est") * 256.0).cast("bigint").as("est_q"))
-    }, Some("""
-      SELECT CAST(s_suppkey AS BIGINT) AS t_id,
-             CAST(round((
-               (CAST((s_suppkey * 37) % 2301 AS DOUBLE) / 100.0 + 0.3) * 3.0 +
-               (CAST((s_suppkey * 53) % 2301 AS DOUBLE) / 100.0 + 0.3) * 7.0
-               + 10.0) * 256.0) AS BIGINT) AS est_q
-      FROM supplier""")),
+    }, Some(gridLinearPlaneOracle)),
+
+    // §2.4 GGA_Linear, DISTRIBUTED path (per-tile Delaunay with ghost
+    // margins + circumcircle locality certificate — Grid.linearTiled):
+    // the same plane fixture and oracle as q88, so the tiled path must
+    // reproduce the broadcast path's results exactly (GridTiledSpec
+    // additionally pins bit-identity on a non-planar field).
+    ("q103_grid_linear_tiled", (s: SparkSession, dir: String) => {
+      Grid.linearTiled(Fixtures.planeTargets(s, dir), Fixtures.planeGridPoints(s, dir),
+          tileDeg = 8.0, marginDeg = 4.0)
+        .select(col("t_id"), round(col("est") * 256.0).cast("bigint").as("est_q"))
+    }, Some(gridLinearPlaneOracle)),
 
     // §2.4 GGA_Metric{Minimum,Maximum,Range,Count,AverageDistance}
     // (gdal_alg.h:402-416): fused per-node value metrics + mean node→point
@@ -460,65 +465,8 @@ object Geospatial {
         .select(col("key"),
           col("ps.checksums")(0).as("sharp_cks_b0"),
           col("ps.mean").as("sharp_mean"))
-    }, Some("""
-      WITH keys AS (
-        SELECT p_partkey AS k,
-          CASE (p_partkey % 4) WHEN 0 THEN 16 WHEN 1 THEN 20 WHEN 2 THEN 64 ELSE 256 END AS sz
-        FROM part
-        WHERE (p_partkey % 2) = 1 AND (p_partkey % 3) <> 2),
-      k2 AS (SELECT k, sz, sz // 2 AS mw FROM keys WHERE sz <= 64),
-      -- 2x-downsampled ms band (all source bands are the same pattern):
-      -- floor(mean-of-2x2-block + 0.5), blocks always full (sz even)
-      g1 AS (SELECT k, sz, mw, unnest(generate_series(0, mw - 1)) AS mx FROM k2),
-      g2 AS (SELECT k, sz, mw, mx, unnest(generate_series(0, mw - 1)) AS my FROM g1),
-      msg AS (
-        SELECT k, mx, my,
-          CAST(floor((CAST(
-            (((2*mx)*7   + (2*my)*13   + k*31) % 256) +
-            (((2*mx+1)*7 + (2*my)*13   + k*31) % 256) +
-            (((2*mx)*7   + (2*my+1)*13 + k*31) % 256) +
-            (((2*mx+1)*7 + (2*my+1)*13 + k*31) % 256)
-            AS DOUBLE) / 4) + 0.5) AS BIGINT) AS m
-        FROM g2),
-      -- pan-resolution pixel grid with bilinear source cell + dyadic weights
-      p1 AS (SELECT k, sz, mw, unnest(generate_series(0, sz - 1)) AS x FROM k2),
-      p2 AS (SELECT k, sz, mw, x, unnest(generate_series(0, sz - 1)) AS y FROM p1),
-      pxc AS (
-        SELECT k, sz, x, y,
-          ((x*7 + y*13 + k*31) % 256) AS pan,
-          CASE WHEN x % 2 = 0 THEN x//2 - 1 ELSE (x - 1)//2 END AS x0,
-          CASE WHEN y % 2 = 0 THEN y//2 - 1 ELSE (y - 1)//2 END AS y0,
-          CASE WHEN x % 2 = 0 THEN CAST(0.75 AS DOUBLE) ELSE CAST(0.25 AS DOUBLE) END AS tx,
-          CASE WHEN y % 2 = 0 THEN CAST(0.75 AS DOUBLE) ELSE CAST(0.25 AS DOUBLE) END AS ty,
-          mw
-        FROM p2),
-      bil AS (
-        SELECT p.k, p.sz, p.x, p.y, p.pan,
-          ((((m00.m * (CAST(1 AS DOUBLE) - p.tx)) * (CAST(1 AS DOUBLE) - p.ty))
-            + ((m10.m * p.tx) * (CAST(1 AS DOUBLE) - p.ty)))
-            + ((m01.m * (CAST(1 AS DOUBLE) - p.tx)) * p.ty))
-            + ((m11.m * p.tx) * p.ty) AS u
-        FROM pxc p
-        JOIN msg m00 ON m00.k = p.k AND m00.mx = greatest(0, least(p.mw - 1, p.x0))
-                     AND m00.my = greatest(0, least(p.mw - 1, p.y0))
-        JOIN msg m10 ON m10.k = p.k AND m10.mx = greatest(0, least(p.mw - 1, p.x0 + 1))
-                     AND m10.my = greatest(0, least(p.mw - 1, p.y0))
-        JOIN msg m01 ON m01.k = p.k AND m01.mx = greatest(0, least(p.mw - 1, p.x0))
-                     AND m01.my = greatest(0, least(p.mw - 1, p.y0 + 1))
-        JOIN msg m11 ON m11.k = p.k AND m11.mx = greatest(0, least(p.mw - 1, p.x0 + 1))
-                     AND m11.my = greatest(0, least(p.mw - 1, p.y0 + 1))),
-      sharp AS (
-        SELECT k, sz, x, y,
-          CASE WHEN v0 < 0 THEN 0 WHEN v0 > 255 THEN 255 ELSE v0 END AS v
-        FROM (
-          SELECT k, sz, x, y,
-            CAST(floor((u * (CASE WHEN pseudo = 0 THEN CAST(0 AS DOUBLE)
-                             ELSE CAST(pan AS DOUBLE) / pseudo END)) + 0.5) AS BIGINT) AS v0
-          FROM (
-            SELECT k, sz, x, y, pan, u,
-              (((u * (CAST(1 AS DOUBLE)/3)) + (u * (CAST(1 AS DOUBLE)/3)))
-                + (u * (CAST(1 AS DOUBLE)/3))) AS pseudo
-            FROM bil)))
+    }, Some(s"""
+      WITH $pansharpenSharpCte
       SELECT k AS key,
         CAST(sum(v % ([7,11,13,17,19,23,29,31,37,41,43])[((y * sz + x) % 11) + 1]) % 65536 AS INT)
           AS sharp_cks_b0,
@@ -1512,16 +1460,52 @@ object Geospatial {
 
     // §2.8 pansharpen + palette/dither (Brovey / median-cut / F-S kernels;
     // upsample/error-diffusion internals rows-only, semantics in ColorSpec)
+    // §2.8 pansharpen + median-cut palette, now FULLY oracle-backed on the
+    // lossless subset: the pansharpen half reuses the q97 op-for-op SQL
+    // mirror; the palette half emits the FIRST split's integer-exact
+    // invariants (median_cut_split — tied pixels share the split-channel
+    // value, so the half sums are order-free) plus the recursion's box
+    // count and a dither mean-error bound. The full palette recursion and
+    // Floyd–Steinberg index raster remain golden-pinned in ColorSpec
+    // (sequential error diffusion is not SQL-expressible).
     ("q81_pansharpen_palette", (s: SparkSession, dir: String) => {
       Fixtures.imagesFromParts(s, dir)
-        .filter(col("w") <= 64 && col("key") % 2 === 1) // 3-band subset
+        .filter(col("w") <= 64 && col("key") % 2 === 1 && col("fmt") =!= "jpeg")
         .withColumn("ps", pansharpen_profile(col("bytes"), col("fmt"), col("w"), col("h")))
         .withColumn("pal", rgb_to_palette(col("bytes"), col("fmt"), col("w"), col("h"), lit(16)))
-        .filter(col("ps").isNotNull && col("pal").isNotNull)
+        .withColumn("sp", median_cut_split(col("bytes"), col("fmt"), col("w"), col("h")))
+        .filter(col("ps").isNotNull && col("pal").isNotNull && col("sp").isNotNull)
         .select(col("key"),
           col("ps.checksums")(0).as("sharp_cks_b0"), col("ps.mean").as("sharp_mean"),
-          col("pal.n_colors"), col("pal.idx_checksum"), col("pal.mean_err"))
-    }, None),
+          col("pal.n_colors").as("n_colors"),
+          (col("pal.mean_err") <= 32.0).as("mean_err_ok"),
+          col("sp.axis").as("axis"), col("sp.median_v").as("median_v"),
+          col("sp.n_lo").as("n_lo"), col("sp.lo_sum").as("lo_sum"),
+          col("sp.hi_sum").as("hi_sum"))
+    }, Some(s"""
+      WITH $pansharpenSharpCte,
+      agg AS (
+        SELECT k, sz,
+          CAST(sum(v % ([7,11,13,17,19,23,29,31,37,41,43])[((y * sz + x) % 11) + 1]) % 65536 AS INT)
+            AS sharp_cks_b0,
+          (CAST(3 * sum(v) AS DOUBLE) / ((CAST(3 AS DOUBLE) * sz) * sz)) AS sharp_mean
+        FROM sharp GROUP BY k, sz),
+      s1 AS (SELECT k, sz, unnest(generate_series(0, sz - 1)) AS x FROM k2),
+      s2 AS (SELECT k, sz, x, unnest(generate_series(0, sz - 1)) AS y FROM s1),
+      sr AS (
+        SELECT k, sz, v, row_number() OVER (PARTITION BY k ORDER BY v) AS rn
+        FROM (SELECT k, sz, ((x*7 + y*13 + k*31) % 256) AS v FROM s2)),
+      split AS (
+        SELECT k,
+          CAST(max(CASE WHEN rn = ((sz*sz)//2) + 1 THEN v END) AS INT) AS median_v,
+          CAST((sz*sz)//2 AS INT) AS n_lo,
+          CAST(sum(CASE WHEN rn <= (sz*sz)//2 THEN v ELSE 0 END) AS BIGINT) AS lo_sum,
+          CAST(sum(CASE WHEN rn > (sz*sz)//2 THEN v ELSE 0 END) AS BIGINT) AS hi_sum
+        FROM sr GROUP BY k, sz)
+      SELECT a.k AS key, a.sharp_cks_b0, a.sharp_mean,
+        CAST(16 AS INT) AS n_colors, TRUE AS mean_err_ok,
+        CAST(0 AS INT) AS axis, s.median_v, s.n_lo, s.lo_sum, s.hi_sum
+      FROM agg a JOIN split s ON s.k = a.k""")),
 
     // UTM footprint branch: the Karney inverse series is MIRRORED in SQL
     // (coefficients emitted from core.Utm's own values; sinh/cosh spelled
@@ -1601,6 +1585,78 @@ object Geospatial {
       FROM s4 GROUP BY key, srid"""
     })
   )
+
+  /** q97/q81 shared pansharpen mirror: the synthetic pan band, 2x ms
+    * downsample, quarter-offset bilinear upsample, 1/3-weight pseudo-pan,
+    * ratio multiply and clamp, op-for-op in SQL (ends with `sharp`). */
+  private def pansharpenSharpCte: String = """keys AS (
+        SELECT p_partkey AS k,
+          CASE (p_partkey % 4) WHEN 0 THEN 16 WHEN 1 THEN 20 WHEN 2 THEN 64 ELSE 256 END AS sz
+        FROM part
+        WHERE (p_partkey % 2) = 1 AND (p_partkey % 3) <> 2),
+      k2 AS (SELECT k, sz, sz // 2 AS mw FROM keys WHERE sz <= 64),
+      -- 2x-downsampled ms band (all source bands are the same pattern):
+      -- floor(mean-of-2x2-block + 0.5), blocks always full (sz even)
+      g1 AS (SELECT k, sz, mw, unnest(generate_series(0, mw - 1)) AS mx FROM k2),
+      g2 AS (SELECT k, sz, mw, mx, unnest(generate_series(0, mw - 1)) AS my FROM g1),
+      msg AS (
+        SELECT k, mx, my,
+          CAST(floor((CAST(
+            (((2*mx)*7   + (2*my)*13   + k*31) % 256) +
+            (((2*mx+1)*7 + (2*my)*13   + k*31) % 256) +
+            (((2*mx)*7   + (2*my+1)*13 + k*31) % 256) +
+            (((2*mx+1)*7 + (2*my+1)*13 + k*31) % 256)
+            AS DOUBLE) / 4) + 0.5) AS BIGINT) AS m
+        FROM g2),
+      -- pan-resolution pixel grid with bilinear source cell + dyadic weights
+      p1 AS (SELECT k, sz, mw, unnest(generate_series(0, sz - 1)) AS x FROM k2),
+      p2 AS (SELECT k, sz, mw, x, unnest(generate_series(0, sz - 1)) AS y FROM p1),
+      pxc AS (
+        SELECT k, sz, x, y,
+          ((x*7 + y*13 + k*31) % 256) AS pan,
+          CASE WHEN x % 2 = 0 THEN x//2 - 1 ELSE (x - 1)//2 END AS x0,
+          CASE WHEN y % 2 = 0 THEN y//2 - 1 ELSE (y - 1)//2 END AS y0,
+          CASE WHEN x % 2 = 0 THEN CAST(0.75 AS DOUBLE) ELSE CAST(0.25 AS DOUBLE) END AS tx,
+          CASE WHEN y % 2 = 0 THEN CAST(0.75 AS DOUBLE) ELSE CAST(0.25 AS DOUBLE) END AS ty,
+          mw
+        FROM p2),
+      bil AS (
+        SELECT p.k, p.sz, p.x, p.y, p.pan,
+          ((((m00.m * (CAST(1 AS DOUBLE) - p.tx)) * (CAST(1 AS DOUBLE) - p.ty))
+            + ((m10.m * p.tx) * (CAST(1 AS DOUBLE) - p.ty)))
+            + ((m01.m * (CAST(1 AS DOUBLE) - p.tx)) * p.ty))
+            + ((m11.m * p.tx) * p.ty) AS u
+        FROM pxc p
+        JOIN msg m00 ON m00.k = p.k AND m00.mx = greatest(0, least(p.mw - 1, p.x0))
+                     AND m00.my = greatest(0, least(p.mw - 1, p.y0))
+        JOIN msg m10 ON m10.k = p.k AND m10.mx = greatest(0, least(p.mw - 1, p.x0 + 1))
+                     AND m10.my = greatest(0, least(p.mw - 1, p.y0))
+        JOIN msg m01 ON m01.k = p.k AND m01.mx = greatest(0, least(p.mw - 1, p.x0))
+                     AND m01.my = greatest(0, least(p.mw - 1, p.y0 + 1))
+        JOIN msg m11 ON m11.k = p.k AND m11.mx = greatest(0, least(p.mw - 1, p.x0 + 1))
+                     AND m11.my = greatest(0, least(p.mw - 1, p.y0 + 1))),
+      sharp AS (
+        SELECT k, sz, x, y,
+          CASE WHEN v0 < 0 THEN 0 WHEN v0 > 255 THEN 255 ELSE v0 END AS v
+        FROM (
+          SELECT k, sz, x, y,
+            CAST(floor((u * (CASE WHEN pseudo = 0 THEN CAST(0 AS DOUBLE)
+                             ELSE CAST(pan AS DOUBLE) / pseudo END)) + 0.5) AS BIGINT) AS v0
+          FROM (
+            SELECT k, sz, x, y, pan, u,
+              (((u * (CAST(1 AS DOUBLE)/3)) + (u * (CAST(1 AS DOUBLE)/3)))
+                + (u * (CAST(1 AS DOUBLE)/3))) AS pseudo
+            FROM bil)))"""
+
+  /** q88/q103 shared oracle: the plane fixture makes every node's linear
+    * estimate the closed-form plane value (3·lon + 7·lat + 10). */
+  private def gridLinearPlaneOracle: String = """
+      SELECT CAST(s_suppkey AS BIGINT) AS t_id,
+             CAST(round((
+               (CAST((s_suppkey * 37) % 2301 AS DOUBLE) / 100.0 + 0.3) * 3.0 +
+               (CAST((s_suppkey * 53) % 2301 AS DOUBLE) / 100.0 + 0.3) * 7.0
+               + 10.0) * 256.0) AS BIGINT) AS est_q
+      FROM supplier"""
 
   /** q31/q101 shared structure oracle: tile ids, quadkeys and 4-fan-in
     * contribution counts of the z2..z5 pyramid re-derived in SQL. */
