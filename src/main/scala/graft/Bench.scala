@@ -7,6 +7,13 @@ import org.apache.spark.sql.functions._
   * on SPARK_GRAFT_SF_DIR and the flagship image pipeline, prints ONE JSON
   * line. `value` = total seconds over the headline set; extra key
   * `pipeline_images_per_sec` carries the north-rule throughput metric.
+  *
+  * The emitted line is a GATED artifact (round-3 bwgate methodology,
+  * BENCH/BASELINE.md): a memory-bandwidth probe runs before and after
+  * the timed region (`bw_pre_*` / `bw_post_*` GiB/s fields, `bw_gated`
+  * = both healthy) and every query is timed over SPARK_GRAFT_BENCH_PASSES
+  * (default 2) passes with the MINIMUM wall reported — steal only ever
+  * ADDS time, so min-wall is the noise-robust estimator on this host.
   */
 object Bench {
   val Headline: Seq[String] = Seq(
@@ -21,7 +28,10 @@ object Bench {
     // round-3 operator families
     "q85_sql_intersects_join", "q86_line_clip", "q87_buffer", "q88_grid_linear",
     "q89_density_mosaic", "q90_grid_data_metrics", "q92_make_valid",
-    "q93_gcp_poly", "q95_rpc_forward", "q96_point_overlay", "q97_pansharpen")
+    "q93_gcp_poly", "q95_rpc_forward", "q96_point_overlay", "q97_pansharpen",
+    // round-4 operator families
+    "q39_contour_polygons", "q99_ivf_topk", "q101_gcp_warp_tiles",
+    "q102_concave_hull", "q103_grid_linear_tiled")
 
   def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
@@ -76,24 +86,32 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt)
+    val (bwPre4, bwPre16) = graft.tools.BwProbe.pair()
     val spark = buildSession(cpus)
     val qs = SparkEntry.queries
     // untimed warm-up: parquet footers, codegen, corpus materialization
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     graft.gen.Fixtures.imagesFromParts(spark, sfDir)
     val results = Headline.filter(qs.contains).map { name =>
-      val t0 = System.nanoTime()
-      val ok = try { qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case _: Throwable => false }
-        finally graft.pipeline.Caches.release()
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val walls = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case _: Throwable => false }
+          finally graft.pipeline.Caches.release()
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      name -> (if (walls.contains(-1.0)) -1.0 else walls.min)
     }
     val benchN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "8000").toLong
-    val (nImages, pipeSec) = pipelineThroughput(spark, benchN)
+    val (nImages, pipeSec) = (1 to passes).map(_ => pipelineThroughput(spark, benchN)).minBy(_._2)
     val ips = nImages / pipeSec
+    spark.stop()
+    val (bwPost4, bwPost16) = graft.tools.BwProbe.pair()
+    val gated = graft.tools.BwProbe.healthy(bwPre4, bwPre16) &&
+      graft.tools.BwProbe.healthy(bwPost4, bwPost16)
     val qJson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum + pipeSec
-    println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","pipeline_images":$nImages,"pipeline_sec":$pipeSec%.3f,"pipeline_images_per_sec":$ips%.1f,"cpus":"$cpus"}""")
-    spark.stop()
+    println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","pipeline_images":$nImages,"pipeline_sec":$pipeSec%.3f,"pipeline_images_per_sec":$ips%.1f,"cpus":"$cpus","passes":$passes,"bw_pre_t4_gbps":$bwPre4%.1f,"bw_pre_t16_gbps":$bwPre16%.1f,"bw_post_t4_gbps":$bwPost4%.1f,"bw_post_t16_gbps":$bwPost16%.1f,"bw_gated":$gated}""")
   }
 }

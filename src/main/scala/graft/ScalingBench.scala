@@ -19,12 +19,16 @@ import java.nio.file.{Files, Paths}
   */
 object ScalingBench {
   private def measure(cpus: String, n: Long): (Long, Double) = {
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt)
     val spark = Bench.buildSession(cpus)
     try {
       // warm-up untimed (JIT + codegen caches); sized to actually heat
       // the warp/decode paths before measuring
       Bench.pipelineThroughput(spark, math.max(500L, n / 8))
-      Bench.pipelineThroughput(spark, n)
+      // min-wall over `passes` timed runs: steal only ever ADDS wall
+      // time, so the per-rung minimum is the noise-robust statistic
+      // (round-3 methodology, BENCH/BASELINE.md)
+      (1 to passes).map(_ => Bench.pipelineThroughput(spark, n)).minBy(_._2)
     } finally spark.stop()
   }
 
@@ -32,9 +36,14 @@ object ScalingBench {
     val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "24000").toLong
     if (args.length == 1) {
       // single-level fresh-JVM mode (tools/scaling_bench.sh drives this so
-      // JIT warm-state can't leak between parallelism levels)
+      // JIT warm-state can't leak between parallelism levels), bandwidth-
+      // gated: probe before AND after the rung, emit both in the JSON
+      val (pre4, pre16) = graft.tools.BwProbe.pair()
       val (cnt, sec) = measure(args(0), n)
-      println(f"""{"cpus":${args(0)},"images":$cnt,"sec":$sec%.2f,"thr":${cnt / sec}%.1f}""")
+      val (post4, post16) = graft.tools.BwProbe.pair()
+      val gated = graft.tools.BwProbe.healthy(pre4, pre16) &&
+        graft.tools.BwProbe.healthy(post4, post16)
+      println(f"""{"cpus":${args(0)},"images":$cnt,"sec":$sec%.2f,"thr":${cnt / sec}%.1f,"bw_pre_t4_gbps":$pre4%.1f,"bw_pre_t16_gbps":$pre16%.1f,"bw_post_t4_gbps":$post4%.1f,"bw_post_t16_gbps":$post16%.1f,"bw_gated":$gated}""")
       return
     }
     val levels = sys.env.getOrElse("SPARK_GRAFT_LEVELS", "4,8,16,32").split(",").toSeq

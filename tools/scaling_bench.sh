@@ -1,56 +1,53 @@
 #!/bin/bash
 # North-rule scaling evidence with one FRESH JVM per parallelism level
 # (same-JVM sequential sessions leak JIT warm state into later levels).
-# Usage: tools/scaling_bench.sh [N_IMAGES]
+# Each rung is BANDWIDTH-GATED by graft.ScalingBench itself (BwProbe
+# before and after the rung, bw_gated in the JSON) and uses min-wall
+# over SPARK_GRAFT_BENCH_PASSES runs. Samples are APPENDED to
+# BENCH/scaling_samples.jsonl; BENCH/BASELINE.md is hand-curated from
+# them — this script never overwrites it.
+# Usage: tools/scaling_bench.sh [N_IMAGES] [N_PAIRS] [LO] [HI]
 set -e
 cd "$(dirname "$0")/.."
-N=${1:-24000}
+N=${1:-72000}
+PAIRS=${2:-1}
+LO=${3:-4}
+HI=${4:-16}
 export SPARK_GRAFT_BENCH_N=$N
-export SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-20g}
-out=/tmp/graft_scaling_$$.jsonl
-: > "$out"
-for cpus in 4 8 16 32; do
-  sbt -batch "runMain graft.ScalingBench $cpus" 2>/dev/null | grep -o '{"cpus".*}' >> "$out"
+export SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-100g}
+mkdir -p BENCH
+out=BENCH/scaling_samples.jsonl
+for i in $(seq 1 "$PAIRS"); do
+  for cpus in "$LO" "$HI"; do
+    line=$(sbt -batch "runMain graft.ScalingBench $cpus" 2>/dev/null | grep -o '{"cpus".*}')
+    echo "$line" | python3 -c "import json,sys,time; d=json.load(sys.stdin); d['n']=$N; d['ts']=time.strftime('%Y-%m-%dT%H:%M:%SZ',time.gmtime()); print(json.dumps(d))" >> "$out"
+    echo "$line"
+  done
 done
-cat "$out"
-python3 - "$out" "$N" <<'PY'
+python3 - "$out" "$LO" "$HI" <<'PY'
 import json, sys
-rows = [json.loads(l) for l in open(sys.argv[1])]
-n = sys.argv[2]
-thr = {r["cpus"]: r["thr"] for r in rows}
-e416 = (thr[16]/thr[4])/4 if 4 in thr and 16 in thr else None
-e832 = (thr[32]/thr[8])/4 if 8 in thr and 32 in thr else None
-table = "\n".join(f"| local[{r['cpus']}] | {r['images']} | {r['sec']:.2f} | {r['thr']:.1f} |" for r in rows)
-md = f"""# BENCH/BASELINE — measured pipeline throughput (gdalspark)
-
-Pipeline: decode(image_stats) → footprint → cell-keyed PIP/env join
-(25 regions) → XYZ tile-assign → map-side warp to z6 tiles →
-per-tile mosaic + checksums; synthetic corpus of {n} images
-(graft.gen.Fixtures, FIXTURES.md spec), noop sink. Corpus synthesis is
-materialized before the timer; each parallelism level runs in a FRESH
-JVM with an untimed warm-up pass.
-
-| parallelism | images | wall (s) | throughput (images/s) |
-|---|---|---|---|
-{table}
-
-**Scaling efficiency** = (thr_4N / thr_N) / 4:
-- local[4] → local[16]: **{e416:.3f}**
-- local[8] → local[32]: **{e832:.3f}**
-
-North-rule target >= 0.8 at N→4N executors. Single-box context: this
-host's memory bandwidth (multithreaded fill sweep) peaks at ~16 threads
-(~46 GB/s) and REGRESSES to ~30 GB/s at 32 threads, so local[32] is
-bandwidth-starved in a way 4x real executors (each with its own memory
-bus) are not. The 4→16 pair is the fairer single-box proxy for the
-N→4N executor rule; 8→32 is reported for completeness.
-
-Method notes: same input, same plan, only `local[N]` and
-`spark.sql.shuffle.partitions=N` change; heap pinned + pre-touched
-(-Xms=-Xmx, -XX:+AlwaysPreTouch) after diagnosing 10-26 s first-touch
-GC pauses on this virtualized host. Reference methodology analog:
-autotest/benchmark/test_gdalwarp.py NUM_THREADS axis.
-"""
-open("BENCH/BASELINE.md","w").write(md)
-print(json.dumps({"eff_4_16": round(e416,3), "eff_8_32": round(e832,3)}))
+rows = [json.loads(l) for l in open(sys.argv[1]) if l.strip()]
+lo, hi = int(sys.argv[2]), int(sys.argv[3])
+# pair consecutive lo,hi rungs in file order
+pairs, pend = [], None
+for r in rows:
+    if r["cpus"] == lo:
+        pend = r
+    elif r["cpus"] == hi and pend is not None:
+        pairs.append((pend, r)); pend = None
+print(f"\n== {len(pairs)} pair(s) on record ({sys.argv[1]}) ==")
+for a, b in pairs:
+    eff = (b["thr"] / a["thr"]) / (hi / lo)
+    gate = "gated" if a.get("bw_gated") and b.get("bw_gated") else "UNGATED"
+    print(f"local[{lo}] {a['thr']:.1f} -> local[{hi}] {b['thr']:.1f} img/s  eff={eff:.3f}  [{gate}]"
+          f"  bw lo:{a.get('bw_pre_t4_gbps')}/{a.get('bw_pre_t16_gbps')}->{a.get('bw_post_t4_gbps')}/{a.get('bw_post_t16_gbps')}"
+          f" hi:{b.get('bw_pre_t4_gbps')}/{b.get('bw_pre_t16_gbps')}->{b.get('bw_post_t4_gbps')}/{b.get('bw_post_t16_gbps')}")
+best_lo = max((a["thr"] for a, _ in pairs), default=None)
+best_hi = max((b["thr"] for _, b in pairs), default=None)
+if best_lo and best_hi:
+    print(f"min-wall estimator (best rungs): {best_lo:.1f} -> {best_hi:.1f}  eff={(best_hi/best_lo)/(hi/lo):.3f}")
+gp = [(a, b) for a, b in pairs if a.get("bw_gated") and b.get("bw_gated")]
+if gp:
+    ge = sorted(((b["thr"]/a["thr"])/(hi/lo) for a, b in gp))
+    print(f"gated pairs: {len(gp)}, median eff={ge[len(ge)//2]:.3f}, best={ge[-1]:.3f}")
 PY
