@@ -786,6 +786,27 @@ object Geospatial {
           (col("png").isNotNull && length(col("png")) > 0).as("has_png"))
     }, Some(tilePyramidStructureSql)),
 
+    // §2.9/§2.8 incremental tile ingest (batch surface of the streaming
+    // front door, streaming/Streams.upsertTiles): the corpus arrives in
+    // two waves, each upserted into a hive-partitioned parquet tile store
+    // with dynamic partition overwrite; the commutative+idempotent
+    // max-blend makes the store equal the one-shot q31 base level
+    // bit-for-bit (StreamingSpec asserts buffer equality; here the
+    // structure oracle re-derives ids/quadkeys/contribution counts in SQL).
+    ("q104_incremental_tiles", (s: SparkSession, dir: String) => {
+      val images = Fixtures.imagesFromParts(s, dir).filter(col("key") % 10 === 0)
+      val store = java.nio.file.Files.createTempDirectory("graft_store_q104").toString
+      graft.streaming.Streams.upsertTiles(images.filter(col("key") % 20 === 0), 5, store)
+      graft.streaming.Streams.upsertTiles(images.filter(col("key") % 20 =!= 0), 5, store)
+      s.read.parquet(store).select(
+        tile_z(col("tile")).as("z"), tile_x(col("tile")).as("x"), tile_y(col("tile")).as("y"),
+        quadkey(tile_z(col("tile")), tile_x(col("tile")), tile_y(col("tile"))).as("qk"),
+        col("n_images"),
+        (col("buf").isNotNull && length(col("buf")) > 0).as("has_buf"))
+    }, Some(
+      s"""SELECT z, x, y, qk, n_images, TRUE AS has_buf
+          FROM ($tilePyramidStructureSql) t WHERE z = 5""")),
+
 
     // §2.8 polygonize (quantized to 4 classes, 4-connected). Oracle: the
     // region COUNT equals the Euler characteristic Σcells − Σadjacencies +

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import java.sql.Timestamp
 
 /** Structured Streaming surface. The reference is batch-only (SURVEY.md
@@ -51,6 +51,79 @@ object Streams {
       hashed.withWatermark(tsCol, watermark)
         .dropDuplicatesWithinWatermark("text_md5")
     else hashed.dropDuplicates("text_md5")
+  }
+
+  /** Streaming tile ingest — the continuous front door of the tile
+    * pyramid (batch shape: ops/Tiling.baseTiles, q31): a stream of image
+    * rows is content-hash deduplicated under a watermark, then each
+    * micro-batch is warped to its covering z-tiles and UPSERTED into a
+    * hive-partitioned parquet tile store via foreachBatch.
+    *
+    * Exactly-once story: the mosaic blend (MosaicAgg.merge) is
+    * commutative, associative AND idempotent (max-blend over valid
+    * pixels), so an at-least-once foreachBatch replay after a crash
+    * converges to the same pixel content; only the `n_images` monitoring
+    * counter is at-least-once. Dedup state lives in the checkpoint, so a
+    * restart still suppresses duplicates first seen before the crash.
+    * On a real deployment the store would be a transactional table
+    * format; plain parquet + dynamic partition overwrite keeps the same
+    * shape with rewrite granularity = one `pfx` bucket. */
+  def tileIngest(images: DataFrame, z: Int, storeDir: String, checkpointDir: String,
+                 tsCol: String = "ts", watermark: String = "2 hours"): StreamingQuery = {
+    val deduped = images.withColumn("img_md5", md5(col("bytes")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("img_md5")
+    deduped.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) => upsertTiles(batch, z, storeDir) }
+      .start()
+  }
+
+  /** Buckets per store: bounds the dynamic-overwrite rewrite unit. At a
+    * deeper zoom the bucket key would be a tile PREFIX (parent tile at a
+    * coarse zoom) so co-rewritten tiles stay spatially adjacent. */
+  val StorePfxBuckets = 64
+
+  /** Merge one (batch) frame of images into the tile store at zoom z.
+    * Reads ONLY the `pfx` partitions the batch touches (partition-pruned
+    * scan), max-blends new tiles into existing ones, and replaces just
+    * those partitions (dynamic partition overwrite) — per-batch work is
+    * O(touched tiles), never O(store). */
+  def upsertTiles(batch: DataFrame, z: Int, storeDir: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    if (batch.isEmpty) return
+    val fresh = graft.ops.Tiling.baseTiles(batch, z)
+      .withColumn("pfx", pmod(col("tile"), lit(StorePfxBuckets)).cast("int"))
+    val storePath = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val storeHasData = fs.exists(storePath) && fs.listStatus(storePath).nonEmpty
+    val merged = if (storeHasData) {
+      val touched = fresh.select("pfx").distinct().as[Int].collect() // ≤ StorePfxBuckets
+      val existing = spark.read.parquet(storeDir).where(col("pfx").isin(touched.map(Int.box): _*))
+      existing.unionByName(fresh)
+    } else fresh
+    val out = merged.select(col("pfx"), col("tile"), col("n_images"), col("buf"))
+      .as[(Int, Long, Long, Array[Byte])]
+      .groupByKey(_._2)
+      .mapGroups { (tile, rows) =>
+        var buf: Array[Byte] = null
+        var n = 0L
+        var pfx = 0
+        rows.foreach { case (p, _, cn, cbuf) =>
+          pfx = p
+          buf = if (buf == null) cbuf else graft.expr.MosaicAgg.merge(buf, cbuf)
+          n += cn
+        }
+        (pfx, tile, n, buf)
+      }.toDF("pfx", "tile", "n_images", "buf")
+      // truncate lineage off the store path before overwriting it (Spark
+      // rejects a write whose plan still reads the destination)
+      .localCheckpoint(true)
+    out.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pfx").parquet(storeDir)
   }
 
   /** Stateful per-user session counting (gap > 30 min ⇒ new session) via

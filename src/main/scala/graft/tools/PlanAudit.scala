@@ -15,7 +15,10 @@ object PlanAudit {
       "q61_layer_intersection", "q64_dissolve", "q67_zonal_full",
       "q70_grid_nearest", "q50_ann_lsh", "q93_gcp_poly", "q95_rpc_forward",
       "q96_point_overlay", "q85_sql_intersects_join", "q46_minhash_lsh",
-      "q87_buffer", "q88_grid_linear", "q89_density_mosaic")
+      "q87_buffer", "q88_grid_linear", "q89_density_mosaic",
+      // round 4
+      "q39_contour_polygons", "q99_ivf_topk", "q101_gcp_warp_tiles",
+      "q102_concave_hull", "q103_grid_linear_tiled", "q104_incremental_tiles")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       val df = graft.SparkEntry.queries(n)(spark, sf)

@@ -109,6 +109,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.count() == 1)
   }
 
+  test("streaming tile ingest equals the batch tiling, dedups across a checkpoint restart") {
+    import java.sql.Timestamp
+    import graft.gen.Fixtures
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest")
+    val (src, store, ckpt) =
+      (root.resolve("src").toString, root.resolve("store").toString, root.resolve("ckpt").toString)
+    val z = 3
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "key BIGINT, image_id STRING, bytes BINARY, w INT, h INT, fmt STRING, " +
+        "caption STRING, phash BIGINT, gt ARRAY<DOUBLE>, srid INT, ts TIMESTAMP")
+    def write(ids: Seq[Long]): Unit =
+      ids.map(Fixtures.genImage).toDF()
+        .withColumn("ts", lit(Timestamp.valueOf("2024-01-01 10:00:00")))
+        .coalesce(1).write.mode("append").parquet(src)
+    def startIngest() = Streams.tileIngest(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src),
+      z, store, ckpt)
+
+    write(0L to 9L)
+    val q1 = startIngest()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // restart from the checkpoint; second wave re-sends image 3 (same
+    // bytes ⇒ same content hash, first seen BEFORE the restart) — the
+    // restored dedup state must suppress it
+    write((10L to 14L) :+ 3L)
+    val q2 = startIngest()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(store)
+      .select(col("tile"), col("n_images"), md5(col("buf")).as("h"))
+      .as[(Long, Long, String)].collect().toSet
+    val want = graft.ops.Tiling.baseTiles(
+      (0L to 14L).map(Fixtures.genImage).toDF(), z)
+      .select(col("tile"), col("n_images"), md5(col("buf")).as("h"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(want.nonEmpty)
+    assert(got == want, "incremental store == one-shot batch tiling, bit-for-bit")
+  }
+
   test("stateful sessionize final state equals the batch window computation") {
     val dir = eventsDir
     val stream = spark.readStream.schema(Streams.EventSchema)
