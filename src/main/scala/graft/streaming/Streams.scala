@@ -104,7 +104,7 @@ object Streams {
       val existing = spark.read.parquet(storeDir).where(col("pfx").isin(touched.map(Int.box): _*))
       existing.unionByName(fresh)
     } else fresh
-    val out = merged.select(col("pfx"), col("tile"), col("n_images"), col("buf"))
+    val mergedTiles = merged.select(col("pfx"), col("tile"), col("n_images"), col("buf"))
       .as[(Int, Long, Long, Array[Byte])]
       .groupByKey(_._2)
       .mapGroups { (tile, rows) =>
@@ -118,9 +118,10 @@ object Streams {
         }
         (pfx, tile, n, buf)
       }.toDF("pfx", "tile", "n_images", "buf")
-      // truncate lineage off the store path before overwriting it (Spark
-      // rejects a write whose plan still reads the destination)
-      .localCheckpoint(true)
+    // truncate lineage off the store path before overwriting it (Spark
+    // rejects a write whose plan still reads the destination); an empty
+    // store has no self-read to protect, so skip the materialization
+    val out = if (storeHasData) mergedTiles.localCheckpoint(true) else mergedTiles
     out.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("pfx").parquet(storeDir)
