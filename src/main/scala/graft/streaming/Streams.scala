@@ -94,11 +94,16 @@ object Streams {
     val spark = batch.sparkSession
     import spark.implicits._
     if (batch.isEmpty) return
-    val fresh = graft.ops.Tiling.baseTiles(batch, z)
-      .withColumn("pfx", pmod(col("tile"), lit(StorePfxBuckets)).cast("int"))
     val storePath = new org.apache.hadoop.fs.Path(storeDir)
     val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val storeHasData = fs.exists(storePath) && fs.listStatus(storePath).nonEmpty
+    val freshRaw = graft.ops.Tiling.baseTiles(batch, z)
+      .withColumn("pfx", pmod(col("tile"), lit(StorePfxBuckets)).cast("int"))
+    // when merging into an existing store the rendered batch is consumed
+    // twice (touched-bucket probe + merge) — persist so the warp runs once
+    val fresh = if (storeHasData)
+      freshRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else freshRaw
     val merged = if (storeHasData) {
       val touched = fresh.select("pfx").distinct().as[Int].collect() // ≤ StorePfxBuckets
       val existing = spark.read.parquet(storeDir).where(col("pfx").isin(touched.map(Int.box): _*))
@@ -122,9 +127,11 @@ object Streams {
     // rejects a write whose plan still reads the destination); an empty
     // store has no self-read to protect, so skip the materialization
     val out = if (storeHasData) mergedTiles.localCheckpoint(true) else mergedTiles
-    out.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("pfx").parquet(storeDir)
+    try
+      out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("pfx").parquet(storeDir)
+    finally if (storeHasData) fresh.unpersist()
   }
 
   /** Stateful per-user session counting (gap > 30 min ⇒ new session) via
