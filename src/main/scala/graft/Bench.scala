@@ -101,7 +101,10 @@ object Bench {
           finally graft.pipeline.Caches.release()
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> (if (walls.contains(-1.0)) -1.0 else walls.min)
+      // min over the SUCCESSFUL walls (a transient single-pass failure must
+      // not silently drop the query from the total); -1 only if all fail
+      val good = walls.filter(_ >= 0)
+      name -> (if (good.isEmpty) -1.0 else good.min)
     }
     val benchN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "8000").toLong
     val (nImages, pipeSec) = (1 to passes).map(_ => pipelineThroughput(spark, benchN)).minBy(_._2)

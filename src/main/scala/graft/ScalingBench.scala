@@ -1,12 +1,12 @@
 package graft
 
-import java.nio.file.{Files, Paths}
-
 /** North-rule scaling evidence: the same pipeline at several parallelism
   * levels (local[N] as the sandbox stand-in for N executors — no real
   * cluster available), reporting throughput at each plus scaling
-  * efficiency = (thr_4N / thr_N) / 4 for the N→4N pairs. Writes
-  * BENCH/BASELINE.md.
+  * efficiency = (thr_4N / thr_N) / 4 for the N→4N pairs. Emits JSON
+  * only — BENCH/BASELINE.md is hand-curated from the gated samples
+  * (tools/scaling_bench.sh appends them to BENCH/scaling_samples.jsonl)
+  * and is never overwritten by code.
   *
   * Mirrors the reference's relative methodology (pytest-benchmark with
   * NUM_THREADS ∈ {1, ALL_CPUS}, autotest/benchmark/test_gdalwarp.py:45-46).
@@ -57,43 +57,6 @@ object ScalingBench {
       for (ta <- thr(a); tb <- thr(b)) yield (tb / ta) / (b.toDouble / a)
     val e416 = eff(4, 16)
     val e832 = eff(8, 32)
-    val table = rows.map { case (c, cnt, sec, t) =>
-      f"| local[$c] | $cnt | $sec%.2f | $t%.1f |"
-    }.mkString("\n")
-    val md =
-      f"""# BENCH/BASELINE — measured pipeline throughput (gdalspark)
-         |
-         |Pipeline: decode(image_stats) → footprint → cell-keyed PIP/env join
-         |(25 regions) → XYZ tile-assign → map-side warp to z6 tiles →
-         |per-tile mosaic + checksums; synthetic corpus of $n images
-         |(graft.gen.Fixtures, FIXTURES.md spec), noop sink. Corpus synthesis
-         |is materialized before the timer.
-         |
-         || parallelism | images | wall (s) | throughput (images/s) |
-         ||---|---|---|---|
-         |$table
-         |
-         |**Scaling efficiency** = (thr_4N / thr_N) / 4:
-         |- local[4] → local[16]: **${e416.map(e => f"$e%.3f").getOrElse("n/a")}**
-         |- local[8] → local[32]: **${e832.map(e => f"$e%.3f").getOrElse("n/a")}**
-         |
-         |North-rule target ≥ 0.8 at N→4N executors. Single-box context: this
-         |host's memory bandwidth (measured with a multithreaded fill sweep)
-         |peaks at ~16 threads (~46 GB/s) and drops to ~30 GB/s at 32 threads,
-         |so local[32] is bandwidth-starved in a way 4× real executors (each
-         |with its own memory bus) are not. The 4→16 pair is the fairer
-         |single-box proxy for the N→4N executor rule; the 8→32 pair is
-         |reported for completeness.
-         |
-         |Method notes: same input, same plan, only `local[N]` and
-         |`spark.sql.shuffle.partitions=N` change; one untimed warm-up run per
-         |session (JIT/codegen); heap pinned + pre-touched (-Xms=-Xmx,
-         |-XX:+AlwaysPreTouch) after diagnosing 10-26 s first-touch GC pauses
-         |on this virtualized host. Reference methodology analog:
-         |autotest/benchmark/test_gdalwarp.py NUM_THREADS axis.
-         |""".stripMargin
-    Files.createDirectories(Paths.get("BENCH"))
-    Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
     println(f"""{"n":$n,"eff_4_16":${e416.getOrElse(-1.0)}%.3f,"eff_8_32":${e832.getOrElse(-1.0)}%.3f}""")
   }
 }

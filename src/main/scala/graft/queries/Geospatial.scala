@@ -795,7 +795,14 @@ object Geospatial {
     // structure oracle re-derives ids/quadkeys/contribution counts in SQL).
     ("q104_incremental_tiles", (s: SparkSession, dir: String) => {
       val images = Fixtures.imagesFromParts(s, dir).filter(col("key") % 10 === 0)
-      val store = java.nio.file.Files.createTempDirectory("graft_store_q104").toString
+      val storeDir = java.nio.file.Files.createTempDirectory("graft_store_q104")
+      sys.addShutdownHook { // the store is scratch; reclaim it on JVM exit
+        import scala.jdk.CollectionConverters._
+        import java.nio.file.{Files => F}
+        if (F.exists(storeDir))
+          F.walk(storeDir).iterator().asScala.toSeq.reverse.foreach(p => F.deleteIfExists(p))
+      }
+      val store = storeDir.toString
       graft.streaming.Streams.upsertTiles(images.filter(col("key") % 20 === 0), 5, store)
       graft.streaming.Streams.upsertTiles(images.filter(col("key") % 20 =!= 0), 5, store)
       s.read.parquet(store).select(

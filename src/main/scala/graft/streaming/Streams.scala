@@ -96,7 +96,13 @@ object Streams {
     if (batch.isEmpty) return
     val storePath = new org.apache.hadoop.fs.Path(storeDir)
     val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val storeHasData = fs.exists(storePath) && fs.listStatus(storePath).nonEmpty
+    // hidden entries (_temporary/_SUCCESS) don't count as data: a crash
+    // mid-first-write must leave the REPLAY on the fresh-store path, not
+    // failing forever on an unreadable parquet dir
+    val storeHasData = fs.exists(storePath) && fs.listStatus(storePath).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
     val freshRaw = graft.ops.Tiling.baseTiles(batch, z)
       .withColumn("pfx", pmod(col("tile"), lit(StorePfxBuckets)).cast("int"))
     // when merging into an existing store the rendered batch is consumed

@@ -24,10 +24,13 @@ for i in $(seq 1 "$PAIRS"); do
     echo "$line"
   done
 done
-python3 - "$out" "$LO" "$HI" <<'PY'
+python3 - "$out" "$LO" "$HI" "$N" <<'PY'
 import json, sys
 rows = [json.loads(l) for l in open(sys.argv[1]) if l.strip()]
-lo, hi = int(sys.argv[2]), int(sys.argv[3])
+lo, hi, n = int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
+# only rungs from the SAME corpus size are comparable (fixed per-job
+# overhead scales differently with N)
+rows = [r for r in rows if r.get("n") == n]
 # pair consecutive lo,hi rungs in file order
 pairs, pend = [], None
 for r in rows:
@@ -35,18 +38,18 @@ for r in rows:
         pend = r
     elif r["cpus"] == hi and pend is not None:
         pairs.append((pend, r)); pend = None
-print(f"\n== {len(pairs)} pair(s) on record ({sys.argv[1]}) ==")
+print(f"\n== {len(pairs)} pair(s) on record at n={n} ({sys.argv[1]}) ==")
 for a, b in pairs:
     eff = (b["thr"] / a["thr"]) / (hi / lo)
     gate = "gated" if a.get("bw_gated") and b.get("bw_gated") else "UNGATED"
     print(f"local[{lo}] {a['thr']:.1f} -> local[{hi}] {b['thr']:.1f} img/s  eff={eff:.3f}  [{gate}]"
           f"  bw lo:{a.get('bw_pre_t4_gbps')}/{a.get('bw_pre_t16_gbps')}->{a.get('bw_post_t4_gbps')}/{a.get('bw_post_t16_gbps')}"
           f" hi:{b.get('bw_pre_t4_gbps')}/{b.get('bw_pre_t16_gbps')}->{b.get('bw_post_t4_gbps')}/{b.get('bw_post_t16_gbps')}")
-best_lo = max((a["thr"] for a, _ in pairs), default=None)
-best_hi = max((b["thr"] for _, b in pairs), default=None)
-if best_lo and best_hi:
-    print(f"min-wall estimator (best rungs): {best_lo:.1f} -> {best_hi:.1f}  eff={(best_hi/best_lo)/(hi/lo):.3f}")
 gp = [(a, b) for a, b in pairs if a.get("bw_gated") and b.get("bw_gated")]
+best_lo = max((a["thr"] for a, _ in gp), default=None)
+best_hi = max((b["thr"] for _, b in gp), default=None)
+if best_lo and best_hi:
+    print(f"min-wall estimator (best GATED rungs): {best_lo:.1f} -> {best_hi:.1f}  eff={(best_hi/best_lo)/(hi/lo):.3f}")
 if gp:
     ge = sorted(((b["thr"]/a["thr"])/(hi/lo) for a, b in gp))
     print(f"gated pairs: {len(gp)}, median eff={ge[len(ge)//2]:.3f}, best={ge[-1]:.3f}")
