@@ -31,7 +31,8 @@ object Bench {
     "q93_gcp_poly", "q95_rpc_forward", "q96_point_overlay", "q97_pansharpen",
     // round-4 operator families
     "q39_contour_polygons", "q99_ivf_topk", "q101_gcp_warp_tiles",
-    "q102_concave_hull", "q103_grid_linear_tiled", "q104_incremental_tiles")
+    "q102_concave_hull", "q103_grid_linear_tiled", "q104_incremental_tiles",
+    "q105_cosine_neardup")
 
   def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()

@@ -127,6 +127,61 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Embedding-cosine near-duplicate pairs — the embedding-space analog of
+    * [[minhashCandidates]]/[[simhashCandidates]]: candidates come from
+    * random-hyperplane (Rademacher) LSH band buckets (two vectors are
+    * candidates iff a whole `nBits/bands`-bit signature band agrees — the
+    * q50 ANN signature reused for DEDUP), then each candidate pair is
+    * verified by an EXACT quantized cosine test. The accept rule avoids
+    * sqrt: cos(a,b) ≥ τ  ⇔  qdot ≥ 0  ∧  qdot² ≥ τ²·qnorm²(a)·qnorm²(b),
+    * evaluated over the int64-exact quantized dot/norms (Ann.Scale
+    * discipline) with a FIXED double operation order, so a SQL oracle
+    * replicates the comparison bit-for-bit. Recall < 1 by LSH construction
+    * (pairs whose signatures agree on no band are never tested) — the
+    * same honest contract as the text candidate generators.
+    *
+    * Scale shape: one scan computes (id, emb, qnorm, signature) and is
+    * persisted (released by the harness via pipeline.Caches); the banded
+    * frame carries ONLY (id, band, bkey) — embeddings never ride the band
+    * explode or the self-join shuffle; they re-attach by id equi-join on
+    * the deduped pair list. Hot buckets are capped as in the text dedups
+    * (an all-zeros embedding corpus would otherwise go quadratic in one
+    * bucket). */
+  def cosineNearDup(embs: DataFrame, tau: Double, nBits: Int = 16, bands: Int = 4,
+                    idCol: String = "vec_id", embCol: String = "embedding",
+                    maxBucket: Int = 100000, seed: Long = 42L): DataFrame = {
+    require(tau >= 0.0 && tau <= 1.0, "tau in [0, 1] (negative-cosine dedup is not a near-DUP test)")
+    require(nBits % bands == 0, "bands must divide nBits")
+    val rowsPerBand = nBits / bands
+    val mask = (1L << rowsPerBand) - 1
+    // one corpus scan: id, embedding, quantized norm², hyperplane signature
+    val base = graft.pipeline.Caches.persist(
+      graft.pipeline.Spread.toCores(embs).select(
+        col(idCol).as("id"), col(embCol).as("emb"),
+        Ann.qnorm(embCol).as("qn"),
+        rademacher_sig(
+          expr(s"transform($embCol, x -> cast(x as double))"), nBits, seed).as("__sig")))
+    val banded = base.select(col("id"), posexplode(
+      expr(s"transform(sequence(0, ${bands - 1}), b -> (__sig >> (b * $rowsPerBand)) & $mask)"))
+      .as(Seq("band", "bkey")))
+    val capped = capBuckets(banded, maxBucket)
+    val pairs = capped.as("a").join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct() // a pair may collide in several bands
+    val tau2 = tau * tau
+    pairs
+      .join(base.select(col("id").as("id_a"), col("emb").as("__ea"), col("qn").as("qn_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("emb").as("__eb"), col("qn").as("qn_b")), Seq("id_b"))
+      .withColumn("qdot", Ann.qdot("__ea", "__eb"))
+      // fixed order: (qdot·qdot) ≥ ((τ²·qn_a)·qn_b) — mirrored verbatim in SQL
+      .filter(col("qdot") >= 0L &&
+        col("qdot").cast("double") * col("qdot").cast("double") >=
+          (lit(tau2) * col("qn_a").cast("double")) * col("qn_b").cast("double"))
+      .select(col("id_a"), col("id_b"), col("qdot"), col("qn_a"), col("qn_b"))
+  }
+
   /** Exact n-gram Jaccard on candidate pairs (verification stage after any
     * candidate generator): expects (id_a, id_b) plus the docs table. */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, shingle: Int = 3, minJaccard: Double = 0.0,

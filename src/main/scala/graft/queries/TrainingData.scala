@@ -421,6 +421,64 @@ object TrainingData {
         FROM scored) WHERE rank <= 5"""
     }),
 
+    // embedding-cosine near-dup DEDUP (the 5th dedup family beside exact/
+    // minhash/simhash/jaccard): rademacher-LSH band buckets → candidate
+    // pairs → exact quantized-cosine verify (sqrt-free: qdot² ≥ τ²·qnA·qnB
+    // over int64-exact quantities, compared in double with a fixed op
+    // order). The oracle re-derives signatures, banding, candidates AND
+    // the verify comparison bit-identically.
+    ("q105_cosine_neardup", (s: SparkSession, dir: String) => {
+      Dedup.cosineNearDup(emb(s, dir), tau = 0.35, nBits = 16, bands = 4)
+    }, Some {
+      val nBits = 16; val bands = 4; val rowsPerBand = nBits / bands
+      val mask = (1L << rowsPerBand) - 1
+      val dims = 64; val seed = 42L
+      val tau2 = 0.35 * 0.35
+      val signVals = (for {
+        b <- 0 until nBits
+        j <- 0 until dims
+      } yield {
+        val sg = if ((graft.text.TextKernels.splitmix64(seed + b * 131071L + j) & 1L) == 0L) 1 else -1
+        s"($b, $j, $sg)"
+      }).mkString(", ")
+      s"""
+      WITH signs(b, j, s) AS (VALUES $signVals),
+      acc AS (
+        SELECT e.vec_id, s.b,
+          sum(CAST(floor((CAST(e.embedding[s.j + 1] AS DOUBLE) * 1048576.0) + 0.5) AS BIGINT) * s.s) AS a
+        FROM embeddings e, signs s GROUP BY 1, 2),
+      sig AS (
+        SELECT vec_id,
+          CAST(sum(CASE WHEN a >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sigv
+        FROM acc GROUP BY vec_id),
+      bnd AS (
+        SELECT vec_id, t.band, (sigv >> (t.band * $rowsPerBand)) & $mask AS bkey
+        FROM sig, LATERAL (SELECT unnest(generate_series(0, ${bands - 1})) AS band) t),
+      pairs AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bnd a JOIN bnd b ON a.band = b.band AND a.bkey = b.bkey
+        WHERE a.vec_id < b.vec_id),
+      qn AS (
+        SELECT vec_id,
+          (SELECT CAST(sum(CAST(round((CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) * ${Ann.Scale}) AS BIGINT)) AS BIGINT)
+           FROM unnest(generate_series(1, $dims)) AS t(i)) AS qn
+        FROM embeddings),
+      scored AS (
+        SELECT p.id_a, p.id_b,
+          (SELECT CAST(sum(CAST(round((CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)) * ${Ann.Scale}) AS BIGINT)) AS BIGINT)
+           FROM unnest(generate_series(1, $dims)) AS t(i)) AS qdot,
+          qa.qn AS qn_a, qb.qn AS qn_b
+        FROM pairs p
+        JOIN embeddings ea ON ea.vec_id = p.id_a
+        JOIN embeddings eb ON eb.vec_id = p.id_b
+        JOIN qn qa ON qa.vec_id = p.id_a
+        JOIN qn qb ON qb.vec_id = p.id_b)
+      SELECT id_a, id_b, qdot, qn_a, qn_b FROM scored
+      WHERE qdot >= 0
+        AND CAST(qdot AS DOUBLE) * CAST(qdot AS DOUBLE) >=
+            ($tau2 * CAST(qn_a AS DOUBLE)) * CAST(qn_b AS DOUBLE)"""
+    }),
+
     // multimodal: opaque binary + typed metadata → decode/feature plumbing
     // (image decode is real JVM code; see q30 for stats — here: per-format
     // feature rows incl. a deterministic stub for non-image payloads)

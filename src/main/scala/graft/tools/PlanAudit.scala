@@ -18,7 +18,8 @@ object PlanAudit {
       "q87_buffer", "q88_grid_linear", "q89_density_mosaic",
       // round 4
       "q39_contour_polygons", "q99_ivf_topk", "q101_gcp_warp_tiles",
-      "q102_concave_hull", "q103_grid_linear_tiled", "q104_incremental_tiles")
+      "q102_concave_hull", "q103_grid_linear_tiled", "q104_incremental_tiles",
+      "q105_cosine_neardup")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       val df = graft.SparkEntry.queries(n)(spark, sf)

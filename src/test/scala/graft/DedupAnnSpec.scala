@@ -154,4 +154,43 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(a == TextKernels.rollingFingerprint("abc def"))
     assert(a != TextKernels.rollingFingerprint("def abc"))
   }
+
+  test("cosine near-dup equals the driver bucket+verify mirror bit-for-bit") {
+    val e = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+    val got = Dedup.cosineNearDup(e, tau = 0.35, nBits = 16, bands = 4)
+      .select("id_a", "id_b", "qdot").as[(Long, Long, Long)].collect().toSet
+    // driver mirror of the whole operator: rademacher signature → band
+    // buckets → candidate pairs → quantized-cosine verify with Spark's
+    // round-on-double semantics (BigDecimal HALF_UP, not Math.round)
+    val rows = e.select("vec_id", "embedding").as[(Long, Seq[Float])].collect().sortBy(_._1)
+    def q(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    def qdot(a: Seq[Float], b: Seq[Float]): Long =
+      a.zip(b).map { case (x, y) => q(x.toDouble * y.toDouble * 1048576L) }.sum
+    val sigs = rows.map { case (id, v) =>
+      id -> TextKernels.rademacherSig(v.map(_.toDouble).toArray, 16, 42L) }.toMap
+    val norms = rows.map { case (id, v) => id -> qdot(v, v) }.toMap
+    val tau2 = 0.35 * 0.35
+    val expected = (for {
+      (ia, va) <- rows; (ib, vb) <- rows if ia < ib
+      if (0 until 4).exists(b => ((sigs(ia) >> (b * 4)) & 15L) == ((sigs(ib) >> (b * 4)) & 15L))
+      d = qdot(va, vb)
+      if d >= 0 && d.toDouble * d.toDouble >= (tau2 * norms(ia).toDouble) * norms(ib).toDouble
+    } yield (ia, ib, d)).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture must contain near-dup pairs at tau=0.35")
+  }
+
+  test("cosine near-dup is partitioning-invariant and respects the hot-bucket cap") {
+    val e = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+    val base = Dedup.cosineNearDup(e, tau = 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val repart = Dedup.cosineNearDup(e.repartition(7), tau = 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(base == repart)
+    // an all-identical corpus lands in one bucket; the cap must drop it
+    val dup = Seq.tabulate(200)(i => (i.toLong, Seq.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    val capped = Dedup.cosineNearDup(dup, tau = 0.9, maxBucket = 50)
+    assert(capped.count() == 0, "over-full buckets must not generate pairs")
+  }
 }
