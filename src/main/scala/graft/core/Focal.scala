@@ -98,6 +98,86 @@ object Focal {
     out
   }
 
+  /** Hillshade `-combined` (apps/gdaldem_lib.cpp:1151
+    * GDALHillshadeCombinedAlg, behavioral spec): the standard shade's
+    * angle acos(cang) damped by slope steepness —
+    * shade = 1 − acos(cang)·atan(√slope)·4/π², output 1 + 254·shade with
+    * the reference's ≤0 → 1 floor. Same Horn gradients and sun defaults
+    * as [[hillshade]]; double math (the reference computes in float,
+    * an implementation detail of the same formula). */
+  def hillshadeCombined(b: Array[Int], w: Int, h: Int, ewRes: Double, nsRes: Double,
+                        azimuthDeg: Double = 315.0, altitudeDeg: Double = 45.0,
+                        zFactor: Double = 1.0): Array[Int] = {
+    val azRad = math.toRadians(azimuthDeg)
+    val alt = math.toRadians(altitudeDeg)
+    val sinAlt = math.sin(alt); val cosAlt = math.cos(alt)
+    val sinAz = math.sin(azRad); val cosAz = math.cos(azRad)
+    val invSqHalfPi = 4.0 / (math.Pi * math.Pi)
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (dx, dyImg) = horn(b, w, h, x, y, ewRes, nsRes)
+        val dzdE = zFactor * dx
+        val dzdN = -zFactor * dyImg
+        val s = dzdE * dzdE + dzdN * dzdN
+        val num = sinAlt - cosAlt * (dzdE * sinAz + dzdN * cosAz)
+        val cang = 1.0 - math.acos(num / math.sqrt(1.0 + s)) * math.atan(math.sqrt(s)) * invSqHalfPi
+        val f = if (cang <= 0.0) 1.0 else 1.0 + 254.0 * cang
+        out(y * w + x) = math.max(0, math.min(255, math.round(f).toInt))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Hillshade `-multidirectional` (apps/gdaldem_lib.cpp:1257
+    * GDALHillshadeMultiDirectionalAlg / USGS OF 92-422): shade from sun
+    * azimuths 225/270/315/360° at the given altitude, each floored at 0,
+    * blended by the aspect weights W_az = sin²(aspect − az) (expressed in
+    * closed form on the gradient), normalized by Σweights = 2·(X²+Y²) via
+    * the reference's ·127 halving, then divided by the slope norm. Flat
+    * pixels take the exact 1 + 254·sin(alt) branch. */
+  def hillshadeMultiDirectional(b: Array[Int], w: Int, h: Int, ewRes: Double, nsRes: Double,
+                                altitudeDeg: Double = 45.0, zFactor: Double = 1.0): Array[Int] = {
+    val alt = math.toRadians(altitudeDeg)
+    val sinAlt = math.sin(alt); val cosAlt = math.cos(alt)
+    val cos225 = math.cos(math.toRadians(225.0))
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (dx, dyImg) = horn(b, w, h, x, y, ewRes, nsRes)
+        // the reference's (x, y) gradients scaled by z/8 (gt5 < 0 flips
+        // both signs vs the image-space horn outputs; weights/vals are
+        // invariant to the common factor, the slope norm uses this form)
+        val gx = -zFactor * dx
+        val gy = -zFactor * dyImg
+        val s = gx * gx + gy * gy
+        val f =
+          if (s == 0.0) 1.0 + 254.0 * sinAlt
+          else {
+            @inline def pos(v: Double): Double = if (v <= 0.0) 0.0 else v
+            val v225 = pos(127.0 * (sinAlt + (gx - gy) * cos225 * cosAlt))
+            val v270 = pos(127.0 * (sinAlt - gx * cosAlt))
+            val v315 = pos(127.0 * (sinAlt + (gx + gy) * cos225 * cosAlt))
+            val v360 = pos(127.0 * (sinAlt - gy * cosAlt))
+            val w225 = 0.5 * s - gx * gy
+            val w315 = s - w225
+            val num = (w225 * v225 + gx * gx * v270 + w315 * v315 + gy * gy * v360) / s
+            1.0 + num / math.sqrt(1.0 + s)
+          }
+        out(y * w + x) = math.max(0, math.min(255, math.round(f).toInt))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Roughness: max − min of the 3×3 neighborhood. */
   def roughness(b: Array[Int], w: Int, h: Int): Array[Int] = {
     val out = new Array[Int](w * h)
@@ -174,6 +254,79 @@ object Focal {
       y += 1
     }
     out
+  }
+
+  /** Color-relief selection modes (apps/gdaldem_lib.cpp ColorSelectionMode;
+    * behavior only — the reference precomputes a LUT for integer bands,
+    * which is an optimization of the same per-value function). */
+  val ReliefInterpolate = 0
+  val ReliefNearest = 1
+  val ReliefExact = 2
+
+  /** One color-relief lookup (apps/gdaldem_lib.cpp:1639
+    * GDALColorReliefGetRGBA, behavioral spec): `ramp` is a flattened,
+    * ascending-by-elevation (elev, r, g, b, a) table (stride 5, no NaN
+    * entries — this engine has no nodata-NaN band path). Returns packed
+    * 0xAARRGGBB. Semantics: clamp below/above the ramp ends; an exact
+    * elevation match returns that entry; EXACT mode returns transparent
+    * black for any non-match; NEAREST picks the closer bracketing entry
+    * (ties to the upper, the reference's strict `<`); INTERPOLATE blends
+    * each channel as trunc(0.5 + lo + ratio·(hi − lo)) clamped to 0..255
+    * (the reference's `static_cast<int>` truncation). */
+  def reliefColor(ramp: Array[Double], v: Double, mode: Int): Int = {
+    val n = ramp.length / 5
+    // first entry index with elevation >= v (lower bound)
+    var lo = 0; var hi = n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (ramp(mid * 5) >= v) hi = mid else lo = mid + 1
+    }
+    val i = lo
+    @inline def pack(e: Int): Int = {
+      val r = ramp(e * 5 + 1).toInt; val g = ramp(e * 5 + 2).toInt
+      val b = ramp(e * 5 + 3).toInt; val a = ramp(e * 5 + 4).toInt
+      (a << 24) | (r << 16) | (g << 8) | b
+    }
+    if (i == 0) {
+      if (mode == ReliefExact && ramp(0) != v) 0 else pack(0)
+    } else if (i == n) {
+      if (mode == ReliefExact && ramp((n - 1) * 5) != v) 0 else pack(n - 1)
+    } else if (ramp((i - 1) * 5) == v) pack(i - 1)
+    else if (ramp(i * 5) == v) pack(i)
+    else if (mode == ReliefExact) 0
+    else if (mode == ReliefNearest) {
+      if (v - ramp((i - 1) * 5) < ramp(i * 5) - v) pack(i - 1) else pack(i)
+    } else {
+      val ratio = (v - ramp((i - 1) * 5)) / (ramp(i * 5) - ramp((i - 1) * 5))
+      @inline def ch(k: Int): Int = {
+        val before = ramp((i - 1) * 5 + k).toInt
+        val after = ramp(i * 5 + k).toInt
+        val x = (0.5 + before + ratio * (after - before)).toInt // trunc, as static_cast<int>
+        if (x < 0) 0 else if (x > 255) 255 else x
+      }
+      (ch(4) << 24) | (ch(1) << 16) | (ch(2) << 8) | ch(3)
+    }
+  }
+
+  /** Color-relief over a band: four planes (r, g, b, a), one
+    * [[reliefColor]] per pixel. */
+  def colorRelief(b: Array[Int], ramp: Array[Double], mode: Int): (Array[Int], Array[Int], Array[Int], Array[Int]) = {
+    require(ramp.length >= 5 && ramp.length % 5 == 0, "ramp = flattened (elev,r,g,b,a) rows")
+    var e = 1
+    while (e < ramp.length / 5) {
+      require(ramp(e * 5) > ramp((e - 1) * 5), "ramp elevations must be strictly ascending")
+      e += 1
+    }
+    val pr = new Array[Int](b.length); val pg = new Array[Int](b.length)
+    val pb = new Array[Int](b.length); val pa = new Array[Int](b.length)
+    var i = 0
+    while (i < b.length) {
+      val c = reliefColor(ramp, b(i).toDouble, mode)
+      pr(i) = (c >>> 16) & 0xff; pg(i) = (c >>> 8) & 0xff
+      pb(i) = c & 0xff; pa(i) = (c >>> 24) & 0xff
+      i += 1
+    }
+    (pr, pg, pb, pa)
   }
 
   /** Generic 3×3 weighted convolution (VRTKernelFilteredSource analog),

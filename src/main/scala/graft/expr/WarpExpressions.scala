@@ -443,16 +443,16 @@ case class FocalMulti(children: Seq[Expression]) extends Expression with Expects
     while (k < ops.numElements()) {
       val op = ops.getUTF8String(k).toString
       val (mean, cks) = op match {
-        case "hillshade" =>
-          val hs = Focal.hillshade(b0, w, h, ewRes, nsRes)
+        case "hillshade" | "hillshade_combined" | "hillshade_multidirectional" | "roughness" =>
+          val plane = op match {
+            case "hillshade" => Focal.hillshade(b0, w, h, ewRes, nsRes)
+            case "hillshade_combined" => Focal.hillshadeCombined(b0, w, h, ewRes, nsRes)
+            case "hillshade_multidirectional" => Focal.hillshadeMultiDirectional(b0, w, h, ewRes, nsRes)
+            case _ => Focal.roughness(b0, w, h)
+          }
           var s = 0L; var i = 0
-          while (i < hs.length) { s += hs(i); i += 1 }
-          (s.toDouble / hs.length, GdalChecksum.ofInts(hs, w, h))
-        case "roughness" =>
-          val rg = Focal.roughness(b0, w, h)
-          var s = 0L; var i = 0
-          while (i < rg.length) { s += rg(i); i += 1 }
-          (s.toDouble / rg.length, GdalChecksum.ofInts(rg, w, h))
+          while (i < plane.length) { s += plane(i); i += 1 }
+          (s.toDouble / plane.length, GdalChecksum.ofInts(plane, w, h))
         case other =>
           val d = other match {
             case "slope" => Focal.slope(b0, w, h, ewRes, nsRes)
@@ -471,6 +471,69 @@ case class FocalMulti(children: Seq[Expression]) extends Expression with Expects
   }
 
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): FocalMulti =
+    copy(children = c)
+}
+
+/** color_relief_multi(bytes, fmt, meta9, ramp, modes) →
+  * array<struct<mode, checksum_r, checksum_g, checksum_b,
+  * sum_r, sum_g, sum_b, sum_a>> — the gdaldem color-relief surface
+  * (apps/gdaldem_lib.cpp:1639 GDALColorReliefGetRGBA) over band 0, every
+  * requested selection mode (interpolate | nearest | exact) from ONE
+  * decode (the focal_multi fusion discipline). `ramp` is the flattened
+  * ascending (elev, r, g, b, a) table; checksums are GDAL checksums of the
+  * derived channel planes, sums exact int64. */
+case class ColorReliefMulti(children: Seq[Expression]) extends Expression with ExpectsInputTypes with CodegenFallback {
+  require(children.length == 5, "color_relief_multi(bytes, fmt, meta9, ramp, modes)")
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(BinaryType, StringType, ArrayType(DoubleType), ArrayType(DoubleType), ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("mode", StringType, nullable = false),
+    StructField("checksum_r", IntegerType, nullable = false),
+    StructField("checksum_g", IntegerType, nullable = false),
+    StructField("checksum_b", IntegerType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false),
+    StructField("sum_a", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "color_relief_multi"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    if (vals.exists(_ == null)) return null
+    val meta = vals(2).asInstanceOf[ArrayData].toDoubleArray()
+    val w = meta(0).toInt; val h = meta(1).toInt
+    val ramp = vals(3).asInstanceOf[ArrayData].toDoubleArray()
+    val r = ImageCodec.decode(vals(0).asInstanceOf[Array[Byte]], vals(1).toString, w, h)
+    val b0 = r.bands(0)
+    val modes = vals(4).asInstanceOf[ArrayData]
+    val out = new Array[Any](modes.numElements())
+    var k = 0
+    while (k < modes.numElements()) {
+      val modeStr = modes.getUTF8String(k).toString
+      val mode = modeStr match {
+        case "interpolate" => Focal.ReliefInterpolate
+        case "nearest" => Focal.ReliefNearest
+        case "exact" => Focal.ReliefExact
+        case bad => throw new IllegalArgumentException(s"unknown color-relief mode $bad")
+      }
+      val (pr, pg, pb, pa) = Focal.colorRelief(b0, ramp, mode)
+      @inline def sum(p: Array[Int]): Long = {
+        var s = 0L; var i = 0
+        while (i < p.length) { s += p(i); i += 1 }
+        s
+      }
+      out(k) = org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(modeStr),
+        GdalChecksum.ofInts(pr, w, h), GdalChecksum.ofInts(pg, w, h),
+        GdalChecksum.ofInts(pb, w, h),
+        sum(pr), sum(pg), sum(pb), sum(pa))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): ColorReliefMulti =
     copy(children = c)
 }
 

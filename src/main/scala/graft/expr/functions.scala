@@ -110,6 +110,9 @@ object functions {
   def focal_multi(bytes: Column, fmt: Column, meta9: Column, ops: Column): Column =
     toCol(FocalMulti(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(ops))))
 
+  def color_relief_multi(bytes: Column, fmt: Column, meta9: Column, ramp: Column, modes: Column): Column =
+    toCol(ColorReliefMulti(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(ramp), toExpr(modes))))
+
   def sample_at(bytes: Column, fmt: Column, meta9: Column, lon: Column, lat: Column): Column =
     toCol(SampleAt(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(lon), toExpr(lat))))
 
@@ -346,6 +349,8 @@ object GraftExtensions {
       (e: Seq[Expression]) => ZoneStatsFull(e))),
     "focal_multi" -> ((info("focal_multi", "focal_multi(bytes, fmt, meta9, ops) - all focal derivatives from one decode"),
       (e: Seq[Expression]) => FocalMulti(e))),
+    "color_relief_multi" -> ((info("color_relief_multi", "color_relief_multi(bytes, fmt, meta9, ramp, modes) - gdaldem color-relief channel stats per selection mode"),
+      (e: Seq[Expression]) => ColorReliefMulti(e))),
     "sample_at_alg" -> ((info("sample_at_alg", "sample_at_alg(bytes, fmt, meta9, lon, lat, alg) - near/bilinear/cubicspline point interpolation"),
       (e: Seq[Expression]) => SampleAtAlg(e))),
     "sieve_stats" -> ((info("sieve_stats", "sieve_stats(bytes, fmt, meta9, shift, threshold, connect8)"),

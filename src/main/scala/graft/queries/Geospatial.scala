@@ -125,6 +125,77 @@ object Geospatial {
     s"((($cx * 7) + ($cy * 13) + (key * 31)) % 256)"
   }
 
+  /** q106 shared ramp — one (elev, r, g, b, a) row per stop, ascending.
+    * Integer stops/channels keep every interpolation input exactly
+    * representable, so the SQL mirror is bit-identical (see
+    * colorReliefOracle). Stops 0 and 255 clamp; 60/120/200 hit exact
+    * matches on the integer pattern band; alpha < 255 rows exercise the
+    * fourth channel. */
+  private[queries] val ColorReliefRamp: Seq[(Int, Int, Int, Int, Int)] = Seq(
+    (0, 16, 32, 64, 255), (60, 0, 128, 0, 255), (120, 240, 230, 140, 200),
+    (200, 139, 69, 19, 255), (255, 250, 250, 250, 64))
+
+  /** q106 oracle: Focal.reliefColor (apps/gdaldem_lib.cpp:1639
+    * GDALColorReliefGetRGBA) re-spelled per pixel in SQL for all three
+    * selection modes. INTERPOLATE mirrors the kernel's exact op order
+    * trunc(0.5 + lo + ((v-e_lo)/(e_hi-e_lo))·(hi-lo)) on all-integer
+    * inputs (each IEEE op exactly rounded in both engines); NEAREST keeps
+    * the strict `<` tie-to-upper; EXACT yields 0,0,0,0 on any non-stop
+    * value. Channel planes are then GDAL-checksummed and summed exactly. */
+  private lazy val colorReliefOracle: String = {
+    val R = ColorReliefRamp
+    val n = R.length
+    def e(i: Int) = R(i)._1
+    def c(i: Int, k: Int) = k match {
+      case 1 => R(i)._2; case 2 => R(i)._3; case 3 => R(i)._4; case _ => R(i)._5
+    }
+    def interp(k: Int): String = {
+      val mid = (1 until n).map { i =>
+        val lo = e(i - 1); val hi = e(i)
+        s"WHEN v < $hi THEN CAST(floor((0.5 + ${c(i - 1, k)}.0) + " +
+          s"(((CAST(v AS DOUBLE) - $lo.0) / ${hi - lo}.0) * ${c(i, k) - c(i - 1, k)}.0)) AS BIGINT)"
+      }.mkString(" ")
+      s"(CASE WHEN v <= ${e(0)} THEN ${c(0, k)} $mid ELSE ${c(n - 1, k)} END)"
+    }
+    def nearest(k: Int): String = {
+      val exacts = (1 until n - 1).map(i => s"WHEN v = ${e(i)} THEN ${c(i, k)}").mkString(" ")
+      val mid = (1 until n).map { i =>
+        s"WHEN v < ${e(i)} THEN (CASE WHEN (v - ${e(i - 1)}) < (${e(i)} - v) " +
+          s"THEN ${c(i - 1, k)} ELSE ${c(i, k)} END)"
+      }.mkString(" ")
+      s"(CASE WHEN v <= ${e(0)} THEN ${c(0, k)} $exacts $mid ELSE ${c(n - 1, k)} END)"
+    }
+    def exact(k: Int): String = {
+      val ws = (0 until n).map(i => s"WHEN ${e(i)} THEN ${c(i, k)}").mkString(" ")
+      s"(CASE v $ws ELSE 0 END)"
+    }
+    def block(tag: String, ch: Int => String): String =
+      s"""${checksumSql(ch(1))} AS ${tag}_cr, ${checksumSql(ch(2))} AS ${tag}_cg,
+         |    ${checksumSql(ch(3))} AS ${tag}_cb,
+         |    CAST(sum(${ch(1)}) AS BIGINT) AS ${tag}_sr, CAST(sum(${ch(2)}) AS BIGINT) AS ${tag}_sg,
+         |    CAST(sum(${ch(3)}) AS BIGINT) AS ${tag}_sb, CAST(sum(${ch(4)}) AS BIGINT) AS ${tag}_sa""".stripMargin
+    def out(mode: String, tag: String): String =
+      s"""SELECT '$mode' AS mode, count(*) AS n,
+         |  CAST(sum(${tag}_cr) AS BIGINT) AS cr_sum, CAST(sum(${tag}_cg) AS BIGINT) AS cg_sum,
+         |  CAST(sum(${tag}_cb) AS BIGINT) AS cb_sum,
+         |  CAST(sum(${tag}_sr) AS BIGINT) AS sum_r, CAST(sum(${tag}_sg) AS BIGINT) AS sum_g,
+         |  CAST(sum(${tag}_sb) AS BIGINT) AS sum_b, CAST(sum(${tag}_sa) AS BIGINT) AS sum_a
+         |FROM per""".stripMargin
+    s"""
+      WITH $PixCte,
+      per AS (
+        SELECT key,
+          ${block("i", interp)},
+          ${block("nr", nearest)},
+          ${block("x", exact)}
+        FROM pv GROUP BY key, sz)
+      ${out("interpolate", "i")}
+      UNION ALL
+      ${out("nearest", "nr")}
+      UNION ALL
+      ${out("exact", "x")}"""
+  }
+
   private def quadkeySql(tx: String, ty: String, z: Int): String =
     (z - 1).to(0, -1).map(b =>
       s"CAST((($tx >> $b) & 1) + (2 * (($ty >> $b) & 1)) AS VARCHAR)").mkString(" || ")
@@ -1611,6 +1682,104 @@ object Geospatial {
         CAST(floor(max(lon) * 10000.0) AS BIGINT) AS maxx_u,
         CAST(floor(max(lat) * 10000.0) AS BIGINT) AS maxy_u
       FROM s4 GROUP BY key, srid"""
+    }),
+
+    // §2.8 gdaldem color-relief (apps/gdaldem_lib.cpp:1639
+    // GDALColorReliefGetRGBA): all three selection modes
+    // (interpolate/nearest/exact) over band 0 from ONE decode per image
+    // (the focal_multi fusion discipline). Fully oracled: per-channel GDAL
+    // checksums and exact int64 channel sums re-derived pixel-by-pixel in
+    // DuckDB from the SAME ramp constant (see colorReliefOracle).
+    ("q106_color_relief", (s: SparkSession, dir: String) => {
+      val rampCol = array(ColorReliefRamp.flatMap { case (e, r, g, b, a) =>
+        Seq(e, r, g, b, a).map(x => lit(x.toDouble)) }: _*)
+      Fixtures.imagesFromParts(s, dir)
+        .filter(col("w") <= 64 && col("fmt") =!= "jpeg")
+        .withColumn("c", explode(color_relief_multi(col("bytes"), col("fmt"), Tiling.meta9,
+          rampCol, array(lit("interpolate"), lit("nearest"), lit("exact")))))
+        .groupBy(col("c.mode").as("mode"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c.checksum_r").cast("bigint")).as("cr_sum"),
+          sum(col("c.checksum_g").cast("bigint")).as("cg_sum"),
+          sum(col("c.checksum_b").cast("bigint")).as("cb_sum"),
+          sum(col("c.sum_r")).as("sum_r"),
+          sum(col("c.sum_g")).as("sum_g"),
+          sum(col("c.sum_b")).as("sum_b"),
+          sum(col("c.sum_a")).as("sum_a"))
+    }, Some(colorReliefOracle)),
+
+    // §2.5 hillshade -combined and -multidirectional
+    // (apps/gdaldem_lib.cpp:1151 GDALHillshadeCombinedAlg, :1257
+    // GDALHillshadeMultiDirectionalAlg) — both modes from ONE decode via
+    // focal_multi. Oracled like q35: the full shading formulas are
+    // mirrored in SQL with the kernel's exact op order; the GDAL checksum
+    // quantizes via floor(v+0.5), and the rational-input fixture keeps the
+    // ulp-level libm-vs-JVM drift in acos/atan/sin/cos far below every
+    // rounding boundary.
+    ("q107_hillshade_modes", (s: SparkSession, dir: String) => {
+      Fixtures.imagesFromParts(s, dir)
+        .filter(col("w") <= 64 && col("fmt") =!= "jpeg")
+        .withColumn("f", explode(focal_multi(col("bytes"), col("fmt"), Tiling.meta9,
+          array(lit("hillshade_combined"), lit("hillshade_multidirectional")))))
+        .groupBy(col("f.op").as("op"))
+        .agg(count(lit(1)).as("n"), sum(col("f.checksum").cast("bigint")).as("checksum_sum"))
+    }, Some {
+      def cv(dx: Int, dy: Int) = clampedV(dx, dy)
+      val dzdx = s"((((${cv(1, -1)} + (2.0 * ${cv(1, 0)})) + ${cv(1, 1)})" +
+        s" - ((${cv(-1, -1)} + (2.0 * ${cv(-1, 0)})) + ${cv(-1, 1)})) / (8.0 * res))"
+      val dzdy = s"((((${cv(-1, 1)} + (2.0 * ${cv(0, 1)})) + ${cv(1, 1)})" +
+        s" - ((${cv(-1, -1)} + (2.0 * ${cv(0, -1)})) + ${cv(1, -1)})) / (8.0 * res))"
+      val sinAlt = "sin(radians(45.0))"; val cosAlt = "cos(radians(45.0))"
+      val cos225 = "cos(radians(225.0))"
+      val s2 = "((gx * gx) + (gy * gy))"
+      def clampRound(f: String) =
+        s"CAST(least(greatest(floor($f + 0.5), 0.0), 255.0) AS BIGINT)"
+      // combined: acos of the standard cang, damped by atan(sqrt(slope))
+      val numC = s"($sinAlt - ($cosAlt * ((gx * sin(radians(315.0))) + ((-(gy)) * cos(radians(315.0))))))"
+      val cang = s"($numC / sqrt(1.0 + $s2))"
+      val comb = s"(1.0 - ((acos($cang) * atan(sqrt($s2))) * (4.0 / (pi() * pi()))))"
+      val fc = s"(CASE WHEN $comb <= 0.0 THEN 1.0 ELSE (1.0 + (254.0 * $comb)) END)"
+      // multidirectional: USGS OF 92-422 four-azimuth blend on the
+      // reference's (x, y) = (−gx, −gy) gradient convention
+      val mx = "(-(gx))"; val my = "(-(gy))"
+      def pos(t: String) = s"(CASE WHEN $t <= 0.0 THEN 0.0 ELSE $t END)"
+      val t225 = s"(127.0 * ($sinAlt + ((($mx - $my) * $cos225) * $cosAlt)))"
+      val t270 = s"(127.0 * ($sinAlt - ($mx * $cosAlt)))"
+      val t315 = s"(127.0 * ($sinAlt + ((($mx + $my) * $cos225) * $cosAlt)))"
+      val t360 = s"(127.0 * ($sinAlt - ($my * $cosAlt)))"
+      val w225 = s"((0.5 * $s2) - ($mx * $my))"
+      val w315 = s"($s2 - $w225)"
+      val numM = s"((((($w225 * ${pos(t225)}) + (($mx * $mx) * ${pos(t270)}))" +
+        s" + ($w315 * ${pos(t315)})) + (($my * $my) * ${pos(t360)})) / $s2)"
+      val fm = s"(CASE WHEN $s2 = 0.0 THEN (1.0 + (254.0 * $sinAlt))" +
+        s" ELSE (1.0 + ($numM / sqrt(1.0 + $s2))) END)"
+      s"""
+      WITH fimg AS (
+        SELECT p_partkey AS key,
+          CASE (p_partkey % 4) WHEN 0 THEN 16 WHEN 1 THEN 20 ELSE 64 END AS sz,
+          CASE WHEN (p_partkey % 8) = 1 THEN (30.0 + ((p_partkey % 7) * 15.0))
+               ELSE ((CAST(0.01 AS DOUBLE) * (1 + (p_partkey % 499)))
+                     / CASE (p_partkey % 4) WHEN 0 THEN 16 WHEN 1 THEN 20 ELSE 64 END)
+          END AS res
+        FROM part WHERE (p_partkey % 3) <> 2 AND (p_partkey % 4) <> 3),
+      frows AS (SELECT key, sz, res, unnest(generate_series(0, sz - 1)) AS py FROM fimg),
+      fpx AS (SELECT key, sz, res, py, unnest(generate_series(0, sz - 1)) AS px FROM frows),
+      grad AS (
+        SELECT key, sz, py, px, $dzdx AS gx, $dzdy AS gy
+        FROM fpx),
+      hv AS (
+        SELECT key, sz, py, px,
+          ${clampRound(fc)} AS hvc,
+          ${clampRound(fm)} AS hvm
+        FROM grad),
+      per AS (
+        SELECT key, ${checksumSql("hvc")} AS cc, ${checksumSql("hvm")} AS cm
+        FROM hv GROUP BY key, sz)
+      SELECT 'hillshade_combined' AS op, count(*) AS n,
+             CAST(sum(cc) AS BIGINT) AS checksum_sum FROM per
+      UNION ALL
+      SELECT 'hillshade_multidirectional' AS op, count(*) AS n,
+             CAST(sum(cm) AS BIGINT) AS checksum_sum FROM per"""
     })
   )
 

@@ -66,4 +66,92 @@ class FocalSpec extends AnyFunSuite {
     assert(math.abs(out(1 * 5 + 1) - 10.0) < 1e-9)
     assert(out(0) == 0.0)
   }
+
+  test("combined hillshade: flat surface saturates at 255, slope damps the shade") {
+    // flat: slope term atan(0)=0 → shade 1 → 1+254 = 255 (unlike standard's ~181)
+    val flat = plane(8, 8, (_, _) => 100)
+    assert(Focal.hillshadeCombined(flat, 8, 8, 1, 1).forall(_ == 255))
+    // a steep sun-facing ramp is darker combined than standard (acos·atan damping)
+    val ramp = plane(9, 9, (x, y) => 4 * (x + y))
+    val std = Focal.hillshade(ramp, 9, 9, 1, 1)
+    val comb = Focal.hillshadeCombined(ramp, 9, 9, 1, 1)
+    val c = 4 * 9 + 4
+    assert(comb(c) < std(c), s"combined ${comb(c)} vs standard ${std(c)}")
+    assert(comb.forall(v => v >= 0 && v <= 255))
+  }
+
+  test("multidirectional hillshade: flat takes the exact 1+254·sin(alt) branch") {
+    val flat = plane(8, 8, (_, _) => 7)
+    val md = Focal.hillshadeMultiDirectional(flat, 8, 8, 1, 1)
+    val expect = math.round(1.0 + 254.0 * math.sin(math.toRadians(45.0))).toInt // 181
+    assert(md.forall(_ == expect))
+  }
+
+  test("multidirectional hillshade blends azimuths: NW-facing brighter than SE-facing") {
+    // z rises to the SE → faces NW: lit by the 315° component strongly
+    val nw = plane(9, 9, (x, y) => 2 * (x + y))
+    // z rises to the NW → faces SE: all four western/northern suns graze
+    val se = plane(9, 9, (x, y) => 2 * ((8 - x) + (8 - y)))
+    val a = Focal.hillshadeMultiDirectional(nw, 9, 9, 1, 1)(4 * 9 + 4)
+    val b = Focal.hillshadeMultiDirectional(se, 9, 9, 1, 1)(4 * 9 + 4)
+    assert(a > b, s"nw-facing $a should be brighter than se-facing $b")
+  }
+
+  // --- color-relief (gdaldem color-relief, GDALColorReliefGetRGBA) ---
+
+  private val ramp: Array[Double] = Array(
+    0, 16, 32, 64, 255, /**/ 100, 0, 128, 0, 255, /**/ 200, 240, 100, 20, 128).map(_.toDouble)
+
+  private def rgba(c: Int): (Int, Int, Int, Int) =
+    ((c >>> 16) & 0xff, (c >>> 8) & 0xff, c & 0xff, (c >>> 24) & 0xff)
+
+  test("color-relief clamps below/above ramp ends in every mode") {
+    for (m <- Seq(Focal.ReliefInterpolate, Focal.ReliefNearest)) {
+      assert(rgba(Focal.reliefColor(ramp, -50.0, m)) == ((16, 32, 64, 255)))
+      assert(rgba(Focal.reliefColor(ramp, 300.0, m)) == ((240, 100, 20, 128)))
+    }
+    // exact mode: out-of-range non-matches are transparent black
+    assert(Focal.reliefColor(ramp, -50.0, Focal.ReliefExact) == 0)
+    assert(Focal.reliefColor(ramp, 300.0, Focal.ReliefExact) == 0)
+    assert(rgba(Focal.reliefColor(ramp, 0.0, Focal.ReliefExact)) == ((16, 32, 64, 255)))
+    assert(rgba(Focal.reliefColor(ramp, 200.0, Focal.ReliefExact)) == ((240, 100, 20, 128)))
+  }
+
+  test("color-relief exact matches return the entry; exact mode zeroes non-matches") {
+    for (m <- Seq(Focal.ReliefInterpolate, Focal.ReliefNearest, Focal.ReliefExact))
+      assert(rgba(Focal.reliefColor(ramp, 100.0, m)) == ((0, 128, 0, 255)), s"mode $m")
+    assert(Focal.reliefColor(ramp, 99.5, Focal.ReliefExact) == 0)
+  }
+
+  test("color-relief interpolation blends with the reference's trunc(0.5 + ...)") {
+    // v=25 between (0: r=16) and (100: r=0): ratio 0.25 → r = trunc(0.5+16-4)=12
+    val (r, g, b, a) = rgba(Focal.reliefColor(ramp, 25.0, Focal.ReliefInterpolate))
+    assert(r == 12)
+    assert(g == (0.5 + 32 + 0.25 * (128 - 32)).toInt) // 56
+    assert(b == (0.5 + 64 + 0.25 * (0 - 64)).toInt) // 48
+    assert(a == 255)
+    // midpoint of (100,200): each channel rounds half-up via the +0.5
+    val (r2, _, _, a2) = rgba(Focal.reliefColor(ramp, 150.0, Focal.ReliefInterpolate))
+    assert(r2 == (0.5 + 0 + 0.5 * 240).toInt) // 120
+    assert(a2 == (0.5 + 255 + 0.5 * (128 - 255)).toInt) // trunc(191.5+ 0.5...)= 192
+  }
+
+  test("color-relief nearest ties to the upper entry (strict < rule)") {
+    // 50 is equidistant from 0 and 100 → upper (0,128,0)
+    assert(rgba(Focal.reliefColor(ramp, 50.0, Focal.ReliefNearest)) == ((0, 128, 0, 255)))
+    assert(rgba(Focal.reliefColor(ramp, 49.0, Focal.ReliefNearest)) == ((16, 32, 64, 255)))
+    assert(rgba(Focal.reliefColor(ramp, 51.0, Focal.ReliefNearest)) == ((0, 128, 0, 255)))
+  }
+
+  test("colorRelief planes agree with per-pixel reliefColor and reject bad ramps") {
+    val band = plane(4, 4, (x, y) => x * 40 + y * 23)
+    val (pr, pg, pb, pa) = Focal.colorRelief(band, ramp, Focal.ReliefInterpolate)
+    for (i <- band.indices) {
+      val (r, g, b, a) = rgba(Focal.reliefColor(ramp, band(i).toDouble, Focal.ReliefInterpolate))
+      assert((pr(i), pg(i), pb(i), pa(i)) == ((r, g, b, a)), s"px $i v=${band(i)}")
+    }
+    intercept[IllegalArgumentException] {
+      Focal.colorRelief(band, Array(10.0, 0, 0, 0, 255, 5.0, 1, 1, 1, 255), Focal.ReliefInterpolate)
+    }
+  }
 }
