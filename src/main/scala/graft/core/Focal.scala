@@ -90,7 +90,11 @@ object Focal {
         val dzdN = -zFactor * dyImg
         val cang = (sinAlt - cosAlt * (dzdE * sinAz + dzdN * cosAz)) /
           math.sqrt(1.0 + dzdE * dzdE + dzdN * dzdN)
-        out(y * w + x) = math.max(0, math.min(255, math.round(254.0 * cang + 1.0).toInt))
+        // the reference floors shadowed pixels at 1 (0 is reserved for
+        // nodata): GDALHillshadeAlg cang_mul_254 <= 0 → 1 else 1 + it
+        val c254 = 254.0 * cang
+        val f = if (c254 <= 0.0) 1.0 else 1.0 + c254
+        out(y * w + x) = math.min(255, math.round(f).toInt)
         x += 1
       }
       y += 1
@@ -171,6 +175,89 @@ object Focal {
             1.0 + num / math.sqrt(1.0 + s)
           }
         out(y * w + x) = math.max(0, math.min(255, math.round(f).toInt))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Zevenbergen–Thorne central-difference gradient (apps/gdaldem_lib.cpp:798
+    * Gradient<ZEVENBERGEN_THORNE>, reference's `-alg ZevenbergenThorne`):
+    * x = (west − east)/ewres, y = (south − north)/gt5 with gt5 = −nsRes,
+    * z-factor z/2 applied by the callers. */
+  @inline private def ztGrad(b: Array[Int], w: Int, h: Int, x: Int, y: Int,
+                             ewRes: Double, nsRes: Double): (Double, Double) = {
+    val gx = (at(b, w, h, x - 1, y) - at(b, w, h, x + 1, y)) / ewRes
+    val gy = (at(b, w, h, x, y + 1) - at(b, w, h, x, y - 1)) / (-nsRes)
+    (gx, gy)
+  }
+
+  /** Slope in degrees, Zevenbergen–Thorne gradient
+    * (apps/gdaldem_lib.cpp:1390 GDALSlopeZevenbergenThorneAlg):
+    * atan(0.5·√(dx²+dy²)) in degrees. */
+  def slopeZT(b: Array[Int], w: Int, h: Int, ewRes: Double, nsRes: Double): Array[Double] = {
+    val out = new Array[Double](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (gx, gy) = ztGrad(b, w, h, x, y, ewRes, nsRes)
+        out(y * w + x) = math.atan(math.sqrt(gx * gx + gy * gy) * 0.5) * 180.0 / math.Pi
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Aspect as compass azimuth, Zevenbergen–Thorne gradient
+    * (apps/gdaldem_lib.cpp GDALAspectZevenbergenThorneAlg): the raw
+    * central differences (no res scaling — atan2 is scale-invariant),
+    * flat → −9999, azimuth fold 450−a / 90−a, 360 → 0. */
+  def aspectZT(b: Array[Int], w: Int, h: Int): Array[Double] = {
+    val out = new Array[Double](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val dx = at(b, w, h, x + 1, y) - at(b, w, h, x - 1, y)
+        val dy = at(b, w, h, x, y + 1) - at(b, w, h, x, y - 1)
+        var a = math.atan2(dy, -dx) * 180.0 / math.Pi
+        if (dx == 0.0 && dy == 0.0) a = -9999.0
+        else a = if (a > 90.0) 450.0 - a else 90.0 - a
+        if (a == 360.0) a = 0.0
+        out(y * w + x) = a
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Hillshade with the Zevenbergen–Thorne gradient (the reference's
+    * GDALHillshadeAlg with GradientAlg::ZEVENBERGEN_THORNE; z-factor z/2)
+    * — same shading equation and shadow floor as [[hillshade]]. */
+  def hillshadeZT(b: Array[Int], w: Int, h: Int, ewRes: Double, nsRes: Double,
+                  azimuthDeg: Double = 315.0, altitudeDeg: Double = 45.0,
+                  zFactor: Double = 1.0): Array[Int] = {
+    val azRad = math.toRadians(azimuthDeg)
+    val alt = math.toRadians(altitudeDeg)
+    val sinAlt = math.sin(alt); val cosAlt = math.cos(alt)
+    val sinAz = math.sin(azRad); val cosAz = math.cos(azRad)
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (gx, gy) = ztGrad(b, w, h, x, y, ewRes, nsRes)
+        val gX = 0.5 * zFactor * gx
+        val gY = 0.5 * zFactor * gy
+        val cang = (sinAlt - (gY * (cosAz * cosAlt) - gX * (sinAz * cosAlt))) /
+          math.sqrt(1.0 + (gX * gX + gY * gY))
+        val c254 = 254.0 * cang
+        val f = if (c254 <= 0.0) 1.0 else 1.0 + c254
+        out(y * w + x) = math.min(255, math.round(f).toInt)
         x += 1
       }
       y += 1

@@ -443,11 +443,13 @@ case class FocalMulti(children: Seq[Expression]) extends Expression with Expects
     while (k < ops.numElements()) {
       val op = ops.getUTF8String(k).toString
       val (mean, cks) = op match {
-        case "hillshade" | "hillshade_combined" | "hillshade_multidirectional" | "roughness" =>
+        case "hillshade" | "hillshade_combined" | "hillshade_multidirectional" |
+             "hillshade_zt" | "roughness" =>
           val plane = op match {
             case "hillshade" => Focal.hillshade(b0, w, h, ewRes, nsRes)
             case "hillshade_combined" => Focal.hillshadeCombined(b0, w, h, ewRes, nsRes)
             case "hillshade_multidirectional" => Focal.hillshadeMultiDirectional(b0, w, h, ewRes, nsRes)
+            case "hillshade_zt" => Focal.hillshadeZT(b0, w, h, ewRes, nsRes)
             case _ => Focal.roughness(b0, w, h)
           }
           var s = 0L; var i = 0
@@ -457,6 +459,8 @@ case class FocalMulti(children: Seq[Expression]) extends Expression with Expects
           val d = other match {
             case "slope" => Focal.slope(b0, w, h, ewRes, nsRes)
             case "aspect" => Focal.aspect(b0, w, h, ewRes, nsRes)
+            case "slope_zt" => Focal.slopeZT(b0, w, h, ewRes, nsRes)
+            case "aspect_zt" => Focal.aspectZT(b0, w, h)
             case "tpi" => Focal.tpi(b0, w, h)
             case "tri" => Focal.tri(b0, w, h)
             case bad => throw new IllegalArgumentException(s"unknown focal op $bad")

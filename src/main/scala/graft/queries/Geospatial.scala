@@ -1256,7 +1256,8 @@ object Geospatial {
         FROM fpx),
       vals AS (
         SELECT key, sz, py, px, rv,
-          CAST(least(greatest(floor(((254.0 * $cang) + 1.0) + 0.5), 0.0), 255.0) AS BIGINT) AS hv,
+          CAST(CASE WHEN (254.0 * $cang) <= 0.0 THEN 1
+                    ELSE least(floor((1.0 + (254.0 * $cang)) + 0.5), 255.0) END AS BIGINT) AS hv,
           CAST(floor(((atan(sqrt((gx * gx) + (gy * gy))) * 180.0) / pi()) + 0.5) AS BIGINT) AS sv
         FROM grad),
       per AS (
@@ -1780,6 +1781,70 @@ object Geospatial {
       UNION ALL
       SELECT 'hillshade_multidirectional' AS op, count(*) AS n,
              CAST(sum(cm) AS BIGINT) AS checksum_sum FROM per"""
+    }),
+
+    // §2.5 Zevenbergen–Thorne gradient family (`-alg ZevenbergenThorne`,
+    // apps/gdaldem_lib.cpp:798 Gradient<ZEVENBERGEN_THORNE>, :1390
+    // GDALSlopeZevenbergenThorneAlg, GDALAspectZevenbergenThorneAlg,
+    // GDALHillshadeAlg<ZT>): slope / aspect / hillshade on the 4-neighbor
+    // central difference, all three from ONE decode. Fully oracled in SQL;
+    // the fixture's pattern band has no flat ZT window (row/col deltas are
+    // ±7/±13 mod 256, never 0), so the −9999 flat marker never fires and
+    // every checksummed value is non-negative (checksumSql's precondition).
+    ("q108_zt_family", (s: SparkSession, dir: String) => {
+      Fixtures.imagesFromParts(s, dir)
+        .filter(col("w") <= 64 && col("fmt") =!= "jpeg")
+        .withColumn("f", explode(focal_multi(col("bytes"), col("fmt"), Tiling.meta9,
+          array(lit("slope_zt"), lit("aspect_zt"), lit("hillshade_zt")))))
+        .groupBy(col("f.op").as("op"))
+        .agg(count(lit(1)).as("n"), sum(col("f.checksum").cast("bigint")).as("checksum_sum"))
+    }, Some {
+      def cv(dx: Int, dy: Int) = clampedV(dx, dy)
+      // ztGrad mirror: gx = (west − east)/res, gy = (south − north)/(−res)
+      val gx = s"((${cv(-1, 0)} - ${cv(1, 0)}) / res)"
+      val gy = s"((${cv(0, 1)} - ${cv(0, -1)}) / (-(res)))"
+      val sv = s"CAST(floor(((atan(sqrt((gx * gx) + (gy * gy)) * 0.5) * 180.0) / pi()) + 0.5) AS BIGINT)"
+      // aspectZT mirror: raw unscaled central differences, azimuth fold
+      val dxa = s"(${cv(1, 0)} - ${cv(-1, 0)})"
+      val dya = s"(${cv(0, 1)} - ${cv(0, -1)})"
+      val rawA = "((atan2(dya, -(dxa)) * 180.0) / pi())"
+      val av = s"CAST(floor((CASE WHEN rawa > 90.0 THEN (450.0 - rawa) ELSE (90.0 - rawa) END) + 0.5) AS BIGINT)"
+      // hillshadeZT mirror: z-factor 1/2 folded into the gradients
+      val sinAlt = "sin(radians(45.0))"; val cosAlt = "cos(radians(45.0))"
+      val sinAz = "sin(radians(315.0))"; val cosAz = "cos(radians(315.0))"
+      val cang = s"(($sinAlt - ((gyh * ($cosAz * $cosAlt)) - (gxh * ($sinAz * $cosAlt))))" +
+        s" / sqrt(1.0 + ((gxh * gxh) + (gyh * gyh))))"
+      val hv = s"CAST(CASE WHEN (254.0 * $cang) <= 0.0 THEN 1" +
+        s" ELSE least(floor((1.0 + (254.0 * $cang)) + 0.5), 255.0) END AS BIGINT)"
+      s"""
+      WITH fimg AS (
+        SELECT p_partkey AS key,
+          CASE (p_partkey % 4) WHEN 0 THEN 16 WHEN 1 THEN 20 ELSE 64 END AS sz,
+          CASE WHEN (p_partkey % 8) = 1 THEN (30.0 + ((p_partkey % 7) * 15.0))
+               ELSE ((CAST(0.01 AS DOUBLE) * (1 + (p_partkey % 499)))
+                     / CASE (p_partkey % 4) WHEN 0 THEN 16 WHEN 1 THEN 20 ELSE 64 END)
+          END AS res
+        FROM part WHERE (p_partkey % 3) <> 2 AND (p_partkey % 4) <> 3),
+      frows AS (SELECT key, sz, res, unnest(generate_series(0, sz - 1)) AS py FROM fimg),
+      fpx AS (SELECT key, sz, res, py, unnest(generate_series(0, sz - 1)) AS px FROM frows),
+      zt AS (
+        SELECT key, sz, py, px, $gx AS gx, $gy AS gy,
+               (0.5 * $gx) AS gxh, (0.5 * $gy) AS gyh,
+               $dxa AS dxa, $dya AS dya
+        FROM fpx),
+      zt2 AS (SELECT key, sz, py, px, gx, gy, gxh, gyh, $rawA AS rawa FROM zt),
+      vals AS (
+        SELECT key, sz, py, px, $sv AS sv, $av AS av, $hv AS hv
+        FROM zt2),
+      per AS (
+        SELECT key, ${checksumSql("sv")} AS cs, ${checksumSql("av")} AS ca,
+               ${checksumSql("hv")} AS ch
+        FROM vals GROUP BY key, sz)
+      SELECT 'slope_zt' AS op, count(*) AS n, CAST(sum(cs) AS BIGINT) AS checksum_sum FROM per
+      UNION ALL
+      SELECT 'aspect_zt' AS op, count(*) AS n, CAST(sum(ca) AS BIGINT) AS checksum_sum FROM per
+      UNION ALL
+      SELECT 'hillshade_zt' AS op, count(*) AS n, CAST(sum(ch) AS BIGINT) AS checksum_sum FROM per"""
     })
   )
 

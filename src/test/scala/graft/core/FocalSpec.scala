@@ -97,6 +97,41 @@ class FocalSpec extends AnyFunSuite {
     assert(a > b, s"nw-facing $a should be brighter than se-facing $b")
   }
 
+  test("hillshade floors fully-shadowed pixels at 1 (0 is reserved for nodata)") {
+    // z rises steeply to the NW → faces SE, fully away from the 315° sun
+    val se = plane(9, 9, (x, y) => 20 * ((8 - x) + (8 - y)))
+    val hs = Focal.hillshade(se, 9, 9, 1, 1)
+    assert(hs(4 * 9 + 4) == 1, s"shadowed pixel should floor at 1, got ${hs(4 * 9 + 4)}")
+    assert(hs.forall(_ >= 1))
+    val zt = Focal.hillshadeZT(se, 9, 9, 1, 1)
+    assert(zt(4 * 9 + 4) == 1)
+  }
+
+  test("Zevenbergen-Thorne slope matches the analytic angle on a linear ramp") {
+    // z = 2x: central difference (z(x-1) - z(x+1))/1 = -4, slope = atan(2)
+    val b = plane(9, 9, (x, _) => 2 * x)
+    val s = Focal.slopeZT(b, 9, 9, 1, 1)
+    for (y <- 1 to 7; x <- 1 to 7)
+      assert(math.abs(s(y * 9 + x) - math.toDegrees(math.atan(2.0))) < 1e-9, s"($x,$y)")
+    // on a linear surface ZT and Horn agree
+    val h = Focal.slope(b, 9, 9, 1, 1)
+    assert(math.abs(s(4 * 9 + 4) - h(4 * 9 + 4)) < 1e-9)
+  }
+
+  test("Zevenbergen-Thorne aspect: east-rising faces west, flat is -9999") {
+    val b = plane(9, 9, (x, _) => 2 * x)
+    assert(math.abs(Focal.aspectZT(b, 9, 9)(4 * 9 + 4) - 270.0) < 1e-9)
+    val flat = plane(5, 5, (_, _) => 3)
+    assert(Focal.aspectZT(flat, 5, 5).forall(_ == -9999.0))
+  }
+
+  test("Zevenbergen-Thorne hillshade: flat surface shades like the standard kernel") {
+    val flat = plane(8, 8, (_, _) => 50)
+    val expect = math.round(1.0 + 254.0 * math.sin(math.toRadians(45.0))).toInt
+    assert(Focal.hillshadeZT(flat, 8, 8, 1, 1).forall(_ == expect))
+    assert(Focal.hillshade(flat, 8, 8, 1, 1).forall(_ == expect))
+  }
+
   // --- color-relief (gdaldem color-relief, GDALColorReliefGetRGBA) ---
 
   private val ramp: Array[Double] = Array(
