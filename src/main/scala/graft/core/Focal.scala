@@ -317,7 +317,43 @@ object Focal {
     out
   }
 
-  /** TRI: mean |center − neighbor| over the 8 neighbors. */
+  /** TRI, Riley variant (apps/gdaldem_lib.cpp:2332 GDALTRIAlgRiley —
+    * the reference's DEFAULT TRI since 3.3): sqrt of the sum of squared
+    * center−neighbor differences. Double math end-to-end (the reference
+    * narrows to float on return); with integer bands the radicand is an
+    * exact int so IEEE-correctly-rounded sqrt makes the plane
+    * reproducible bit-for-bit in any IEEE-double engine. */
+  def triRiley(b: Array[Int], w: Int, h: Int): Array[Double] = {
+    val out = new Array[Double](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val c = at(b, w, h, x, y)
+        var sum = 0.0
+        var dy = -1
+        while (dy <= 1) {
+          var dx = -1
+          while (dx <= 1) {
+            if (dx != 0 || dy != 0) {
+              val d = c - at(b, w, h, x + dx, y + dy)
+              sum += d * d
+            }
+            dx += 1
+          }
+          dy += 1
+        }
+        out(y * w + x) = math.sqrt(sum)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** TRI, Wilson variant (apps/gdaldem_lib.cpp:2317 GDALTRIAlgWilson —
+    * `-alg Wilson`, bathymetric use): mean |center − neighbor| over the 8
+    * neighbors. */
   def tri(b: Array[Int], w: Int, h: Int): Array[Double] = {
     val out = new Array[Double](w * h)
     var y = 0

@@ -364,6 +364,7 @@ case class FocalOp(children: Seq[Expression]) extends Expression with ExpectsInp
           case "aspect" => Focal.aspect(b0, w, h, ewRes, nsRes)
           case "tpi" => Focal.tpi(b0, w, h)
           case "tri" => Focal.tri(b0, w, h)
+          case "tri_riley" => Focal.triRiley(b0, w, h)
           case other => throw new IllegalArgumentException(s"unknown focal op $other")
         }
         org.apache.spark.sql.catalyst.InternalRow(d.sum / d.length, GdalChecksum.ofDoubles(d, w, h))
@@ -463,6 +464,7 @@ case class FocalMulti(children: Seq[Expression]) extends Expression with Expects
             case "aspect_zt" => Focal.aspectZT(b0, w, h)
             case "tpi" => Focal.tpi(b0, w, h)
             case "tri" => Focal.tri(b0, w, h)
+            case "tri_riley" => Focal.triRiley(b0, w, h)
             case bad => throw new IllegalArgumentException(s"unknown focal op $bad")
           }
           (d.sum / d.length, GdalChecksum.ofDoubles(d, w, h))

@@ -1845,6 +1845,47 @@ object Geospatial {
       SELECT 'aspect_zt' AS op, count(*) AS n, CAST(sum(ca) AS BIGINT) AS checksum_sum FROM per
       UNION ALL
       SELECT 'hillshade_zt' AS op, count(*) AS n, CAST(sum(ch) AS BIGINT) AS checksum_sum FROM per"""
+    }),
+
+    // §2.5 TPI + both reference TRI variants (gdaldem TRI default = Riley,
+    // apps/gdaldem_lib.cpp:2332; -alg Wilson = :2317; TPI = :2352) per
+    // image from ONE decode. Fully oracled per image: every per-pixel
+    // value is dyadic (k/8) or floor(sqrt(int)+0.5) — exact under IEEE
+    // double in both engines — and the GDAL float-path checksum is
+    // re-derived with SIGNED mod semantics (TPI planes go negative; the
+    // reference's per-line `&= 0xffff` on a C int ≡ mathematical
+    // mod 65536 normalized to [0,65535], which plain `% 65536` on a
+    // negative DuckDB sum is NOT — hence the +65536 renormalize).
+    ("q109_tpi_tri", (s: SparkSession, dir: String) => {
+      Fixtures.imagesFromParts(s, dir)
+        .filter(col("fmt") =!= "jpeg" && col("w") <= 64)
+        .withColumn("f", explode(focal_multi(col("bytes"), col("fmt"), Tiling.meta9,
+          array(lit("tpi"), lit("tri"), lit("tri_riley")))))
+        .select(col("key"), col("f.op").as("op"), col("f.checksum").as("checksum"))
+    }, Some {
+      def cv(dx: Int, dy: Int) = clampedV(dx, dy)
+      val nbrs = for { dy <- -1 to 1; dx <- -1 to 1; if dx != 0 || dy != 0 } yield (dx, dy)
+      val s8 = nbrs.map { case (dx, dy) => cv(dx, dy) }.mkString("(", " + ", ")")
+      val sa = nbrs.map { case (dx, dy) => s"abs(${cv(0, 0)} - ${cv(dx, dy)})" }
+        .mkString("(", " + ", ")")
+      val sq = nbrs.map { case (dx, dy) =>
+        s"((${cv(0, 0)} - ${cv(dx, dy)}) * (${cv(0, 0)} - ${cv(dx, dy)}))"
+      }.mkString("(", " + ", ")")
+      def signedCks(v: String) =
+        s"CAST((((sum(($v) % ([7,11,13,17,19,23,29,31,37,41,43])[(((py * sz) + px) % 11) + 1]) % 65536) + 65536) % 65536) AS INT)"
+      s"""
+      WITH $PixCte,
+      vals AS (
+        SELECT key, sz, py, px,
+          CAST(floor((CAST(${cv(0, 0)} AS DOUBLE) - (CAST($s8 AS DOUBLE) / 8.0)) + 0.5) AS BIGINT) AS tpiv,
+          CAST(floor((CAST($sa AS DOUBLE) / 8.0) + 0.5) AS BIGINT) AS triwv,
+          CAST(floor(sqrt(CAST($sq AS DOUBLE)) + 0.5) AS BIGINT) AS trirv
+        FROM ppx)
+      SELECT key, 'tpi' AS op, ${signedCks("tpiv")} AS checksum FROM vals GROUP BY key, sz
+      UNION ALL
+      SELECT key, 'tri' AS op, ${signedCks("triwv")} AS checksum FROM vals GROUP BY key, sz
+      UNION ALL
+      SELECT key, 'tri_riley' AS op, ${signedCks("trirv")} AS checksum FROM vals GROUP BY key, sz"""
     })
   )
 

@@ -54,6 +54,22 @@ class FocalSpec extends AnyFunSuite {
     assert(math.abs(tri(3 * 8 + 3) - 50.0) < 1e-9)
     val tpi = Focal.tpi(cb, 8, 8)
     assert(math.abs(tpi(3 * 8 + 3) - (0 - 50.0)) < 1e-9)
+    // Riley: sqrt of sum of squared diffs — 4 orthogonal at 100², 4 diagonal 0
+    val rir = Focal.triRiley(cb, 8, 8)
+    assert(math.abs(rir(3 * 8 + 3) - math.sqrt(4.0 * 100 * 100)) < 1e-12)
+  }
+
+  test("tri_riley matches a brute per-pixel mirror on a ramp with edges clamped") {
+    val ramp = plane(6, 5, (x, y) => 3 * x + 7 * y)
+    val got = Focal.triRiley(ramp, 6, 5)
+    for (y <- 0 until 5; x <- 0 until 6) {
+      def at(ix: Int, iy: Int) =
+        ramp(math.min(4, math.max(0, iy)) * 6 + math.min(5, math.max(0, ix))).toDouble
+      val c = at(x, y)
+      val s = (for { dy <- -1 to 1; dx <- -1 to 1; if dx != 0 || dy != 0 }
+        yield { val d = c - at(x + dx, y + dy); d * d }).sum
+      assert(got(y * 6 + x) == math.sqrt(s), s"($x,$y)")
+    }
   }
 
   test("convolve3x3 box blur preserves a constant and averages a spike") {
