@@ -1886,6 +1886,56 @@ object Geospatial {
       SELECT key, 'tri' AS op, ${signedCks("triwv")} AS checksum FROM vals GROUP BY key, sz
       UNION ALL
       SELECT key, 'tri_riley' AS op, ${signedCks("trirv")} AS checksum FROM vals GROUP BY key, sz"""
+    }),
+
+    // §2.5 Horn aspect (apps/gdaldem_lib.cpp GDALAspectAlg: compass
+    // degrees from north, flat → −9999) — the last DEM derivative without
+    // a value oracle. The SQL mirrors the exact op order (atan2 → ·180/π
+    // in that order, the Java toDegrees expansion → 90−az → ±360 fold);
+    // the fixture's integer pattern makes Horn numerators 56−256k ≠ 0, so
+    // no pixel is gradient-flat, but the CASE mirrors the branch anyway.
+    // Signed checksum: −9999 mods are negative (see q109).
+    ("q110_aspect", (s: SparkSession, dir: String) => {
+      Fixtures.imagesFromParts(s, dir)
+        .filter(col("w") <= 64 && col("fmt") =!= "jpeg")
+        .withColumn("f", explode(focal_multi(col("bytes"), col("fmt"), Tiling.meta9,
+          array(lit("aspect")))))
+        .select(col("key"), (col("w").cast("long") * col("h").cast("long")).as("n"),
+          col("f.checksum").as("checksum"))
+    }, Some {
+      def cv(dx: Int, dy: Int) = clampedV(dx, dy)
+      val dzdx = s"((((${cv(1, -1)} + (2.0 * ${cv(1, 0)})) + ${cv(1, 1)})" +
+        s" - ((${cv(-1, -1)} + (2.0 * ${cv(-1, 0)})) + ${cv(-1, 1)})) / (8.0 * res))"
+      val dzdy = s"((((${cv(-1, 1)} + (2.0 * ${cv(0, 1)})) + ${cv(1, 1)})" +
+        s" - ((${cv(-1, -1)} + (2.0 * ${cv(0, -1)})) + ${cv(1, -1)})) / (8.0 * res))"
+      def signedCks(v: String) =
+        s"CAST((((sum(($v) % ([7,11,13,17,19,23,29,31,37,41,43])[(((py * sz) + px) % 11) + 1]) % 65536) + 65536) % 65536) AS INT)"
+      s"""
+      WITH fimg AS (
+        SELECT p_partkey AS key,
+          CASE (p_partkey % 4) WHEN 0 THEN 16 WHEN 1 THEN 20 ELSE 64 END AS sz,
+          CASE WHEN (p_partkey % 8) = 1 THEN (30.0 + ((p_partkey % 7) * 15.0))
+               ELSE ((CAST(0.01 AS DOUBLE) * (1 + (p_partkey % 499)))
+                     / CASE (p_partkey % 4) WHEN 0 THEN 16 WHEN 1 THEN 20 ELSE 64 END)
+          END AS res
+        FROM part WHERE (p_partkey % 3) <> 2 AND (p_partkey % 4) <> 3),
+      frows AS (SELECT key, sz, res, unnest(generate_series(0, sz - 1)) AS py FROM fimg),
+      fpx AS (SELECT key, sz, res, py, unnest(generate_series(0, sz - 1)) AS px FROM frows),
+      grad AS (SELECT key, sz, py, px, $dzdx AS gx, $dzdy AS gy FROM fpx),
+      comp AS (
+        SELECT key, sz, py, px, gx, gy,
+          (90.0 - ((atan2(gy, -(gx)) * 180.0) / pi())) AS c
+        FROM grad),
+      vals AS (
+        SELECT key, sz, py, px,
+          CAST(floor((CASE WHEN (gx = 0.0 AND gy = 0.0) THEN -9999.0
+                           WHEN c < 0.0 THEN (c + 360.0)
+                           WHEN c >= 360.0 THEN (c - 360.0)
+                           ELSE c END) + 0.5) AS BIGINT) AS av
+        FROM comp)
+      SELECT key, CAST(CAST(sz AS BIGINT) * sz AS BIGINT) AS n,
+             ${signedCks("av")} AS checksum
+      FROM vals GROUP BY key, sz"""
     })
   )
 
