@@ -45,6 +45,29 @@ object Focal {
     out
   }
 
+  /** Slope as a percentage (apps/gdaldem_lib.cpp:1390 GDALSlopeHornAlg
+    * slopeFormat 0, the `-p` mode): 100·z·√(dx²+dy²) over the Horn
+    * gradients. Deliberately spelled sqrt((dx·dx)+(dy·dy)) — NOT
+    * Math.hypot — so every step is a single correctly-rounded IEEE op
+    * and the value reproduces bit-for-bit in any IEEE-double engine
+    * (hypot's extra-precision path drifts ulps from the reference's own
+    * sqrt form). */
+  def slopePercent(b: Array[Int], w: Int, h: Int, ewRes: Double, nsRes: Double,
+                   zFactor: Double = 1.0): Array[Double] = {
+    val out = new Array[Double](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (dx, dy) = horn(b, w, h, x, y, ewRes, nsRes)
+        out(y * w + x) = 100.0 * (zFactor * math.sqrt((dx * dx) + (dy * dy)))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Aspect in degrees clockwise from north (flat → -9999 like the
     * conventional nodata marker). */
   def aspect(b: Array[Int], w: Int, h: Int, ewRes: Double, nsRes: Double): Array[Double] = {

@@ -361,6 +361,7 @@ case class FocalOp(children: Seq[Expression]) extends Expression with ExpectsInp
       case op =>
         val d = op match {
           case "slope" => Focal.slope(b0, w, h, ewRes, nsRes)
+          case "slope_percent" => Focal.slopePercent(b0, w, h, ewRes, nsRes)
           case "aspect" => Focal.aspect(b0, w, h, ewRes, nsRes)
           case "tpi" => Focal.tpi(b0, w, h)
           case "tri" => Focal.tri(b0, w, h)
@@ -459,6 +460,7 @@ case class FocalMulti(children: Seq[Expression]) extends Expression with Expects
         case other =>
           val d = other match {
             case "slope" => Focal.slope(b0, w, h, ewRes, nsRes)
+            case "slope_percent" => Focal.slopePercent(b0, w, h, ewRes, nsRes)
             case "aspect" => Focal.aspect(b0, w, h, ewRes, nsRes)
             case "slope_zt" => Focal.slopeZT(b0, w, h, ewRes, nsRes)
             case "aspect_zt" => Focal.aspectZT(b0, w, h)

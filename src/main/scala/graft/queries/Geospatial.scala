@@ -1889,18 +1889,22 @@ object Geospatial {
     }),
 
     // §2.5 Horn aspect (apps/gdaldem_lib.cpp GDALAspectAlg: compass
-    // degrees from north, flat → −9999) — the last DEM derivative without
-    // a value oracle. The SQL mirrors the exact op order (atan2 → ·180/π
-    // in that order, the Java toDegrees expansion → 90−az → ±360 fold);
-    // the fixture's integer pattern makes Horn numerators 56−256k ≠ 0, so
-    // no pixel is gradient-flat, but the CASE mirrors the branch anyway.
-    // Signed checksum: −9999 mods are negative (see q109).
+    // degrees from north, flat → −9999) + percent slope (GDALSlopeHornAlg
+    // slopeFormat 0, the `-p` mode) — the last DEM derivatives without a
+    // value oracle. The SQL mirrors the exact op order (atan2 → ·180/π
+    // in that order, the Java toDegrees expansion → 90−az → ±360 fold;
+    // percent = 100·(z·sqrt((gx·gx)+(gy·gy))) — plain sqrt, not hypot,
+    // so both engines round identically); the fixture's integer pattern
+    // makes Horn numerators 56−256k ≠ 0, so no pixel is gradient-flat,
+    // but the CASE mirrors the branch anyway. Signed checksum: −9999
+    // mods are negative (see q109).
     ("q110_aspect", (s: SparkSession, dir: String) => {
       Fixtures.imagesFromParts(s, dir)
         .filter(col("w") <= 64 && col("fmt") =!= "jpeg")
         .withColumn("f", explode(focal_multi(col("bytes"), col("fmt"), Tiling.meta9,
-          array(lit("aspect")))))
-        .select(col("key"), (col("w").cast("long") * col("h").cast("long")).as("n"),
+          array(lit("aspect"), lit("slope_percent")))))
+        .select(col("key"), col("f.op").as("op"),
+          (col("w").cast("long") * col("h").cast("long")).as("n"),
           col("f.checksum").as("checksum"))
     }, Some {
       def cv(dx: Int, dy: Int) = clampedV(dx, dy)
@@ -1931,10 +1935,15 @@ object Geospatial {
           CAST(floor((CASE WHEN (gx = 0.0 AND gy = 0.0) THEN -9999.0
                            WHEN c < 0.0 THEN (c + 360.0)
                            WHEN c >= 360.0 THEN (c - 360.0)
-                           ELSE c END) + 0.5) AS BIGINT) AS av
+                           ELSE c END) + 0.5) AS BIGINT) AS av,
+          CAST(floor((100.0 * (1.0 * sqrt((gx * gx) + (gy * gy)))) + 0.5) AS BIGINT) AS spv
         FROM comp)
-      SELECT key, CAST(CAST(sz AS BIGINT) * sz AS BIGINT) AS n,
+      SELECT key, 'aspect' AS op, CAST(CAST(sz AS BIGINT) * sz AS BIGINT) AS n,
              ${signedCks("av")} AS checksum
+      FROM vals GROUP BY key, sz
+      UNION ALL
+      SELECT key, 'slope_percent' AS op, CAST(CAST(sz AS BIGINT) * sz AS BIGINT) AS n,
+             ${signedCks("spv")} AS checksum
       FROM vals GROUP BY key, sz"""
     })
   )

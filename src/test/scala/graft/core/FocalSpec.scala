@@ -59,6 +59,14 @@ class FocalSpec extends AnyFunSuite {
     assert(math.abs(rir(3 * 8 + 3) - math.sqrt(4.0 * 100 * 100)) < 1e-12)
   }
 
+  test("slope_percent is 100·tan(slope_degrees) on a uniform ramp interior") {
+    val ramp = plane(9, 9, (x, _) => 3 * x) // dz/dx = 3 per cell
+    val pct = Focal.slopePercent(ramp, 9, 9, 1, 1)(4 * 9 + 4)
+    val deg = Focal.slope(ramp, 9, 9, 1, 1)(4 * 9 + 4)
+    assert(math.abs(pct - 300.0) < 1e-9)
+    assert(math.abs(math.tan(math.toRadians(deg)) * 100.0 - pct) < 1e-9)
+  }
+
   test("tri_riley matches a brute per-pixel mirror on a ramp with edges clamped") {
     val ramp = plane(6, 5, (x, y) => 3 * x + 7 * y)
     val got = Focal.triRiley(ramp, 6, 5)
