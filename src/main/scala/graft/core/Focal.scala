@@ -504,4 +504,95 @@ object Focal {
     }
     out
   }
+
+  /** Focal neighborhood order statistics — the `gdal raster neighbors`
+    * method surface beyond mean/sum (apps/gdalalg_raster_neighbors.cpp:207
+    * choices min | max | stddev | median | mode), with the reference
+    * kernel-source's evaluation rules (frmts/vrt/vrtfilters.cpp:485
+    * FilterData — behavior only, no code reuse) for the all-ones 3×3
+    * kernel over a nodata-free band:
+    *
+    *  - window visited row-major (row offset outer, column inner);
+    *  - `min`/`max`: plain extrema of the 9 values;
+    *  - `stddev`: POPULATION stddev via Welford's running update in visit
+    *    order, sqrt(M2/n) — n = 9 here (every coefficient nonzero, no
+    *    nodata), and the loop order is kept identical so doubles match
+    *    the reference to the ulp;
+    *  - `median`: the middle of the 9 sorted values (odd window ⇒ the
+    *    lower-nth_element/average-of-two even branch never runs);
+    *  - `mode`: the value whose RUNNING count first reaches the final
+    *    maximum (the reference updates its result only on
+    *    `count > maxCount`), i.e. ties break toward the value whose
+    *    final-count occurrence appears earliest in visit order;
+    *  - borders replicate outward ("we replicate the edge valid values
+    *    out"), the same clamped at() every kernel here uses.
+    */
+  def neighborStat(b: Array[Int], w: Int, h: Int, op: String): Array[Double] = {
+    val code = op match {
+      case "min" => 0
+      case "max" => 1
+      case "median" => 2
+      case "mode" => 3
+      case "stddev" => 4
+      case bad => throw new IllegalArgumentException(s"unknown neighbor stat $bad")
+    }
+    val out = new Array[Double](w * h)
+    val win = new Array[Double](9)
+    val sorted = new Array[Double](9)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var i = 0
+        var dy = -1
+        while (dy <= 1) {
+          var dx = -1
+          while (dx <= 1) {
+            win(i) = at(b, w, h, x + dx, y + dy)
+            i += 1
+            dx += 1
+          }
+          dy += 1
+        }
+        out(y * w + x) = code match {
+          case 0 =>
+            var m = win(0); var k = 1
+            while (k < 9) { if (win(k) < m) m = win(k); k += 1 }
+            m
+          case 1 =>
+            var m = win(0); var k = 1
+            while (k < 9) { if (win(k) > m) m = win(k); k += 1 }
+            m
+          case 2 =>
+            System.arraycopy(win, 0, sorted, 0, 9)
+            java.util.Arrays.sort(sorted)
+            sorted(4)
+          case 3 =>
+            // running count per visit position; result replaced only when
+            // a count strictly exceeds the max seen so far
+            var maxCount = 0; var res = 0.0; var k = 0
+            while (k < 9) {
+              var c = 1; var j = 0
+              while (j < k) { if (win(j) == win(k)) c += 1; j += 1 }
+              if (c > maxCount) { maxCount = c; res = win(k) }
+              k += 1
+            }
+            res
+          case _ =>
+            var n = 0; var mean = 0.0; var m2 = 0.0; var k = 0
+            while (k < 9) {
+              n += 1
+              val d = win(k) - mean
+              mean += d / n
+              m2 += d * (win(k) - mean)
+              k += 1
+            }
+            math.sqrt(m2 / 9.0)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
 }

@@ -467,6 +467,8 @@ case class FocalMulti(children: Seq[Expression]) extends Expression with Expects
             case "tpi" => Focal.tpi(b0, w, h)
             case "tri" => Focal.tri(b0, w, h)
             case "tri_riley" => Focal.triRiley(b0, w, h)
+            case s if s.startsWith("focal_") =>
+              Focal.neighborStat(b0, w, h, s.stripPrefix("focal_"))
             case bad => throw new IllegalArgumentException(s"unknown focal op $bad")
           }
           (d.sum / d.length, GdalChecksum.ofDoubles(d, w, h))

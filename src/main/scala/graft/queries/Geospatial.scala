@@ -1945,6 +1945,76 @@ object Geospatial {
       SELECT key, 'slope_percent' AS op, CAST(CAST(sz AS BIGINT) * sz AS BIGINT) AS n,
              ${signedCks("spv")} AS checksum
       FROM vals GROUP BY key, sz"""
+    }),
+
+    // §2.5 focal neighborhood statistics — the `gdal raster neighbors`
+    // method surface beyond mean/sum (apps/gdalalg_raster_neighbors.cpp:207
+    // min | max | stddev | median | mode, executed by
+    // VRTKernelFilteredSource, frmts/vrt/vrtfilters.cpp:485): all five
+    // stats per image from ONE decode. Fully oracled: min/max/median/mode
+    // of 9 small integers are exact in both engines; the mode tie-break
+    // (the value whose RUNNING count first reaches the final max, in
+    // row-major window visit order) is re-derived relationally as first
+    // by (count DESC, last-occurrence position ASC); stddev is population
+    // sqrt(M2/9), whose algebraic mirror sqrt(9·Σv² − (Σv)²)/9 agrees to
+    // ulps while the nearest floor(v+0.5) boundary is ≥6e-6 away (the
+    // radicand is an integer whose boundary form 81(2k+1)²/4 is never
+    // integral — see Focal.neighborStat's Scaladoc).
+    ("q111_focal_stats", (s: SparkSession, dir: String) => {
+      Fixtures.imagesFromParts(s, dir)
+        .filter(col("w") <= 64 && col("fmt") =!= "jpeg")
+        .withColumn("f", explode(focal_multi(col("bytes"), col("fmt"), Tiling.meta9,
+          array(lit("focal_min"), lit("focal_max"), lit("focal_median"),
+            lit("focal_mode"), lit("focal_stddev")))))
+        .groupBy(col("f.op").as("op"))
+        .agg(count(lit(1)).as("n"), sum(col("f.checksum").cast("bigint")).as("checksum_sum"))
+    }, Some {
+      def cv(dx: Int, dy: Int) = clampedV(dx, dy)
+      // reference visit order: row offset outer (−1..1), column inner
+      val nine = for { dy <- -1 to 1; dx <- -1 to 1 } yield cv(dx, dy)
+      val lst = nine.mkString("[", ", ", "]")
+      val mn = nine.mkString("least(", ", ", ")")
+      val mx = nine.mkString("greatest(", ", ", ")")
+      val s1 = nine.mkString("(", " + ", ")")
+      val s2 = nine.map(v => s"($v * $v)").mkString("(", " + ", ")")
+      s"""
+      WITH $PixCte,
+      nbl AS (SELECT key, sz, py, px, $lst AS l FROM ppx),
+      scal AS (
+        SELECT key, sz, py, px,
+          CAST($mn AS BIGINT) AS mnv,
+          CAST($mx AS BIGINT) AS mxv,
+          CAST(list_sort(l)[5] AS BIGINT) AS medv,
+          CAST(floor((sqrt(CAST(((9 * $s2) - ($s1 * $s1)) AS DOUBLE)) / 9.0) + 0.5) AS BIGINT) AS sdv
+        FROM nbl),
+      nb AS (SELECT key, sz, py, px, u.i AS pos, l[u.i] AS val
+             FROM nbl CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS i) u),
+      mcnt AS (SELECT key, sz, py, px, val, count(*) AS c, max(pos) AS lastp
+               FROM nb GROUP BY key, sz, py, px, val),
+      mpick AS (SELECT key, sz, py, px, val,
+                row_number() OVER (PARTITION BY key, sz, py, px
+                                   ORDER BY c DESC, lastp ASC) AS rn
+                FROM mcnt),
+      vals AS (
+        SELECT a.key, a.sz, a.py, a.px, a.mnv, a.mxv, a.medv, a.sdv,
+               CAST(m.val AS BIGINT) AS mov
+        FROM scal a
+        JOIN mpick m ON m.key = a.key AND m.sz = a.sz AND m.py = a.py
+                    AND m.px = a.px AND m.rn = 1),
+      per AS (
+        SELECT key, ${checksumSql("mnv")} AS c_mn, ${checksumSql("mxv")} AS c_mx,
+               ${checksumSql("medv")} AS c_med, ${checksumSql("mov")} AS c_mo,
+               ${checksumSql("sdv")} AS c_sd
+        FROM vals GROUP BY key, sz)
+      SELECT 'focal_min' AS op, count(*) AS n, CAST(sum(c_mn) AS BIGINT) AS checksum_sum FROM per
+      UNION ALL
+      SELECT 'focal_max' AS op, count(*) AS n, CAST(sum(c_mx) AS BIGINT) AS checksum_sum FROM per
+      UNION ALL
+      SELECT 'focal_median' AS op, count(*) AS n, CAST(sum(c_med) AS BIGINT) AS checksum_sum FROM per
+      UNION ALL
+      SELECT 'focal_mode' AS op, count(*) AS n, CAST(sum(c_mo) AS BIGINT) AS checksum_sum FROM per
+      UNION ALL
+      SELECT 'focal_stddev' AS op, count(*) AS n, CAST(sum(c_sd) AS BIGINT) AS checksum_sum FROM per"""
     })
   )
 

@@ -213,4 +213,51 @@ class FocalSpec extends AnyFunSuite {
       Focal.colorRelief(band, Array(10.0, 0, 0, 0, 255, 5.0, 1, 1, 1, 255), Focal.ReliefInterpolate)
     }
   }
+
+  test("neighborStat min/max/median/stddev on a known 3x3 window") {
+    // 4x4 ramp band; the interior pixel (1,1)'s window is the 9 values
+    // {0,1,2, 4,5,6, 8,9,10} (z = x + 4y).
+    val b = plane(4, 4, (x, y) => x + 4 * y)
+    val win = Seq(0, 1, 2, 4, 5, 6, 8, 9, 10).map(_.toDouble)
+    val i = 1 * 4 + 1
+    assert(Focal.neighborStat(b, 4, 4, "min")(i) == 0.0)
+    assert(Focal.neighborStat(b, 4, 4, "max")(i) == 10.0)
+    assert(Focal.neighborStat(b, 4, 4, "median")(i) == win.sorted.apply(4))
+    val mean = win.sum / 9
+    val popSd = math.sqrt(win.map(v => (v - mean) * (v - mean)).sum / 9)
+    assert(math.abs(Focal.neighborStat(b, 4, 4, "stddev")(i) - popSd) < 1e-12)
+    intercept[IllegalArgumentException](Focal.neighborStat(b, 4, 4, "variance"))
+  }
+
+  test("neighborStat mode ties break to strictly-greater running count") {
+    // Window at (1,1) of this 4x4 band visits, row-major:
+    //   7 7 3 / 3 5 5 / 9 9 9  → 9 wins (count 3).
+    val vals = Array(
+      7, 7, 3, 0,
+      3, 5, 5, 0,
+      9, 9, 9, 0,
+      0, 0, 0, 0)
+    assert(Focal.neighborStat(vals, 4, 4, "mode")(1 * 4 + 1) == 9.0)
+    // Tie between 7 (first to reach count 2 at visit 2) and later pairs:
+    //   7 7 3 / 3 5 5 / 1 2 4 → 7 reaches 2 first; 3's and 5's second
+    //   occurrences come later, and count never strictly exceeds 2.
+    val tie = Array(
+      7, 7, 3, 0,
+      3, 5, 5, 0,
+      1, 2, 4, 0,
+      0, 0, 0, 0)
+    assert(Focal.neighborStat(tie, 4, 4, "mode")(1 * 4 + 1) == 7.0)
+  }
+
+  test("neighborStat replicates borders: corner window of a constant is the constant") {
+    val b = plane(4, 4, (x, y) => if (x == 0 && y == 0) 42 else 42)
+    assert(Focal.neighborStat(b, 4, 4, "stddev")(0) == 0.0)
+    assert(Focal.neighborStat(b, 4, 4, "mode")(0) == 42.0)
+    // corner of a ramp: clamped window of (0,0) on z=x+4y is {0,0,1, 0,0,1, 4,4,5}
+    val r = plane(4, 4, (x, y) => x + 4 * y)
+    assert(Focal.neighborStat(r, 4, 4, "min")(0) == 0.0)
+    assert(Focal.neighborStat(r, 4, 4, "max")(0) == 5.0)
+    assert(Focal.neighborStat(r, 4, 4, "median")(0) == 1.0)
+    assert(Focal.neighborStat(r, 4, 4, "mode")(0) == 0.0)
+  }
 }
