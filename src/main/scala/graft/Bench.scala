@@ -33,7 +33,8 @@ object Bench {
     "q39_contour_polygons", "q99_ivf_topk", "q101_gcp_warp_tiles",
     "q102_concave_hull", "q103_grid_linear_tiled", "q104_incremental_tiles",
     "q105_cosine_neardup", "q106_color_relief", "q107_hillshade_modes",
-    "q108_zt_family", "q109_tpi_tri", "q110_aspect")
+    "q108_zt_family", "q109_tpi_tri", "q110_aspect", "q111_focal_stats",
+    "q112_raster_blend")
 
   def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()

@@ -113,6 +113,9 @@ object functions {
   def color_relief_multi(bytes: Column, fmt: Column, meta9: Column, ramp: Column, modes: Column): Column =
     toCol(ColorReliefMulti(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(ramp), toExpr(modes))))
 
+  def blend_self(bytes: Column, fmt: Column, meta9: Column, modes: Column, opacityPct: Column): Column =
+    toCol(BlendSelf(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(modes), toExpr(opacityPct))))
+
   def sample_at(bytes: Column, fmt: Column, meta9: Column, lon: Column, lat: Column): Column =
     toCol(SampleAt(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(lon), toExpr(lat))))
 
@@ -351,6 +354,8 @@ object GraftExtensions {
       (e: Seq[Expression]) => FocalMulti(e))),
     "color_relief_multi" -> ((info("color_relief_multi", "color_relief_multi(bytes, fmt, meta9, ramp, modes) - gdaldem color-relief channel stats per selection mode"),
       (e: Seq[Expression]) => ColorReliefMulti(e))),
+    "blend_self" -> ((info("blend_self", "blend_self(bytes, fmt, meta9, modes, opacity_pct) - raster blend composition stats vs self-derived overlays"),
+      (e: Seq[Expression]) => BlendSelf(e))),
     "sample_at_alg" -> ((info("sample_at_alg", "sample_at_alg(bytes, fmt, meta9, lon, lat, alg) - near/bilinear/cubicspline point interpolation"),
       (e: Seq[Expression]) => SampleAtAlg(e))),
     "sieve_stats" -> ((info("sieve_stats", "sieve_stats(bytes, fmt, meta9, shift, threshold, connect8)"),

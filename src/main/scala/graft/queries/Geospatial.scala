@@ -2015,8 +2015,97 @@ object Geospatial {
       SELECT 'focal_mode' AS op, count(*) AS n, CAST(sum(c_mo) AS BIGINT) AS checksum_sum FROM per
       UNION ALL
       SELECT 'focal_stddev' AS op, count(*) AS n, CAST(sum(c_sd) AS BIGINT) AS checksum_sum FROM per"""
+    }),
+
+    // §2.8 raster blend — the `gdal raster blend` composition surface
+    // (apps/gdalalg_raster_blend.cpp): Porter-Duff src-over plus the
+    // Mapserver generic operators (multiply screen overlay hard-light
+    // darken lighten color-dodge color-burn) at 60% opacity, and the RGBA
+    // src-over SIMD fast path (gTabInvDstA reciprocal rounding) — all
+    // byte-exact integer algebra, re-derived per pixel in SQL. The overlay
+    // is the horizontally-flipped self (closed-form on the synthetic
+    // pattern), the RGBA tuple (v,hflip,vflip,rot180) vs its reverse —
+    // per-row, no join, one decode. hsv-value (float32) is spec-pinned in
+    // BlendSpec instead.
+    ("q112_raster_blend", (s: SparkSession, dir: String) => {
+      Fixtures.imagesFromParts(s, dir)
+        .filter(col("w") <= 64 && col("fmt") =!= "jpeg")
+        .withColumn("f", explode(blend_self(col("bytes"), col("fmt"), Tiling.meta9,
+          array((graft.core.Blend.Modes :+ "src-over-rgba").map(lit): _*), lit(60))))
+        .groupBy(col("f.op").as("op"))
+        .agg(count(lit(1)).as("n"), sum(col("f.checksum").cast("bigint")).as("checksum_sum"),
+          sum(col("f.sum")).as("sum_sum"))
+    }, Some {
+      // exact SQL mirrors of core/Blend.scala's byte algebra (op255 = 153)
+      def mul(a: String, b: String) = s"((($a) * ($b) + 255) // 256)"
+      def byte(x: String) = s"(((($x) % 256) + 256) % 256)"
+      def divq(a: String, b: String) =
+        s"(CASE WHEN ($a) = 0 THEN 0 WHEN ($b) = 0 THEN 255 ELSE (($a) * 255) // ($b) END)"
+      val z = mul("oc", "0") // Dca.(1-Sa) with Sa=255 — identically 0, kept for fidelity
+      val t1 = mul("v", "102") // Sca.(1-Da) analog: base channel times (255-153)
+      val modeSql: Seq[(String, String)] = Seq(
+        "src-over" -> "((hf * 153 + v * 102 + 255) // 256)",
+        "multiply" -> byte(s"${mul("v", "oc")} + $t1 + $z"),
+        "screen" -> byte(s"v + oc - ${mul("v", "oc")}"),
+        "overlay" -> (s"(CASE WHEN 2 * v < 255 THEN ${byte(s"2 * ${mul("v", "oc")} + $t1 + $z")} " +
+          s"ELSE ${byte(s"153 - 2 * ${mul("255 - v", "153 - oc")} + $t1 + $z")} END)"),
+        "hard-light" -> (s"(CASE WHEN 2 * oc < 153 THEN ${byte(s"2 * ${mul("oc", "v")} + ${mul("oc", "0")} + $t1")} " +
+          s"ELSE ${byte(s"153 - 2 * ${mul("153 - oc", "255 - v")} + ${mul("oc", "0")} + $t1")} END)"),
+        "darken" -> byte(s"least(${mul("oc", "255")}, ${mul("v", "153")}) + $t1 + $z"),
+        "lighten" -> byte(s"greatest(${mul("oc", "255")}, ${mul("v", "153")}) + $t1 + $z"),
+        "color-dodge" -> (s"(CASE WHEN ${mul("oc", "255")} + ${mul("v", "153")} >= 153 THEN ${byte(s"153 + $t1 + $z")} " +
+          s"ELSE ${byte(s"${divq(mul("v", "153"), s"255 - ${divq("oc", "153")}")} + $t1 + $z")} END)"),
+        "color-burn" -> (s"(CASE WHEN ${mul("oc", "255")} + ${mul("v", "153")} <= 153 THEN ${byte(s"$t1 + $z")} " +
+          s"ELSE ${byte(s"${mul("153", byte(s"${divq("v", "255")} + ${divq("oc", "153")} - 255"))} + $t1 + $z")} END)"))
+      // RGBA src-over fast path: base (v,hf,vfv | alpha rot), overlay (rot,vfv,hf | alpha v)
+      def chan(c: String, o: String) =
+        byte(s"((((($o) * ova + ($c) * srcamul + 255) // 256) * inv + 255) // 256)")
+      val rgbaSql: Seq[(String, String)] = Seq(
+        "src-over-rgba_r" -> chan("v", "rot"), "src-over-rgba_g" -> chan("hf", "vfv"),
+        "src-over-rgba_b" -> chan("vfv", "hf"), "src-over-rgba_a" -> "dsta")
+      val all = modeSql ++ rgbaSql
+      val outCols = all.map { case (op, e) => s"$e AS ${opCol(op)}" }.mkString(",\n          ")
+      val perCols = all.map { case (op, _) =>
+        s"${checksumSql(opCol(op))} AS c_${opCol(op)}, CAST(sum(${opCol(op)}) AS BIGINT) AS s_${opCol(op)}"
+      }.mkString(",\n          ")
+      val unions = all.map { case (op, _) =>
+        s"SELECT '$op' AS op, count(*) AS n, CAST(sum(c_${opCol(op)}) AS BIGINT) AS checksum_sum, " +
+          s"CAST(sum(s_${opCol(op)}) AS BIGINT) AS sum_sum FROM per"
+      }.mkString("\n      UNION ALL\n      ")
+      s"""
+      WITH $PixCte,
+      planes AS (
+        SELECT key, sz, py, px,
+          ((px * 7) + (py * 13) + (key * 31)) % 256 AS v,
+          (((sz - 1 - px) * 7) + (py * 13) + (key * 31)) % 256 AS hf,
+          ((px * 7) + ((sz - 1 - py) * 13) + (key * 31)) % 256 AS vfv,
+          (((sz - 1 - px) * 7) + ((sz - 1 - py) * 13) + (key * 31)) % 256 AS rot
+        FROM ppx),
+      pre AS (
+        SELECT *, ${mul("hf", "153")} AS oc,
+          ((v * 153 + 255) // 256) AS ova
+        FROM planes),
+      pre2 AS (
+        SELECT *, ((rot * (255 - ova) + 255) // 256) AS srcamul FROM pre),
+      pre3 AS (
+        SELECT *, (ova + srcamul) AS dsta,
+          (CASE WHEN (ova + srcamul) = 0 THEN 0
+                ELSE (65280 + (ova + srcamul) // 2) // (ova + srcamul) END) AS inv
+        FROM pre2),
+      outs AS (
+        SELECT key, sz, py, px,
+          $outCols
+        FROM pre3),
+      per AS (
+        SELECT key,
+          $perCols
+        FROM outs GROUP BY key, sz)
+      $unions"""
     })
   )
+
+  /** safe SQL column suffix for a blend op name. */
+  private def opCol(op: String): String = op.replace("-", "_")
 
   /** q97/q81 shared pansharpen mirror: the synthetic pan band, 2x ms
     * downsample, quarter-offset bilinear upsample, 1/3-weight pseudo-pan,

@@ -20,7 +20,8 @@ object PlanAudit {
       "q39_contour_polygons", "q99_ivf_topk", "q101_gcp_warp_tiles",
       "q102_concave_hull", "q103_grid_linear_tiled", "q104_incremental_tiles",
       "q105_cosine_neardup", "q106_color_relief", "q107_hillshade_modes",
-      "q108_zt_family", "q109_tpi_tri", "q110_aspect")
+      "q108_zt_family", "q109_tpi_tri", "q110_aspect", "q111_focal_stats",
+      "q112_raster_blend")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       val df = graft.SparkEntry.queries(n)(spark, sf)
