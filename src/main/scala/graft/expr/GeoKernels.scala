@@ -124,30 +124,44 @@ object GeoKernels {
 
   def phashOfRaster(r: Raster): Long = {
     val b = r.bands(0)
-    val cells = new Array[Double](64)
+    // cell i holds the exact rational average s(i)/n(i); the bit test
+    // `cell > mean` is evaluated in exact integer arithmetic (cross-
+    // multiplication over the lcm of the block sizes) so the hash is
+    // platform-deterministic and re-derivable by a SQL oracle — no
+    // float-rounding tie behavior.
+    val ss = new Array[Long](64)
+    val ns = new Array[Long](64)
     var gy = 0
     while (gy < 8) {
       var gx = 0
       while (gx < 8) {
         val x0 = gx * r.w / 8; val x1 = math.max(x0 + 1, (gx + 1) * r.w / 8)
         val y0 = gy * r.h / 8; val y1 = math.max(y0 + 1, (gy + 1) * r.h / 8)
-        var s = 0L; var n = 0
+        var s = 0L; var n = 0L
         var y = y0
         while (y < y1) {
           var x = x0
           while (x < x1) { s += b(y * r.w + x); n += 1; x += 1 }
           y += 1
         }
-        cells(gy * 8 + gx) = s.toDouble / n
+        ss(gy * 8 + gx) = s; ns(gy * 8 + gx) = n
         gx += 1
       }
       gy += 1
     }
-    val mean = cells.sum / 64.0
-    var bits = 0L
+    // D = lcm of block pixel-counts; T = sum_j s_j * (D / n_j), so
+    // mean = T / (64 D) and (s_i / n_i > mean) <=> (64 D s_i > T n_i).
+    var d = BigInt(1)
     var i = 0
+    while (i < 64) { val n = BigInt(ns(i)); d = d / d.gcd(n) * n; i += 1 }
+    var t = BigInt(0)
+    i = 0
+    while (i < 64) { t += BigInt(ss(i)) * (d / BigInt(ns(i))); i += 1 }
+    val d64 = d * 64
+    var bits = 0L
+    i = 0
     while (i < 64) {
-      if (cells(i) > mean) bits |= (1L << i)
+      if (BigInt(ss(i)) * d64 > t * BigInt(ns(i))) bits |= (1L << i)
       i += 1
     }
     bits

@@ -127,6 +127,48 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Hamming near-dup join over a PRECOMPUTED 64-bit hash column — the
+    * image-corpus entry point: the north-star input table carries
+    * `phash:int64` per image (BASELINE.json input_hint), and near-duplicate
+    * image detection is a Hamming-ball self-join on it. Multi-index
+    * pigeonhole (Norouzi et al., "Fast Search in Hamming Space with
+    * Multi-Index Hashing"): split the 64 bits into `nChunks` nearly-equal
+    * ranges; any pair within Hamming distance ≤ nChunks−1 agrees exactly on
+    * some chunk, so an equi-join on (chunk, value) has PERFECT recall for
+    * maxHamming ≤ nChunks−1 (enforced) — unlike the text LSH generators
+    * this variant misses nothing. Pairs are then verified exactly with
+    * bit_count(xor).
+    *
+    * Scale shape: rows × nChunks explode of (id, hash) only — 3 small ints
+    * per banded row; one equi-join shuffle keyed by (chunk, value); exact
+    * verify is a codegen'd map on the joined pairs. Hot buckets (mass
+    * duplicate images ⇒ one bucket goes quadratic) capped as in the text
+    * generators, observable via [[hotBuckets]]. */
+  def hammingNearDup(df: DataFrame, hashCol: String, idCol: String,
+                     maxHamming: Int = 3, nChunks: Int = 4,
+                     maxBucket: Int = 100000): DataFrame = {
+    require(nChunks >= 1 && nChunks <= 64, "nChunks in [1, 64]")
+    require(maxHamming <= nChunks - 1,
+      s"pigeonhole recall guarantee needs nChunks >= maxHamming+1 (got $nChunks chunks, distance $maxHamming)")
+    val base = df.select(col(idCol).as("id"), col(hashCol).as("h"))
+    val chunkExprs = (0 until nChunks).map { c =>
+      val s = 64 * c / nChunks
+      val len = 64 * (c + 1) / nChunks - s
+      val mask = if (len >= 64) -1L else (1L << len) - 1
+      expr(s"shiftrightunsigned(h, $s) & ${mask}L")
+    }
+    val banded = base.select(col("id"), col("h"),
+      posexplode(array(chunkExprs: _*)).as(Seq("band", "bkey")))
+    val capped = capBuckets(banded, maxBucket)
+    capped.as("a").join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).as("hamming"))
+      .distinct() // a pair may agree on several chunks
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Embedding-cosine near-duplicate pairs — the embedding-space analog of
     * [[minhashCandidates]]/[[simhashCandidates]]: candidates come from
     * random-hyperplane (Rademacher) LSH band buckets (two vectors are

@@ -88,6 +88,49 @@ object TrainingData {
         FROM chunks a JOIN chunks b
           ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id)"""
 
+  /** CTE chain re-deriving every fixture image's 64-bit perceptual hash
+    * (GeoKernels.phashOfRaster) in exact integer SQL: 8×8 block sums of the
+    * pattern pixels, the lcm-cleared rational mean test
+    * (64·D·s_i > T·n_i), bit-weight summation in HUGEINT, and the 4×16-bit
+    * multi-index band split of Dedup.hammingNearDup. Yields
+    * `hpairs(id_a, id_b, hamming)` — every banded candidate pair with its
+    * exact Hamming distance. */
+  private def phashPairCtes: String = {
+    val powers = (0 until 64).map(i => java.math.BigInteger.ONE.shiftLeft(i)).mkString("[", ", ", "]")
+    s"""phimg AS (
+        SELECT p_partkey AS key,
+          CASE (p_partkey % 4) WHEN 0 THEN 16 WHEN 1 THEN 20 WHEN 2 THEN 64 ELSE 256 END AS sz
+        FROM part),
+      hrows AS (SELECT key, sz, unnest(generate_series(0, sz - 1)) AS py FROM phimg),
+      hpx AS (SELECT key, sz, py, unnest(generate_series(0, sz - 1)) AS px FROM hrows),
+      hcells AS (
+        SELECT key, sz, ((8 * py + 7) // sz) * 8 + ((8 * px + 7) // sz) AS ci,
+               sum(((px * 7) + (py * 13) + (key * 31)) % 256) AS s, count(*) AS n
+        FROM hpx GROUP BY key, sz, ci),
+      himg AS (
+        SELECT key, CASE sz WHEN 20 THEN 36 ELSE (sz // 8) * (sz // 8) END AS d FROM phimg),
+      htot AS (
+        SELECT c.key, sum(c.s * (i.d // c.n)) AS t
+        FROM hcells c JOIN himg i ON i.key = c.key GROUP BY c.key),
+      hsig AS (
+        SELECT q.key, q.u,
+          CAST(CASE WHEN q.u >= 9223372036854775808 THEN q.u - $U64 ELSE q.u END AS BIGINT) AS h
+        FROM (
+          SELECT c.key,
+            sum(CASE WHEN c.s * 64 * i.d > t.t * c.n
+                THEN ($powers)[c.ci + 1] ELSE CAST(0 AS HUGEINT) END) AS u
+          FROM hcells c JOIN himg i ON i.key = c.key JOIN htot t ON t.key = c.key
+          GROUP BY c.key) q),
+      hbands AS (
+        SELECT key, h,
+          b.band, CAST((u // ([1, 65536, 4294967296, 281474976710656])[b.band + 1]) % 65536 AS BIGINT) AS bkey
+        FROM hsig, (VALUES (0), (1), (2), (3)) b(band)),
+      hpairs AS (
+        SELECT DISTINCT a.key AS id_a, b.key AS id_b,
+          CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+        FROM hbands a JOIN hbands b ON a.band = b.band AND a.bkey = b.bkey AND a.key < b.key)"""
+  }
+
   val defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
     // exact dedup on content hash
@@ -540,6 +583,43 @@ object TrainingData {
           length(col("bytes")).as("payload_bytes"),
           col("p.mean").as("mean_px"),
           col("p.phash").as("phash"))
-    }, None)
+    }, None),
+
+    // Image near-dup join on the corpus phash column (the north-star
+    // input table carries phash:int64 per image — BASELINE.json
+    // input_hint): 4×16-bit multi-index Hamming join, PERFECT recall for
+    // distance ≤ 3 by pigeonhole, exact bit_count(xor) verify. Oracle
+    // re-derives every phash from the pixel pattern in exact integer SQL
+    // (the lcm-cleared mean test matches phashOfRaster bit-for-bit).
+    ("q113_phash_neardup", (s: SparkSession, dir: String) => {
+      val imgs = graft.gen.Fixtures.imagesFromParts(s, dir).select(col("key"), col("phash"))
+      Dedup.hammingNearDup(imgs, "phash", "key", maxHamming = 3, nChunks = 4)
+    }, Some(s"""
+      WITH $phashPairCtes
+      SELECT id_a, id_b, hamming FROM hpairs WHERE hamming <= 3""")),
+
+    // Duplicate-cluster assignment: connected components (alternating
+    // large-star/small-star) over the q113 near-dup pairs — every image
+    // maps to the minimum key reachable through the Hamming-≤3 graph,
+    // singletons to themselves. Oracle: recursive min-label propagation
+    // (labels only ever flow toward larger ids, so the component minimum
+    // reaches every member).
+    ("q114_phash_clusters", (s: SparkSession, dir: String) => {
+      val imgs = graft.gen.Fixtures.imagesFromParts(s, dir)
+      val pairs = Dedup.hammingNearDup(
+        imgs.select(col("key"), col("phash")), "phash", "key", maxHamming = 3, nChunks = 4)
+      graft.ops.Components.connectedComponents(
+        pairs, "id_a", "id_b", imgs.select(col("key").as("id")))
+    }, Some(s"""
+      WITH RECURSIVE $phashPairCtes,
+      hedges AS (
+        SELECT id_a AS a, id_b AS b FROM hpairs WHERE hamming <= 3
+        UNION ALL
+        SELECT id_b AS a, id_a AS b FROM hpairs WHERE hamming <= 3),
+      reach(id, lbl) AS (
+        SELECT key, key FROM phimg
+        UNION
+        SELECT e.b, r.lbl FROM reach r JOIN hedges e ON e.a = r.id WHERE r.lbl < e.b)
+      SELECT id, min(lbl) AS component FROM reach GROUP BY id"""))
   )
 }
