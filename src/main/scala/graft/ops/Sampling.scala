@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.text.textfunctions.sample_bucket
+
+/** Deterministic sampling for training-data mixture construction.
+  *
+  * All variants key on `sample_bucket(id)` — the splitmix64-mixed unsigned
+  * residue of the row id in [0, 1e6) — NOT on Spark's `sample()`: the
+  * built-in draws from a partition-index-seeded RNG, so its selection
+  * changes under repartitioning, AQE re-planning and task retries. A
+  * content-keyed threshold is reproducible across runs, engines and
+  * cluster sizes, and lets two pipelines (or a resume-from-checkpoint)
+  * agree on the sample without coordination.
+  *
+  * Scale shape: rate-based variants are codegen'd map-only filters (no
+  * shuffle, no state); the exact-k variant shuffles once, keyed by
+  * stratum, and its per-group window never sees more than one stratum.
+  */
+object Sampling {
+
+  /** Keep ~ratePpm/1e6 of rows, deterministically by id. */
+  def hashSample(df: DataFrame, idCol: String, ratePpm: Long): DataFrame = {
+    require(ratePpm >= 0 && ratePpm <= 1000000, "ratePpm in [0, 1e6]")
+    df.withColumn("bucket", sample_bucket(col(idCol)))
+      .filter(col("bucket") < ratePpm)
+  }
+
+  /** Per-stratum ppm rates (the "mix recipe": e.g. keep 25% of en docs,
+    * 75% of de). Strata absent from `rates` keep `defaultPpm`. The rate
+    * table rides the plan as a CASE expression — broadcast-free. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       ratesPpm: Map[String, Long], defaultPpm: Long = 0L): DataFrame = {
+    require((ratesPpm.values ++ Seq(defaultPpm)).forall(r => r >= 0 && r <= 1000000),
+      "ppm rates in [0, 1e6]")
+    val rateCol = ratesPpm.foldLeft(lit(defaultPpm)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.withColumn("bucket", sample_bucket(col(idCol)))
+      .withColumn("rate_ppm", rateCol)
+      .filter(col("bucket") < col("rate_ppm"))
+  }
+
+  /** EXACTLY min(k, |stratum|) rows per stratum, chosen deterministically
+    * by hash order (bucket, id) — the "k examples per class" primitive.
+    * One shuffle keyed by stratum. */
+  def stratifiedTopK(df: DataFrame, idCol: String, stratumCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(col("bucket"), col(idCol))
+    df.withColumn("bucket", sample_bucket(col(idCol)))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= k)
+  }
+}

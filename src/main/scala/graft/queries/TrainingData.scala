@@ -620,6 +620,104 @@ object TrainingData {
         SELECT key, key FROM phimg
         UNION
         SELECT e.b, r.lbl FROM reach r JOIN hedges e ON e.a = r.id WHERE r.lbl < e.b)
-      SELECT id, min(lbl) AS component FROM reach GROUP BY id"""))
+      SELECT id, min(lbl) AS component FROM reach GROUP BY id""")),
+
+    // BM25 top-k retrieval (exact-rational idf flavor — see Relevance):
+    // per-doc tf/dl are codegen'd projections, corpus stats one broadcast
+    // aggregate row, top-k a TakeOrdered. The oracle mirrors every double
+    // op: one division per factor, left-to-right term summation.
+    ("q115_bm25_topk", (s: SparkSession, dir: String) => {
+      graft.text.Relevance.bm25TopK(docs(s, dir), Bm25Terms, k = 50, logIdf = false)
+    }, Some(bm25OracleSql)),
+
+    // Deterministic stratified sampling (the training-mix recipe: keep a
+    // per-language ppm fraction, selected by the splitmix64 bucket of the
+    // doc id — reproducible across retries/repartitioning, unlike
+    // RNG-seeded sample()). Oracle re-derives splitmix64 with limb-split
+    // HUGEINT multiplications.
+    ("q116_stratified_sample", (s: SparkSession, dir: String) => {
+      graft.ops.Sampling.stratifiedSample(
+        docs(s, dir).select(col("doc_id"), col("lang")), "doc_id", "lang", SampleRates)
+    }, Some(s"""
+      WITH $sampleBucketCtes
+      SELECT * FROM (
+        SELECT doc_id, lang, bucket, ${sampleRateCaseSql} AS rate_ppm FROM smb)
+      WHERE bucket < rate_ppm""")),
+
+    // Exact-k-per-stratum variant: deterministically the min(k, |stratum|)
+    // docs with the smallest sampling buckets per language.
+    ("q117_stratified_topk", (s: SparkSession, dir: String) => {
+      graft.ops.Sampling.stratifiedTopK(
+        docs(s, dir).select(col("doc_id"), col("lang")), "doc_id", "lang", k = 20)
+    }, Some(s"""
+      WITH $sampleBucketCtes
+      SELECT * FROM (
+        SELECT doc_id, lang, bucket,
+          CAST(row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS INT) AS rk
+        FROM smb)
+      WHERE rk <= 20"""))
   )
+
+  private def SampleRates = Map(
+    "en" -> 250000L, "fr" -> 500000L, "es" -> 100000L, "de" -> 750000L, "zh" -> 50000L)
+
+  private def sampleRateCaseSql: String =
+    "CAST(CASE lang " + SampleRates.toSeq.sortBy(_._1)
+      .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ") + " ELSE 0 END AS BIGINT)"
+
+  /** One limb-split (32×32-bit) multiply of UBIGINT column `y` by the
+    * constant clo + chi·2³², reduced mod 2⁶⁴ — the q46 overflow-safe
+    * pattern (DuckDB HUGEINT holds every intermediate exactly). */
+  private def limbMulSql(y: String, clo: Long, chi: Long): String =
+    s"""CAST((($clo * (CAST($y AS HUGEINT) % 4294967296)
+         + (($clo * (CAST($y AS HUGEINT) // 4294967296)
+             + $chi * (CAST($y AS HUGEINT) % 4294967296)) % 4294967296) * 4294967296)
+        % $U64) AS UBIGINT)"""
+
+  /** CTE chain re-deriving TextKernels.splitmix64(doc_id) and the sampling
+    * bucket (unsigned residue mod 1e6): `smb(doc_id, lang, bucket)`. */
+  private def sampleBucketCtes: String = s"""
+      sm0 AS (
+        SELECT doc_id, lang,
+          CAST((CAST(doc_id AS HUGEINT) + 11400714819323198485) % $U64 AS UBIGINT) AS z0
+        FROM documents),
+      sm0x AS (SELECT doc_id, lang, xor(z0, z0 // 1073741824) AS y0 FROM sm0),
+      sm1 AS (SELECT doc_id, lang, ${limbMulSql("y0", 484763065L, 3210233709L)} AS z1 FROM sm0x),
+      sm1x AS (SELECT doc_id, lang, xor(z1, z1 // 134217728) AS y1 FROM sm1),
+      sm2 AS (SELECT doc_id, lang, ${limbMulSql("y1", 321982955L, 2496678331L)} AS z2 FROM sm1x),
+      smh AS (SELECT doc_id, lang, xor(z2, z2 // 2147483648) AS h FROM sm2),
+      smb AS (SELECT doc_id, lang, CAST(h % 1000000 AS BIGINT) AS bucket FROM smh)"""
+
+  private def Bm25Terms = Seq("spark", "window", "vector", "merge")
+
+  private def bm25OracleSql: String = {
+    val ts = Bm25Terms
+    val tfDefs = ts.map(t =>
+      s"CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n        ")
+    val dfDefs = ts.map(t =>
+      s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(",\n        ")
+    val termScore = ts.map { t =>
+      s"""((CAST(2 * g.n - 2 * g.df_$t + 1 AS DOUBLE) / CAST(2 * g.df_$t + 1 AS DOUBLE))
+           * (CAST(22 * t.tf_$t * g.s AS DOUBLE)
+              / CAST(10 * t.tf_$t * g.s + 3 * g.s + 9 * t.dl * g.n AS DOUBLE)))"""
+    }.reduceLeft((a, b) => s"($a + $b)")
+    val tfSel = ts.map(t => s"t.tf_$t").mkString(", ")
+    s"""
+      WITH tf AS (
+        SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+          $tfDefs
+        FROM documents),
+      g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS s,
+        $dfDefs
+        FROM tf),
+      scored AS (
+        SELECT t.doc_id, t.dl, $tfSel, $termScore AS score
+        FROM tf t, g)
+      SELECT * FROM (
+        SELECT doc_id, dl, ${ts.map(t => s"tf_$t").mkString(", ")}, score,
+          CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+        FROM scored) WHERE rank <= 50"""
+  }
 }

@@ -24,6 +24,19 @@ case class Fnv64(child: Expression) extends UnaryExpression with ImplicitCastInp
   override protected def withNewChildInternal(c: Expression): Fnv64 = copy(child = c)
 }
 
+/** sample_bucket(id) → splitmix64-mixed UNSIGNED residue in [0, 1e6) —
+  * the deterministic sampling key (TextKernels.sampleBucket). */
+case class SampleBucket(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(LongType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sample_bucket"
+  override protected def nullSafeEval(v: Any): Any = TextKernels.sampleBucket(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.text.TextKernels.sampleBucket($v)")
+  override protected def withNewChildInternal(c: Expression): SampleBucket = copy(child = c)
+}
+
 /** minhash_sig(text, k, shingle) → array<long> signature. */
 case class MinHashSig(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with ImplicitCastInputTypes {
@@ -119,6 +132,7 @@ object TextExprHelpers {
 /** Column facade. */
 object textfunctions {
   def fnv64(c: Column): Column = toCol(Fnv64(toExpr(c)))
+  def sample_bucket(c: Column): Column = toCol(SampleBucket(toExpr(c)))
   def minhash_sig(text: Column, k: Int, shingle: Int): Column =
     toCol(MinHashSig(toExpr(text), Literal(k), Literal(shingle)))
   def simhash64(c: Column): Column = toCol(SimHash64(toExpr(c)))

@@ -37,6 +37,13 @@ object TextKernels {
     z ^ (z >>> 31)
   }
 
+  /** Deterministic sampling bucket in [0, 1e6): UNSIGNED residue of the
+    * splitmix64-mixed id. Row-content-only (no RNG / partition state), so a
+    * sample is reproducible across retries, repartitioning and engines —
+    * the property Spark's own `sample()` (partition-index-seeded) lacks. */
+  def sampleBucket(id: Long): Long =
+    java.lang.Long.remainderUnsigned(splitmix64(id), 1000000L)
+
   def tokens(text: String): Array[String] =
     text.split("\\s+").filter(_.nonEmpty)
 

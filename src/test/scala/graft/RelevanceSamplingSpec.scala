@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Sampling
+import graft.text.{Relevance, TextKernels}
+
+class RelevanceSamplingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "spark spark spark shuffle join"),
+    (2L, "join join join join join"),
+    (3L, "spark join"),
+    (4L, "filter scan sort"),
+    (5L, "spark shuffle")
+  ).toDF("doc_id", "text")
+
+  test("bm25 ranks rare-term-heavy docs first (log idf)") {
+    val top = Relevance.bm25TopK(corpus, Seq("spark", "shuffle"), k = 5)
+      .select("doc_id", "rank").as[(Long, Int)].collect().toMap
+    // docs 1 and 5 contain both terms; doc 2 contains neither
+    assert(top(1L) < top(3L) && top(5L) < top(3L))
+    assert(top(2L) == 5 || top(4L) == 5 || top(2L) > top(1L))
+    assert(Relevance.bm25TopK(corpus, Seq("spark"), k = 2).count() == 2)
+  }
+
+  test("bm25 rational variant matches a hand computation") {
+    // corpus: N=5, dl = (5,5,2,3,2), S=17; term 'spark': tf=(3,0,1,0,1), df=3
+    val row = Relevance.bm25TopK(corpus, Seq("spark"), k = 5, logIdf = false)
+      .filter(col("doc_id") === 1L).select("score").as[Double].head()
+    val n = 5L; val s = 17L; val df = 3L; val tf = 3L; val dl = 5L
+    val idf = (2 * n - 2 * df + 1).toDouble / (2 * df + 1).toDouble
+    val tfn = (22 * tf * s).toDouble / (10 * tf * s + 3 * s + 9 * dl * n).toDouble
+    assert(row == idf * tfn)
+  }
+
+  test("bm25 zero-hit docs score exactly zero") {
+    val scores = Relevance.bm25TopK(corpus, Seq("spark"), k = 5, logIdf = false)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    assert(scores(2L) == 0.0 && scores(4L) == 0.0)
+  }
+
+  test("sample buckets are deterministic and partition-invariant") {
+    val ids = spark.range(0, 5000, 1, 7).select(col("id"))
+    val a = Sampling.hashSample(ids, "id", 300000).select("id").as[Long].collect().toSet
+    val b = Sampling.hashSample(ids.repartition(23), "id", 300000)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+    // threshold sampling is NESTED: a lower rate is a subset of a higher one
+    val small = Sampling.hashSample(ids, "id", 100000).select("id").as[Long].collect().toSet
+    assert(small.subsetOf(a))
+    // rate is honored within a loose binomial tolerance
+    assert(math.abs(a.size / 5000.0 - 0.3) < 0.03)
+    // kernel-level agreement
+    assert(a.forall(i => TextKernels.sampleBucket(i) < 300000))
+  }
+
+  test("stratified rates apply per stratum; absent strata drop") {
+    val df = spark.range(0, 3000).select(col("id"),
+      when(col("id") % 3 === 0, "en").when(col("id") % 3 === 1, "fr").otherwise("xx").as("lang"))
+    val out = Sampling.stratifiedSample(df, "id", "lang", Map("en" -> 1000000L, "fr" -> 0L))
+    val byLang = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang.get("en").contains(1000L) && !byLang.contains("fr") && !byLang.contains("xx"))
+  }
+
+  test("stratifiedTopK returns exactly min(k, stratum size) per stratum") {
+    val df = spark.range(0, 100).select(col("id"),
+      when(col("id") < 90, "big").otherwise("small").as("grp"))
+    val out = Sampling.stratifiedTopK(df, "id", "grp", k = 25)
+    val counts = out.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("big" -> 25L, "small" -> 10L))
+    // deterministic winner set: smallest buckets per group
+    val winners = out.filter(col("grp") === "big").select("id").as[Long].collect().toSet
+    val expect = (0L until 90L).sortBy(i => (TextKernels.sampleBucket(i), i)).take(25).toSet
+    assert(winners == expect)
+  }
+}
