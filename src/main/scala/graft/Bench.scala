@@ -98,7 +98,11 @@ object Bench {
     // untimed warm-up: parquet footers, codegen, corpus materialization
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     graft.gen.Fixtures.imagesFromParts(spark, sfDir)
-    val results = Headline.filter(qs.contains).map { name =>
+    // optional focus list for iterating on specific queries' cost
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = Headline.filter(qs.contains)
+      .filter(n => only.forall(_.contains(n))).map { name =>
       val walls = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

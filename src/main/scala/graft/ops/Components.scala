@@ -36,7 +36,6 @@ object Components {
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           nodes: DataFrame = null, nodeCol: String = "id",
                           maxIter: Int = 50): DataFrame = {
-    val spark = edges.sparkSession
     var e = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
@@ -44,9 +43,19 @@ object Components {
       .distinct()
       .localCheckpoint(true)
 
-    var converged = e.isEmpty
+    var edgeCount = e.count()
+    // Iteration cost is dominated by fixed per-stage latency once the edge
+    // list is small (near-dup graphs usually collapse within 2 rounds), so
+    // adapt the plan width to the data like AQE would: ≥50k edges per
+    // shuffle partition, floor 1.
+    def widthFor(n: Long): Int =
+      math.max(1, math.min(e.sparkSession.sparkContext.defaultParallelism,
+        (n / 50000L).toInt))
+
+    var converged = edgeCount == 0
     var it = 0
     while (!converged && it < maxIter) {
+      val w = widthFor(edgeCount)
       // Per-node minimums come from a groupBy-min joined back on the same
       // key (one exchange, co-partitioned join) — NEVER a collect_set of
       // the adjacency: in late rounds the component root's neighborhood
@@ -56,14 +65,18 @@ object Components {
       // large-star: m(u) = min(N(u) ∪ u) over the symmetrized adjacency;
       // every neighbor v > u re-points to m(u).
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .repartition(w, col("u"))
       val mLarge = sym.groupBy(col("u"))
         .agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // No distinct here: each symmetrized edge emits at most one row, so
+      // |large| ≤ 2|e| regardless; duplicate (v,m) rows cannot change the
+      // min-aggregations below and `small`'s trailing distinct dedups the
+      // round's output. Saves a full exchange per round.
       val large = sym.join(mLarge, Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
       // small-star: large-star's edges are all (bigger → smaller), so
       // grouping them as-is by u gives exactly the "neighbors ≤ u" star;
       // m(u) = min of the group, each group member (and u itself) points
@@ -76,14 +89,26 @@ object Components {
         .distinct()
         .localCheckpoint(true)
       // star-forest test: every child points to exactly one parent and no
-      // child is itself a parent — one aggregation + one broadcast-size join
-      val deg = small.groupBy(col("u")).agg(countDistinct(col("v")).as("d"))
-      val multi = deg.filter(col("d") > 1).limit(1).count()
-      val childAsParent =
-        if (multi > 0) 1L
-        else small.select(col("u")).intersect(small.select(col("v"))).limit(1).count()
+      // child is itself a parent. ONE probe job over the checkpointed
+      // edges (the edge list is distinct, so per-node child-row count IS
+      // the distinct-parent count): tag each endpoint with its role,
+      // group once, and fold both violations plus the live edge count
+      // into a single row. 2 jobs/round total (materialize + probe) —
+      // per-round job latency is what dominates once the near-dup graph
+      // collapses to a few hundred edges.
+      val probe = small.select(col("u").as("n"), lit(1).as("c"), lit(0).as("p"))
+        .union(small.select(col("v").as("n"), lit(0).as("c"), lit(1).as("p")))
+        .groupBy(col("n"))
+        .agg(sum(col("c")).as("deg"), max(col("c")).as("ic"), max(col("p")).as("ip"))
+        .agg(
+          sum(col("deg")).as("edges"),
+          max(when(col("deg") > 1, 1).otherwise(0)).as("multi"),
+          max(when(col("ic") === 1 && col("ip") === 1, 1).otherwise(0)).as("cap"))
+        .head()
       e = small
-      converged = multi == 0 && childAsParent == 0
+      edgeCount = if (probe.isNullAt(0)) 0L else probe.getLong(0)
+      converged = edgeCount == 0 ||
+        (probe.getInt(1) == 0 && probe.getInt(2) == 0)
       it += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")

@@ -121,15 +121,30 @@ object TrainingData {
                 THEN ($powers)[c.ci + 1] ELSE CAST(0 AS HUGEINT) END) AS u
           FROM hcells c JOIN himg i ON i.key = c.key JOIN htot t ON t.key = c.key
           GROUP BY c.key) q),
+      hrep AS (SELECT h, u, min(key) AS rep FROM hsig GROUP BY h, u),
       hbands AS (
+        SELECT rep, h,
+          b.band, CAST((u // ([1, 65536, 4294967296, 281474976710656])[b.band + 1]) % 65536 AS BIGINT) AS bkey
+        FROM hrep, (VALUES (0), (1), (2), (3)) b(band)),
+      hpairs AS (
+        SELECT DISTINCT a.rep AS id_a, b.rep AS id_b,
+          CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+        FROM hbands a JOIN hbands b ON a.band = b.band AND a.bkey = b.bkey AND a.rep < b.rep)"""
+  }
+
+  /** Full per-image pair graph (same banding, every key) — the q114
+    * cluster oracle deliberately propagates over THIS graph rather than
+    * the representative graph, so it independently confirms that the
+    * engine's dedup-first factorization is exact. */
+  private def phashFullPairCtes: String = s"""
+      fbands AS (
         SELECT key, h,
           b.band, CAST((u // ([1, 65536, 4294967296, 281474976710656])[b.band + 1]) % 65536 AS BIGINT) AS bkey
         FROM hsig, (VALUES (0), (1), (2), (3)) b(band)),
-      hpairs AS (
-        SELECT DISTINCT a.key AS id_a, b.key AS id_b,
-          CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
-        FROM hbands a JOIN hbands b ON a.band = b.band AND a.bkey = b.bkey AND a.key < b.key)"""
-  }
+      fpairs AS (
+        SELECT DISTINCT a.key AS id_a, b.key AS id_b
+        FROM fbands a JOIN fbands b ON a.band = b.band AND a.bkey = b.bkey AND a.key < b.key
+        WHERE bit_count(xor(a.h, b.h)) <= 3)"""
 
   val defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
@@ -587,35 +602,47 @@ object TrainingData {
 
     // Image near-dup join on the corpus phash column (the north-star
     // input table carries phash:int64 per image — BASELINE.json
-    // input_hint): 4×16-bit multi-index Hamming join, PERFECT recall for
+    // input_hint): exact dedup FIRST (groupBy phash, min-key
+    // representative — the Dedup class-doc discipline: pair enumeration
+    // over a mass-duplicate corpus is quadratic, over its distinct hashes
+    // it is bounded by hash-space diversity), then the 4×16-bit
+    // multi-index Hamming join over representatives — PERFECT recall for
     // distance ≤ 3 by pigeonhole, exact bit_count(xor) verify. Oracle
     // re-derives every phash from the pixel pattern in exact integer SQL
     // (the lcm-cleared mean test matches phashOfRaster bit-for-bit).
     ("q113_phash_neardup", (s: SparkSession, dir: String) => {
-      val imgs = graft.gen.Fixtures.imagesFromParts(s, dir).select(col("key"), col("phash"))
-      Dedup.hammingNearDup(imgs, "phash", "key", maxHamming = 3, nChunks = 4)
+      val reps = graft.gen.Fixtures.imagesFromParts(s, dir)
+        .groupBy(col("phash")).agg(min(col("key")).as("rep"))
+      Dedup.hammingNearDup(reps, "phash", "rep", maxHamming = 3, nChunks = 4)
     }, Some(s"""
       WITH $phashPairCtes
       SELECT id_a, id_b, hamming FROM hpairs WHERE hamming <= 3""")),
 
     // Duplicate-cluster assignment: connected components (alternating
-    // large-star/small-star) over the q113 near-dup pairs — every image
-    // maps to the minimum key reachable through the Hamming-≤3 graph,
-    // singletons to themselves. Oracle: recursive min-label propagation
-    // (labels only ever flow toward larger ids, so the component minimum
-    // reaches every member).
+    // large-star/small-star) over the representative near-dup graph,
+    // expanded back to every image through its phash representative —
+    // every image maps to the minimum key reachable through the
+    // Hamming-≤3 graph, singletons to themselves. The ORACLE runs
+    // min-label propagation over the FULL per-image pair graph (same-hash
+    // images sit at distance 0), independently confirming that the
+    // rep-graph factorization is exact.
     ("q114_phash_clusters", (s: SparkSession, dir: String) => {
       val imgs = graft.gen.Fixtures.imagesFromParts(s, dir)
-      val pairs = Dedup.hammingNearDup(
-        imgs.select(col("key"), col("phash")), "phash", "key", maxHamming = 3, nChunks = 4)
-      graft.ops.Components.connectedComponents(
-        pairs, "id_a", "id_b", imgs.select(col("key").as("id")))
+      val repMap = imgs.groupBy(col("phash")).agg(min(col("key")).as("rep"))
+      val pairs = Dedup.hammingNearDup(repMap, "phash", "rep", maxHamming = 3, nChunks = 4)
+      val comp = graft.ops.Components.connectedComponents(
+        pairs, "id_a", "id_b", repMap.select(col("rep").as("id")))
+      imgs.select(col("key"), col("phash"))
+        .join(repMap, Seq("phash"))
+        .join(comp, col("rep") === col("id"))
+        .select(col("key").as("id"), col("component"))
     }, Some(s"""
       WITH RECURSIVE $phashPairCtes,
+      $phashFullPairCtes,
       hedges AS (
-        SELECT id_a AS a, id_b AS b FROM hpairs WHERE hamming <= 3
+        SELECT id_a AS a, id_b AS b FROM fpairs
         UNION ALL
-        SELECT id_b AS a, id_a AS b FROM hpairs WHERE hamming <= 3),
+        SELECT id_b AS a, id_a AS b FROM fpairs),
       reach(id, lbl) AS (
         SELECT key, key FROM phimg
         UNION
