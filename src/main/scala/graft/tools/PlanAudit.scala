@@ -21,7 +21,9 @@ object PlanAudit {
       "q102_concave_hull", "q103_grid_linear_tiled", "q104_incremental_tiles",
       "q105_cosine_neardup", "q106_color_relief", "q107_hillshade_modes",
       "q108_zt_family", "q109_tpi_tri", "q110_aspect", "q111_focal_stats",
-      "q112_raster_blend")
+      "q112_raster_blend",
+      "q113_phash_neardup", "q114_phash_clusters", "q115_bm25_topk",
+      "q116_stratified_sample", "q117_stratified_topk")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       val df = graft.SparkEntry.queries(n)(spark, sf)
