@@ -37,6 +37,9 @@ object functions {
 
   def st_env(wkb: Column): Column = toCol(WkbEnvelope(toExpr(wkb)))
 
+  def quantized_dot(a: Column, b: Column): Column =
+    toCol(QuantizedDot(toExpr(a), toExpr(b)))
+
   def st_contains_point(wkb: Column, lon: Column, lat: Column): Column =
     toCol(StContainsPoint(toExpr(wkb), toExpr(lon), toExpr(lat)))
 
@@ -270,6 +273,8 @@ object GraftExtensions {
       (e: Seq[Expression]) => CellBlock(e(0), e(1)))),
     "st_env" -> ((info("st_env", "st_env(wkb) - [minx,miny,maxx,maxy]"),
       (e: Seq[Expression]) => WkbEnvelope(e(0)))),
+    "quantized_dot" -> ((info("quantized_dot", "quantized_dot(a, b) - sum(round(a_d*b_d*2^20)) as bigint"),
+      (e: Seq[Expression]) => QuantizedDot(e(0), e(1)))),
     "st_contains_point" -> ((info("st_contains_point", "st_contains_point(wkb, lon, lat)"),
       (e: Seq[Expression]) => StContainsPoint(e(0), e(1), e(2)))),
     "st_intersects_env" -> ((info("st_intersects_env", "st_intersects_env(wkb, env)"),

@@ -14,16 +14,19 @@ import scala.jdk.CollectionConverters._
   * under any partitioning/aggregation order and bit-comparable against a
   * SQL oracle. Ranking is total-ordered by (score desc, id).
   *
-  * Built from codegen'd builtin HOFs (`zip_with`/`aggregate`), not UDFs.
+  * Scoring rides the codegen'd `quantized_dot` expression
+  * (expr/AnnExpressions.scala), not a UDF — Spark's builtin HOFs are
+  * interpreted, and the dot product is the hot loop of every verify.
   */
 object Ann {
   val Scale = 1048576L // 2^20
 
-  /** Quantized dot product column of two array<float> columns. */
+  /** Quantized dot product column of two array<float> columns — the
+    * codegen'd [[graft.expr.QuantizedDot]], bit-identical to the SQL
+    * `aggregate(zip_with(...round(x*y*Scale)...))` formulation the
+    * oracles use (see AnnExpressions.scala for the exactness argument). */
   def qdot(a: String, b: String): org.apache.spark.sql.Column =
-    expr(s"""aggregate(
-      zip_with($a, $b, (x, y) -> cast(round(cast(x as double) * cast(y as double) * $Scale) as bigint)),
-      0L, (acc, v) -> acc + v)""")
+    graft.expr.functions.quantized_dot(col(a), col(b))
 
   /** Brute-force exact top-k: queries(q_id, q_emb) × cands(c_id, c_emb).
     * Query side is broadcast (it's the small side by construction); the
@@ -77,20 +80,13 @@ object Ann {
 
   /** Quantized squared L2 norm (same exactness discipline). */
   def qnorm(embCol: String): org.apache.spark.sql.Column =
-    expr(s"""aggregate(
-      zip_with($embCol, $embCol, (x, y) -> cast(round(cast(x as double) * cast(y as double) * $Scale) as bigint)),
-      0L, (acc, v) -> acc + v)""")
+    graft.expr.functions.quantized_dot(col(embCol), col(embCol))
 
   /** Quantized dot product of an embedding column against a literal
     * centroid vector (codegen'd HOFs, no UDF). */
   private def qdotLit(embCol: org.apache.spark.sql.Column,
-                      cent: Array[Float]): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{aggregate => agg_, zip_with => zip_}
-    agg_(
-      zip_(embCol, typedLit(cent.toSeq),
-        (x, y) => round(x.cast("double") * y.cast("double") * Scale).cast("bigint")),
-      lit(0L), (acc, v) => acc + v)
-  }
+                      cent: Array[Float]): org.apache.spark.sql.Column =
+    graft.expr.functions.quantized_dot(embCol, typedLit(cent.toSeq))
 
   /** Collected (cent_id ascending) centroid list, guarded — a coarse
     * quantizer is a small driver-side object, like a GCP set. */

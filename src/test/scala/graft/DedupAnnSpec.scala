@@ -181,6 +181,31 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture must contain near-dup pairs at tau=0.35")
   }
 
+  test("quantized_dot matches the interpreted HOF formulation bit-for-bit") {
+    // adversarial inputs: negatives, zeros, denormal-ish tiny values,
+    // magnitudes near the ±0.5 rounding boundaries at the 2^20 scale
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(500) { i =>
+      val d = 1 + rnd.nextInt(64)
+      val a = Array.fill(d)((rnd.nextGaussian() * (if (i % 5 == 0) 1e-7 else 1.0)).toFloat)
+      val b = Array.fill(d)((rnd.nextGaussian() * (if (i % 7 == 0) 1e-4 else 1.0)).toFloat)
+      (i.toLong, a.toSeq, b.toSeq)
+    } :+ ((500L, Seq(0.5f, -0.5f, 1.0f), Seq(1e-6f, 1e-6f, -4.7683716e-7f)))
+    val df = rows.toDF("id", "a", "b")
+    val cmp = df.select(col("id"),
+      graft.expr.functions.quantized_dot(col("a"), col("b")).as("fast"),
+      expr("""aggregate(
+        zip_with(a, b, (x, y) -> cast(round(cast(x as double) * cast(y as double) * 1048576) as bigint)),
+        0L, (acc, v) -> acc + v)""").as("hof"))
+    assert(cmp.filter(col("fast") =!= col("hof")).count() == 0)
+    // and the SQL registration surface works
+    df.createOrReplaceTempView("qd_probe")
+    graft.expr.GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT sum(quantized_dot(a, b)) FROM qd_probe").head().getLong(0)
+    val viaHof = cmp.agg(sum("hof")).head().getLong(0)
+    assert(viaSql == viaHof)
+  }
+
   test("cosine near-dup is partitioning-invariant and respects the hot-bucket cap") {
     val e = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
     val base = Dedup.cosineNearDup(e, tau = 0.35)
