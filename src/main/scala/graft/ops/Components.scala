@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Distributed connected components over a pair list — the clustering
   * stage every near-dup pipeline needs after candidate generation: the
@@ -15,8 +16,9 @@ import org.apache.spark.sql.functions._
   * convergence in O(log n) rounds INDEPENDENT of graph diameter, unlike
   * naive min-label propagation whose round count is the diameter (a
   * 100 TB near-dup graph can contain long duplicate chains). No
-  * adjacency ever materializes per-node beyond one groupBy row, and no
-  * driver state beyond the per-round convergence counter.
+  * adjacency ever materializes per-node beyond one groupBy row; driver
+  * state is the per-round convergence row plus, once the shrinking edge
+  * list fits the `maxLocalEdges` guard, a bounded union-find finish.
   *
   *  - large-star(u): every neighbor v > u re-points to
   *    m(u) = min(N(u) ∪ u)
@@ -32,10 +34,20 @@ object Components {
 
   /** (id, component) for every node in `nodes` (or every edge endpoint if
     * `nodes` is null), where component = the minimum node id reachable
-    * through `edges`. Edge direction/duplication is irrelevant. */
+    * through `edges`. Edge direction/duplication is irrelevant.
+    *
+    * `maxLocalEdges`: once the live edge list is at or below this size
+    * (checked before the loop and after every round — star-contraction
+    * only ever shrinks it), the remaining closure is finished with a
+    * driver-side union-find instead of more Spark rounds. A near-dup
+    * graph usually collapses to a few hundred edges after round one, at
+    * which point each further distributed round is pure job latency; the
+    * collect is bounded (≤ ~16 B/edge) and the distributed loop still
+    * carries anything larger — the Knn/Georef guarded-collect
+    * discipline. Set 0 to force the fully distributed path. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           nodes: DataFrame = null, nodeCol: String = "id",
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50, maxLocalEdges: Long = 500000): DataFrame = {
     var e = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
@@ -54,7 +66,7 @@ object Components {
 
     var converged = edgeCount == 0
     var it = 0
-    while (!converged && it < maxIter) {
+    while (!converged && edgeCount > maxLocalEdges && it < maxIter) {
       val w = widthFor(edgeCount)
       // Per-node minimums come from a groupBy-min joined back on the same
       // key (one exchange, co-partitioned join) — NEVER a collect_set of
@@ -111,14 +123,55 @@ object Components {
         (probe.getInt(1) == 0 && probe.getInt(2) == 0)
       it += 1
     }
-    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    require(converged || edgeCount <= maxLocalEdges,
+      s"connectedComponents did not converge in $maxIter rounds")
     // star edges: u → root. Roots + singletons map to themselves.
-    val assigned = e.select(col("u").as(nodeCol), col("v").as("component"))
+    val assigned =
+      if (converged) e.select(col("u").as(nodeCol), col("v").as("component"))
+      else localClosure(e, nodeCol)
     val all =
       if (nodes == null)
         e.select(col("u")).union(e.select(col("v"))).distinct().select(col("u").as(nodeCol))
       else nodes.select(col(nodeCol)).distinct()
     all.join(assigned, Seq(nodeCol), "left")
       .select(col(nodeCol), coalesce(col("component"), col(nodeCol)).as("component"))
+  }
+
+  /** Driver union-find finish for a small residual edge list: min-id
+    * roots (union attaches the larger root under the smaller, path
+    * compression on find), emitting (node, root) for every non-root
+    * endpoint — identical semantics to a converged star forest. */
+  private def localClosure(e: DataFrame, nodeCol: String): DataFrame = {
+    val spark = e.sparkSession
+    val rows = e.collect()
+    val parent = new java.util.HashMap[Any, Any]()
+    def cmp(a: Any, b: Any): Int = a.asInstanceOf[Comparable[Any]].compareTo(b)
+    def find(x: Any): Any = {
+      var r = x
+      var p = parent.getOrDefault(r, r)
+      while (p != r) { r = p; p = parent.getOrDefault(r, r) }
+      var c = x
+      while (c != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
+      r
+    }
+    rows.foreach { row =>
+      val ru = find(row.get(0)); val rv = find(row.get(1))
+      if (ru != rv) {
+        if (cmp(ru, rv) <= 0) parent.put(rv, ru) else parent.put(ru, rv)
+      }
+    }
+    val seen = new java.util.LinkedHashSet[Any]()
+    rows.foreach { row => seen.add(row.get(0)); seen.add(row.get(1)) }
+    val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](seen.size)
+    seen.forEach { n =>
+      val r = find(n)
+      if (r != n) out += org.apache.spark.sql.Row(n, r)
+    }
+    val dt = e.schema.head.dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(nodeCol, dt),
+      org.apache.spark.sql.types.StructField("component", dt)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](out.asJava), schema)
   }
 }

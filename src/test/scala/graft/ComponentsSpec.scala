@@ -19,11 +19,12 @@ class ComponentsSpec extends AnyFunSuite {
     (0 until n).map(i => i.toLong -> find(i).toLong).toMap
   }
 
-  private def run(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  private def run(n: Int, edges: Seq[(Long, Long)],
+                  maxLocalEdges: Long = 500000): Map[Long, Long] = {
     val e = if (edges.isEmpty) Seq((-1L, -1L)).toDF("a", "b").filter(col("a") > 0)
             else edges.toDF("a", "b")
     val nodes = (0L until n.toLong).toDF("id")
-    Components.connectedComponents(e, "a", "b", nodes)
+    Components.connectedComponents(e, "a", "b", nodes, maxLocalEdges = maxLocalEdges)
       .as[(Long, Long)].collect().toMap
   }
 
@@ -34,10 +35,19 @@ class ComponentsSpec extends AnyFunSuite {
     assert(run(n, edges) == ufComponents(n, edges))
   }
 
+  test("fully distributed loop (maxLocalEdges=0) equals the local finish") {
+    val rnd = new scala.util.Random(11)
+    val n = 300
+    val edges = Seq.fill(220)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(p => p._1 != p._2)
+    val expected = ufComponents(n, edges)
+    assert(run(n, edges, maxLocalEdges = 0) == expected)
+    assert(run(n, edges) == expected)
+  }
+
   test("long path converges (log-round, diameter-independent)") {
     val n = 1024
     val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)) // diameter n
-    val got = run(n, edges)
+    val got = run(n, edges, maxLocalEdges = 0) // force the distributed loop
     assert(got.values.toSet == Set(0L) && got.size == n)
   }
 
