@@ -132,6 +132,49 @@ object TrainingData {
         FROM hbands a JOIN hbands b ON a.band = b.band AND a.bkey = b.bkey AND a.rep < b.rep)"""
   }
 
+  /** CTE chain re-deriving the q46 MinHash band keys: FNV-1a shingles →
+    * 64 affine permutations (limb-split HUGEINT products, signed min) →
+    * rot-XOR band fold. Ends in `banded(doc_id, band, bkey)`; shared by
+    * the q46 candidate oracle and the q118 end-to-end pipeline oracle. */
+  private def minhashBandCtes: String = {
+    val k = 64; val bands = 16; val rows = k / bands; val sh = 5
+    val perms = (0 until k).map { j =>
+      (j, graft.text.TextKernels.splitmix64(2 * j + 1) | 1L,
+        graft.text.TextKernels.splitmix64(2 * j + 2))
+    }
+    val permVals = perms.map { case (j, a, b) =>
+      val alo = a & 0xFFFFFFFFL; val ahi = a >>> 32
+      s"($j, $alo, $ahi, CAST('${java.lang.Long.toUnsignedString(b)}' AS HUGEINT))"
+    }.mkString(", ")
+    val rotCase = "CASE (j % " + rows + ") " + (0 until rows).map { i =>
+      val r = (13 * i) % 64
+      if (r == 0) s"WHEN $i THEN u"
+      else s"WHEN $i THEN ((u * ${java.math.BigInteger.ONE.shiftLeft(r)}) % $U64) + (u // ${java.math.BigInteger.ONE.shiftLeft(64 - r)})"
+    }.mkString(" ") + " END"
+    s"""perm(j, alo, ahi, b) AS (VALUES $permVals),
+      sh5 AS (
+        SELECT DISTINCT doc_id, ${fnvSql("text", "i.i", sh)} AS h
+        FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - ${sh - 1})) AS i) i),
+      hsplit AS (
+        SELECT doc_id, CAST(h AS HUGEINT) % 4294967296 AS hlo,
+               CAST(h AS HUGEINT) // 4294967296 AS hhi FROM sh5),
+      mh AS (
+        SELECT doc_id, j,
+          min(CAST(CASE WHEN v >= 9223372036854775808 THEN v - $U64 ELSE v END AS BIGINT)) AS sigj
+        FROM (
+          SELECT s.doc_id, p.j,
+            (((p.alo * s.hlo + ((p.alo * s.hhi + p.ahi * s.hlo) % 4294967296) * 4294967296) % $U64) + p.b) % $U64 AS v
+          FROM hsplit s, perm p)
+        GROUP BY doc_id, j),
+      msig AS (
+        SELECT doc_id, j,
+          CASE WHEN sigj < 0 THEN CAST(sigj AS HUGEINT) + $U64 ELSE CAST(sigj AS HUGEINT) END AS u
+        FROM mh),
+      banded AS (
+        SELECT doc_id, j // $rows AS band, bit_xor(CAST(($rotCase) AS UBIGINT)) AS bkey
+        FROM msig GROUP BY doc_id, band)"""
+  }
+
   /** Full per-image pair graph (same banding, every key) — the q114
     * cluster oracle deliberately propagates over THIS graph rather than
     * the representative graph, so it independently confirms that the
@@ -244,49 +287,12 @@ object TrainingData {
     // branch is spec-covered).
     ("q46_minhash_lsh", (s: SparkSession, dir: String) => {
       Dedup.minhashCandidates(docs(s, dir), k = 64, bands = 16, shingle = 5)
-    }, Some {
-      val k = 64; val bands = 16; val rows = k / bands; val sh = 5
-      val perms = (0 until k).map { j =>
-        (j, graft.text.TextKernels.splitmix64(2 * j + 1) | 1L,
-          graft.text.TextKernels.splitmix64(2 * j + 2))
-      }
-      val permVals = perms.map { case (j, a, b) =>
-        val alo = a & 0xFFFFFFFFL; val ahi = a >>> 32
-        s"($j, $alo, $ahi, CAST('${java.lang.Long.toUnsignedString(b)}' AS HUGEINT))"
-      }.mkString(", ")
-      val rotCase = "CASE (j % " + rows + ") " + (0 until rows).map { i =>
-        val r = (13 * i) % 64
-        if (r == 0) s"WHEN $i THEN u"
-        else s"WHEN $i THEN ((u * ${java.math.BigInteger.ONE.shiftLeft(r)}) % $U64) + (u // ${java.math.BigInteger.ONE.shiftLeft(64 - r)})"
-      }.mkString(" ") + " END"
-      s"""
-      WITH perm(j, alo, ahi, b) AS (VALUES $permVals),
-      sh5 AS (
-        SELECT DISTINCT doc_id, ${fnvSql("text", "i.i", sh)} AS h
-        FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - ${sh - 1})) AS i) i),
-      hsplit AS (
-        SELECT doc_id, CAST(h AS HUGEINT) % 4294967296 AS hlo,
-               CAST(h AS HUGEINT) // 4294967296 AS hhi FROM sh5),
-      mh AS (
-        SELECT doc_id, j,
-          min(CAST(CASE WHEN v >= 9223372036854775808 THEN v - $U64 ELSE v END AS BIGINT)) AS sigj
-        FROM (
-          SELECT s.doc_id, p.j,
-            (((p.alo * s.hlo + ((p.alo * s.hhi + p.ahi * s.hlo) % 4294967296) * 4294967296) % $U64) + p.b) % $U64 AS v
-          FROM hsplit s, perm p)
-        GROUP BY doc_id, j),
-      msig AS (
-        SELECT doc_id, j,
-          CASE WHEN sigj < 0 THEN CAST(sigj AS HUGEINT) + $U64 ELSE CAST(sigj AS HUGEINT) END AS u
-        FROM mh),
-      banded AS (
-        SELECT doc_id, j // $rows AS band, bit_xor(CAST(($rotCase) AS UBIGINT)) AS bkey
-        FROM msig GROUP BY doc_id, band)
+    }, Some(s"""
+      WITH $minhashBandCtes
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands
       FROM banded a JOIN banded b
         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-      GROUP BY 1, 2"""
-    }),
+      GROUP BY 1, 2""")),
 
     // nChunks = 11 ⇒ pigeonhole guarantees recall for Hamming ≤ 10.
     // Oracle: the full simhash64 re-derivation (see simhashCtes) + the
@@ -682,7 +688,58 @@ object TrainingData {
         SELECT doc_id, lang, bucket,
           CAST(row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS INT) AS rk
         FROM smb)
-      WHERE rk <= 20"""))
+      WHERE rk <= 20""")),
+
+    // The END-TO-END curation flow as one declarative plan — what a real
+    // 100 TB dedup run actually executes: MinHash-LSH candidates (q46) →
+    // exact n-gram Jaccard verify ≥ 0.5 (q48/q53) → connected components
+    // over the verified near-dup graph (q114's engine) → per-doc
+    // canonical assignment (`keep` = is the cluster minimum). The oracle
+    // composes the SAME three re-derivations and closes the graph with
+    // recursive min-label propagation — every stage boundary is checked
+    // by its own query, this checks their COMPOSITION.
+    ("q118_dedup_pipeline", (s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      val cand = graft.pipeline.Caches.persist(
+        Dedup.minhashCandidates(d, k = 64, bands = 16, shingle = 5)
+          .select(col("id_a"), col("id_b")))
+      val verified = Dedup.jaccardVerify(cand, d, shingle = 3, minJaccard = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val comp = graft.ops.Components.connectedComponents(
+        verified, "id_a", "id_b", d.select(col("doc_id").as("id")), "id")
+      comp.select(col("id").as("doc_id"), col("component").as("canonical"),
+        (col("id") === col("component")).as("keep"))
+    }, Some(s"""
+      WITH RECURSIVE $minhashBandCtes,
+      mcand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      tri AS (
+        SELECT DISTINCT doc_id, substr(text, i, 3) AS g
+        FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - 2)) AS i)),
+      sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+      ov AS (
+        SELECT p.id_a, p.id_b, count(*) AS inter
+        FROM mcand p JOIN tri a ON a.doc_id = p.id_a
+                     JOIN tri b ON b.doc_id = p.id_b AND a.g = b.g
+        GROUP BY p.id_a, p.id_b),
+      ver AS (
+        SELECT p.id_a, p.id_b FROM mcand p
+        JOIN sizes sa ON sa.doc_id = p.id_a JOIN sizes sb ON sb.doc_id = p.id_b
+        LEFT JOIN ov o ON o.id_a = p.id_a AND o.id_b = p.id_b
+        WHERE CAST(coalesce(o.inter, 0) AS DOUBLE)
+              / CAST(sa.n + sb.n - coalesce(o.inter, 0) AS DOUBLE) >= 0.5),
+      dedges AS (
+        SELECT id_a AS a, id_b AS b FROM ver
+        UNION ALL
+        SELECT id_b AS a, id_a AS b FROM ver),
+      reach(id, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b, r.lbl FROM reach r JOIN dedges e ON e.a = r.id WHERE r.lbl < e.b)
+      SELECT id AS doc_id, min(lbl) AS canonical, (id = min(lbl)) AS keep
+      FROM reach GROUP BY id"""))
   )
 
   private def SampleRates = Map(
