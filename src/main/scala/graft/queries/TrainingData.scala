@@ -739,7 +739,77 @@ object TrainingData {
         UNION
         SELECT e.b, r.lbl FROM reach r JOIN dedges e ON e.a = r.id WHERE r.lbl < e.b)
       SELECT id AS doc_id, min(lbl) AS canonical, (id = min(lbl)) AS keep
-      FROM reach GROUP BY id"""))
+      FROM reach GROUP BY id""")),
+
+    // Benchmark decontamination: word-3-gram overlap of the corpus
+    // (doc_id % 20 <> 0) against a held-out eval set (doc_id % 20 = 0).
+    // Engine path: driver-collected distinct bench gram hashes broadcast
+    // into a codegen'd per-row binary-search probe — the corpus is never
+    // shuffled or joined. Oracle re-derives the same distinct word-3-gram
+    // sets as strings (hash vs string equality coincide absent 64-bit FNV
+    // collisions, as in q48/q53).
+    ("q119_decontaminate", (s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      graft.ops.Decontaminate.flag(
+        d.filter(col("doc_id") % 20 =!= 0),
+        d.filter(col("doc_id") % 20 === 0), n = 3)
+    }, Some("""
+      WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+        FROM documents),
+      g0 AS (
+        SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+        FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(1, len(ws) - 2))) AS i)),
+      dg AS (SELECT DISTINCT doc_id, gram FROM g0),
+      bench AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 20 = 0),
+      corpus AS (SELECT doc_id, gram FROM dg WHERE doc_id % 20 <> 0),
+      tot AS (SELECT doc_id, count(*) AS total_grams FROM corpus GROUP BY doc_id),
+      hit AS (
+        SELECT c.doc_id, count(*) AS matched
+        FROM corpus c JOIN bench b USING (gram) GROUP BY c.doc_id)
+      SELECT t.doc_id,
+        CAST(t.total_grams AS INT) AS total_grams,
+        CAST(coalesce(h.matched, 0) AS INT) AS matched_grams,
+        CAST(CASE WHEN coalesce(h.matched, 0) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated
+      FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id""")),
+
+    // Gopher-style repetition quality signals as EXACT integers (the
+    // published filters threshold duplicate-word and top-bigram ratios;
+    // ratios derive from these counts, the oracle compares the counts).
+    // Per-row codegen'd kernel — no shuffle, no explode.
+    ("q120_repetition", (s: SparkSession, dir: String) => {
+      docs(s, dir).select(col("doc_id"), repetition_stats(col("text")).as("r"))
+        .select(col("doc_id"),
+          col("r").getItem(0).as("total_words"),
+          col("r").getItem(1).as("distinct_words"),
+          col("r").getItem(2).as("top_word_count"),
+          col("r").getItem(3).as("total_bigrams"),
+          col("r").getItem(4).as("top_bigram_count"))
+    }, Some("""
+      WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+        FROM documents),
+      tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+      wc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+      agg AS (
+        SELECT doc_id, CAST(sum(c) AS INT) AS total_words,
+               CAST(count(*) AS INT) AS distinct_words,
+               CAST(max(c) AS INT) AS top_word_count
+        FROM wc GROUP BY doc_id),
+      bg AS (
+        SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b
+        FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i)),
+      bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+      bagg AS (
+        SELECT doc_id, CAST(sum(c) AS INT) AS total_bigrams,
+               CAST(max(c) AS INT) AS top_bigram_count
+        FROM bc GROUP BY doc_id)
+      SELECT a.doc_id, a.total_words, a.distinct_words, a.top_word_count,
+             coalesce(b.total_bigrams, 0) AS total_bigrams,
+             coalesce(b.top_bigram_count, 0) AS top_bigram_count
+      FROM agg a LEFT JOIN bagg b ON b.doc_id = a.doc_id"""))
   )
 
   private def SampleRates = Map(

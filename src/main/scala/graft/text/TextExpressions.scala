@@ -122,7 +122,67 @@ case class RademacherSig(first: Expression, second: Expression, third: Expressio
     copy(first = f, second = s, third = t)
 }
 
+/** word_ngrams(text, n) → sorted distinct array<long> of word-n-gram
+  * FNV hashes (TextKernels.wordNgramHashes). */
+case class WordNgramHashes(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_ngrams"
+  override protected def nullSafeEval(t: Any, n: Any): Any =
+    new GenericArrayData(TextKernels.wordNgramHashes(t.toString, n.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.text.TextKernels.wordNgramHashes($t.toString(), $n))")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): WordNgramHashes =
+    copy(left = l, right = r)
+}
+
+/** repetition_stats(text) → array<int>[totalWords, distinctWords,
+  * topWordCount, totalBigrams, topBigramCount]. */
+case class RepetitionStats(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "repetition_stats"
+  override protected def nullSafeEval(s: Any): Any =
+    new GenericArrayData(TextKernels.repetitionStats(s.toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.text.TextKernels.repetitionStats($s.toString()))")
+  override protected def withNewChildInternal(c: Expression): RepetitionStats = copy(child = c)
+}
+
+/** ngram_hits(text, n) against a driver-collected, broadcast benchmark
+  * gram set → array<int>[matchedGrams, totalGrams]. The broadcast handle
+  * rides the expression (the GcpPolyEval pattern): tasks fetch the sorted
+  * bench array once from the block manager, then every row is a
+  * shuffle-free binary-search probe inside whole-stage codegen. */
+case class NgramHitCount(left: Expression, right: Expression,
+                         bench: org.apache.spark.broadcast.Broadcast[Array[Long]])
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ngram_hits"
+  override protected def nullSafeEval(t: Any, n: Any): Any =
+    TextExprHelpers.ngramHits(t.toString, n.asInstanceOf[Int], bench.value)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("benchGrams", bench, "org.apache.spark.broadcast.Broadcast")
+    defineCodeGen(ctx, ev, (t, n) =>
+      s"graft.text.TextExprHelpers.ngramHits($t.toString(), $n, (long[]) $ref.value())")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): NgramHitCount =
+    copy(left = l, right = r)
+}
+
 object TextExprHelpers {
+  def ngramHits(text: String, n: Int, bench: Array[Long]): ArrayData = {
+    val grams = TextKernels.wordNgramHashes(text, n)
+    new GenericArrayData(Array(TextKernels.sortedHitCount(grams, bench), grams.length))
+  }
+
   def shingleOverlap(a: String, b: String, n: Int): ArrayData = {
     val (i, u) = TextKernels.shingleOverlap(a, b, n)
     new GenericArrayData(Array(i, u))
@@ -142,4 +202,10 @@ object textfunctions {
     toCol(ShingleOverlap(toExpr(a), toExpr(b), Literal(n)))
   def rademacher_sig(v: Column, nBits: Int, seed: Long): Column =
     toCol(RademacherSig(toExpr(v), Literal(nBits), Literal(seed)))
+  def word_ngrams(text: Column, n: Int): Column =
+    toCol(WordNgramHashes(toExpr(text), Literal(n)))
+  def repetition_stats(c: Column): Column = toCol(RepetitionStats(toExpr(c)))
+  def ngram_hits(text: Column, n: Int,
+                 bench: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
+    toCol(NgramHitCount(toExpr(text), Literal(n), bench))
 }

@@ -63,6 +63,77 @@ object TextKernels {
     out
   }
 
+  /** Distinct FNV-1a hashes of word n-grams (tokens joined by one space),
+    * sorted ascending. A document shorter than n tokens contributes its
+    * whole token sequence as the single gram, so every document carries
+    * >= 1 gram — the decontamination ratio is never 0/0. */
+  def wordNgramHashes(text: String, n: Int): Array[Long] = {
+    val ws = tokens(text)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    if (ws.length <= n) {
+      set.add(fnv1a64(ws.mkString(" ")))
+    } else {
+      var i = 0
+      while (i + n <= ws.length) {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(ws(i + j))
+          j += 1
+        }
+        set.add(fnv1a64(sb))
+        i += 1
+      }
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    out
+  }
+
+  /** Exact per-document repetition profile:
+    * [totalWords, distinctWords, topWordCount, totalBigrams, topBigramCount].
+    * Gopher-style repetition quality signals (duplicate-word fraction,
+    * top-bigram fraction) derive as ratios of these integers — kept as
+    * exact counts so the oracle compares int64s, not floats. */
+  def repetitionStats(text: String): Array[Int] = {
+    val ws = tokens(text)
+    val sum = new java.util.function.BiFunction[Integer, Integer, Integer] {
+      def apply(a: Integer, b: Integer): Integer = Integer.valueOf(a + b)
+    }
+    val wc = new java.util.HashMap[String, Integer]()
+    var topW = 0
+    var i = 0
+    while (i < ws.length) {
+      val c = wc.merge(ws(i), Integer.valueOf(1), sum)
+      if (c > topW) topW = c
+      i += 1
+    }
+    val bc = new java.util.HashMap[String, Integer]()
+    var topB = 0
+    i = 0
+    while (i + 1 < ws.length) {
+      val c = bc.merge(ws(i) + " " + ws(i + 1), Integer.valueOf(1), sum)
+      if (c > topB) topB = c
+      i += 1
+    }
+    Array(ws.length, wc.size, topW, math.max(ws.length - 1, 0), topB)
+  }
+
+  /** Count of grams (sorted distinct) present in the sorted bench array —
+    * the per-row decontamination probe against a broadcast benchmark set. */
+  def sortedHitCount(grams: Array[Long], bench: Array[Long]): Int = {
+    var i = 0
+    var hits = 0
+    while (i < grams.length) {
+      if (java.util.Arrays.binarySearch(bench, grams(i)) >= 0) hits += 1
+      i += 1
+    }
+    hits
+  }
+
   /** MinHash signature over char-n-gram shingles: k permutations via
     * (a_j·h + b_j) with odd multipliers from splitmix64 (the classic
     * Broder construction). */

@@ -23,7 +23,8 @@ object PlanAudit {
       "q108_zt_family", "q109_tpi_tri", "q110_aspect", "q111_focal_stats",
       "q112_raster_blend",
       "q113_phash_neardup", "q114_phash_clusters", "q115_bm25_topk",
-      "q116_stratified_sample", "q117_stratified_topk", "q118_dedup_pipeline")
+      "q116_stratified_sample", "q117_stratified_topk", "q118_dedup_pipeline",
+      "q119_decontaminate", "q120_repetition")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       val df = graft.SparkEntry.queries(n)(spark, sf)
