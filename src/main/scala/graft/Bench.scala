@@ -36,7 +36,8 @@ object Bench {
     "q108_zt_family", "q109_tpi_tri", "q110_aspect", "q111_focal_stats",
     "q112_raster_blend",
     "q113_phash_neardup", "q114_phash_clusters", "q115_bm25_topk",
-    "q116_stratified_sample", "q117_stratified_topk", "q118_dedup_pipeline")
+    "q116_stratified_sample", "q117_stratified_topk", "q118_dedup_pipeline",
+    "q119_decontaminate", "q120_repetition", "q121_nearblack")
 
   def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()

@@ -197,6 +197,42 @@ case class SliceRaster(children: Seq[Expression]) extends Expression with Expect
     copy(children = c)
 }
 
+/** nearblack_stats(bytes, fmt, meta9, near_dist, max_non_black, white) →
+  * struct<collar_px:int, checksum:int> — collar-trim mask size and GDAL
+  * checksum of band 0 after replacement (apps/nearblack_lib.cpp two-pass
+  * scanline semantics; core.NearBlack). */
+case class NearBlackStats(children: Seq[Expression]) extends Expression with ExpectsInputTypes with CodegenFallback {
+  require(children.length == 6, "nearblack_stats(bytes, fmt, meta9, near_dist, max_non_black, white)")
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(BinaryType, StringType, ArrayType(DoubleType), IntegerType, IntegerType, BooleanType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("collar_px", IntegerType, nullable = false),
+    StructField("checksum", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearblack_stats"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    if (vals.exists(_ == null)) return null
+    val meta = vals(2).asInstanceOf[ArrayData].toDoubleArray()
+    val w = meta(0).toInt; val h = meta(1).toInt
+    val nearDist = vals(3).asInstanceOf[Int]
+    val maxNonBlack = vals(4).asInstanceOf[Int]
+    val white = vals(5).asInstanceOf[Boolean]
+    val r = ImageCodec.decode(vals(0).asInstanceOf[Array[Byte]], vals(1).toString, w, h)
+    val bands = r.bands.map(_.clone())
+    val mask = NearBlack.run(bands, w, h, nearDist, maxNonBlack, white)
+    var collar = 0
+    var i = 0
+    while (i < mask.length) { if (mask(i)) collar += 1; i += 1 }
+    org.apache.spark.sql.catalyst.InternalRow(
+      collar, GdalChecksum.ofInts(bands(0), w, h))
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): NearBlackStats =
+    copy(children = c)
+}
+
 /** viewshed_vis(bytes, fmt, w, h, ox, oy, obsH, tgtH) → array<int>
   * visibility map (255/0, row-major) of the 1-band DEM from observer
   * cell (ox, oy) — Wang propagation, Normal/Edge defaults

@@ -142,6 +142,9 @@ object functions {
   def fill_nodata_stats(bytes: Column, fmt: Column, meta9: Column, nodata: Column, maxDist: Column): Column =
     toCol(FillNodataStats(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(nodata), toExpr(maxDist))))
 
+  def nearblack_stats(bytes: Column, fmt: Column, meta9: Column, nearDist: Column, maxNonBlack: Column, white: Column): Column =
+    toCol(NearBlackStats(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(nearDist), toExpr(maxNonBlack), toExpr(white))))
+
   def raster_histogram(bytes: Column, fmt: Column, w: Column, h: Column, nBuckets: Column, vmin: Column, vmax: Column): Column =
     toCol(RasterHistogram(Seq(toExpr(bytes), toExpr(fmt), toExpr(w), toExpr(h), toExpr(nBuckets), toExpr(vmin), toExpr(vmax))))
 
@@ -369,6 +372,8 @@ object GraftExtensions {
       (e: Seq[Expression]) => ProximityStats(e))),
     "fill_nodata_stats" -> ((info("fill_nodata_stats", "fill_nodata_stats(bytes, fmt, meta9, nodata, max_dist)"),
       (e: Seq[Expression]) => FillNodataStats(e))),
+    "nearblack_stats" -> ((info("nearblack_stats", "nearblack_stats(bytes, fmt, meta9, near_dist, max_non_black, white) - collar trim mask size + checksum"),
+      (e: Seq[Expression]) => NearBlackStats(e))),
     "raster_histogram" -> ((info("raster_histogram", "raster_histogram(bytes, fmt, w, h, nBuckets, vmin, vmax)"),
       (e: Seq[Expression]) => RasterHistogram(e))),
     "slice_raster" -> ((info("slice_raster", "slice_raster(bytes, fmt, meta9, x0, y0, winW, winH) - windowed read"),

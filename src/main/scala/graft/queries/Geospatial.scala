@@ -1301,6 +1301,61 @@ object Geospatial {
     //    only nodata or exit — a 64-probe EXISTS per nodata pixel.
     // Post-sieve component count and the three checksums are component-
     // label/EDT internals (not SQL-expressible) → MorphSpec goldens.
+    // nearblack collar trim (apps/nearblack_lib.cpp two-pass scanline).
+    // At maxNonBlack = 0 the scanline state machine has a closed form over
+    // running windows (proof in core/NearBlack.scala scaladoc): vertical =
+    // per-column prefix/suffix of all-near pixels; horizontal = near pixel
+    // trimmed iff no non-near pixel precedes it in scan order OR a
+    // column-collar pixel sits after the last non-near one (the
+    // counts==0 re-enable). The oracle re-derives all six directional
+    // components with window functions and checksums the trimmed band.
+    ("q121_nearblack", (s: SparkSession, dir: String) => {
+      Fixtures.imagesFromParts(s, dir)
+        .filter(col("w") <= 64 && col("fmt") =!= "jpeg" && col("key") % 2 === 0)
+        .withColumn("nb", nearblack_stats(col("bytes"), col("fmt"), Tiling.meta9,
+          lit(100), lit(0), lit(false)))
+        .select(col("key"), col("nb.collar_px").as("collar_px"),
+          col("nb.checksum").as("checksum_nb"))
+    }, Some(s"""
+      WITH $PixCte,
+      sb AS (SELECT key, sz, px, py, v, (v <= 100) AS nb FROM pv WHERE (key % 2) = 0),
+      vt AS (
+        SELECT key, sz, px, py, v, nb,
+          (min(CASE WHEN nb THEN 1 ELSE 0 END) OVER wtd = 1) AS vtd,
+          (min(CASE WHEN nb THEN 1 ELSE 0 END) OVER wbu = 1) AS vbu
+        FROM sb
+        WINDOW
+          wtd AS (PARTITION BY key, px ORDER BY py
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          wbu AS (PARTITION BY key, px ORDER BY py DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      hz AS (
+        SELECT key, sz, px, py, v, nb, vtd, vbu,
+          max(CASE WHEN NOT nb THEN px END) OVER wl AS lnn,
+          max(CASE WHEN vtd THEN px END) OVER wl AS lvt,
+          max(CASE WHEN vbu THEN px END) OVER wl AS lvb,
+          min(CASE WHEN NOT nb THEN px END) OVER wr AS rnn,
+          min(CASE WHEN vtd THEN px END) OVER wr AS rvt,
+          min(CASE WHEN vbu THEN px END) OVER wr AS rvb
+        FROM vt
+        WINDOW
+          wl AS (PARTITION BY key, py ORDER BY px
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          wr AS (PARTITION BY key, py ORDER BY px DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      m AS (
+        SELECT key, sz, px, py, v,
+          (vtd OR vbu
+           OR (nb AND px <= sz - 2 AND (lnn IS NULL OR (lvt IS NOT NULL AND lvt > lnn)))
+           OR (nb AND px <= sz - 2 AND (lnn IS NULL OR (lvb IS NOT NULL AND lvb > lnn)))
+           OR (nb AND px >= 1 AND (rnn IS NULL OR (rvt IS NOT NULL AND rvt < rnn)))
+           OR (nb AND px >= 1 AND (rnn IS NULL OR (rvb IS NOT NULL AND rvb < rnn)))) AS msk
+        FROM hz)
+      SELECT key,
+        CAST(sum(CASE WHEN msk THEN 1 ELSE 0 END) AS INT) AS collar_px,
+        ${checksumSql("CASE WHEN msk THEN 0 ELSE v END")} AS checksum_nb
+      FROM m GROUP BY key, sz""")),
+
     ("q74_morphology", (s: SparkSession, dir: String) => {
       Fixtures.imagesFromParts(s, dir)
         .filter(col("w") <= 64 && col("fmt") =!= "jpeg")

@@ -24,7 +24,7 @@ object PlanAudit {
       "q112_raster_blend",
       "q113_phash_neardup", "q114_phash_clusters", "q115_bm25_topk",
       "q116_stratified_sample", "q117_stratified_topk", "q118_dedup_pipeline",
-      "q119_decontaminate", "q120_repetition")
+      "q119_decontaminate", "q120_repetition", "q121_nearblack")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       val df = graft.SparkEntry.queries(n)(spark, sf)
