@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
-import graft.core.{GcpPoly, Rpc, Tps}
+import graft.core.{GcpPoly, Homography, Rpc, Tps}
 
 /** GCP transformer expressions (alg/gdal_crs.cpp, thinplatespline.cpp,
   * gdal_rpc.cpp). The fitted coefficient payload rides the expression via
@@ -29,6 +29,11 @@ object GeorefEval {
   def rpcInv(model: AnyRef, px: Double, py: Double, h: Double): ArrayData = {
     val (lon, lat) = Rpc.inverse(model.asInstanceOf[Rpc], px, py, h)
     new GenericArrayData(Array(lon, lat))
+  }
+
+  def homography(h: AnyRef, x: Double, y: Double): ArrayData = {
+    val (tx, ty) = Homography.apply(h.asInstanceOf[Array[Double]], x, y)
+    new GenericArrayData(Array(tx, ty))
   }
 }
 
@@ -113,4 +118,24 @@ case class RpcEval(first: Expression, second: Expression, third: Expression,
   }
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): RpcEval =
     copy(first = a, second = b, third = c)
+}
+
+/** homography_transform(x, y) with a driver-fitted 9-coefficient
+  * projective transform (alg/gdal_homography.cpp) → [tx, ty]; a vanishing
+  * projective weight yields [NaN, NaN] (the reference's per-point failure
+  * flag). */
+case class HomographyEval(left: Expression, right: Expression, h: Array[Double])
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "homography_transform"
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    GeorefEval.homography(h, x.asInstanceOf[Double], y.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("homography", h, "java.lang.Object")
+    defineCodeGen(ctx, ev, (x, y) => s"graft.expr.GeorefEval.homography($ref, $x, $y)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HomographyEval =
+    copy(left = l, right = r)
 }

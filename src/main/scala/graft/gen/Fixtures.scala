@@ -244,6 +244,27 @@ object Fixtures {
       .withColumn("gx", (lit(384) + col("px") * 192 + col("py") * 64) / 256.0)
       .withColumn("gy", (lit(-512) + col("px") * 128 + col("py") * 320) / 256.0)
 
+  /** Same 5×5 source grid with geo targets from an EXACT projective map
+    * with dyadic coefficients:
+    *   gx = (2 + px/2 + py/4) / w,  gy = (−3 + px/8 + 3·py/4) / w,
+    *   w  = 1 + px/64 + py/128   (w ∈ [1, 1.5625] on the grid — never 0,
+    * and the image of the grid square stays convex, so the reference's
+    * cross-product check passes). The 25 exactly-consistent GCPs make the
+    * rank-8 least-squares system recover the map to solver precision
+    * (~1e-12 after de-normalization); q122 quantizes products t·w·256
+    * back to exact integers (see the oracle derivation there). */
+  def gcpHomographyFromNation(s: SparkSession, dir: String): DataFrame = {
+    val base = s.read.parquet(s"$dir/nation.parquet")
+      .select(
+        ((col("n_nationkey") % 5) * 6).cast("double").as("px"),
+        (floor(col("n_nationkey") / 5) * 6).cast("double").as("py"))
+      .withColumn("w", lit(1.0) + col("px") / 64.0 + col("py") / 128.0)
+    base
+      .withColumn("gx", (lit(2.0) + col("px") / 2.0 + col("py") / 4.0) / col("w"))
+      .withColumn("gy", (lit(-3.0) + col("px") / 8.0 + col("py") * 3.0 / 4.0) / col("w"))
+      .drop("w")
+  }
+
   /** Deterministic RPC model with exact-binary coefficients (k/64 and
     * k/512 with integer k): every coefficient, offset, and scale is an
     * exact double, so the forward rational evaluation is a fixed sequence

@@ -2,8 +2,8 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.core.{GcpPoly, Rpc, Tps}
-import graft.expr.{GcpPolyEval, RpcEval, TpsEval}
+import graft.core.{GcpPoly, Homography, Rpc, Tps}
+import graft.expr.{GcpPolyEval, HomographyEval, RpcEval, TpsEval}
 import org.apache.spark.sql.graft.Bridge.{column => toCol, expression => toExpr}
 
 /** DataFrame surface for the GCP transformer family (alg/gdal_crs.cpp,
@@ -61,6 +61,22 @@ object Georef {
   /** [tx, ty] column from a fitted polynomial direction. */
   def gcpPolyTransform(fit: GcpPoly.Fit, x: Column, y: Column): Column =
     toCol(GcpPolyEval(toExpr(x), toExpr(y), fit))
+
+  /** GDALGCPsToHomography + GDALInvHomography over a GCP frame: the
+    * forward least-squares projective fit and its exact inverse
+    * (alg/gdal_homography.cpp). Throws on degenerate GCP geometry. */
+  def fitHomography(gcps: DataFrame,
+                    pxCol: String = "px", pyCol: String = "py",
+                    gxCol: String = "gx", gyCol: String = "gy"): Homography.Both = {
+    val (px, py, gx, gy) = collect4(gcps, pxCol, pyCol, gxCol, gyCol)
+    Homography.fitBoth(px, py, gx, gy).getOrElse(
+      throw new IllegalArgumentException(
+        "Georef.fitHomography: degenerate GCP geometry or non-convex fit"))
+  }
+
+  /** [tx, ty] column through a 9-coefficient homography direction. */
+  def homographyTransform(h: Array[Double], x: Column, y: Column): Column =
+    toCol(HomographyEval(toExpr(x), toExpr(y), h))
 
   /** [tx, ty] column from a fitted TPS direction. */
   def tpsTransform(fit: Tps.Fit, x: Column, y: Column): Column =

@@ -634,6 +634,37 @@ object Geospatial {
         .select(col("id"), col("t")(0).as("samp"), col("t")(1).as("line"))
     }, Some(rpcForwardOracle)),
 
+    // §2.8 transformers — homography (alg/gdal_homography.cpp): the
+    // fixture's geo targets are an EXACT projective map with dyadic
+    // coefficients (see Fixtures.gcpHomographyFromNation), so the rank-8
+    // least-squares fit recovers it to ~1e-12. The projective division
+    // makes raw outputs irrational, so the query re-multiplies by the
+    // TRUE weight w = 1 + x/64 + y/128: t·w·256 = numerator·256 — an
+    // exact integer (drift ~5e-9 vs quantum 0.5). The roundtrip columns
+    // drive the exact adjoint inverse: round(inv(fwd(p))·256) = 256·p.
+    ("q122_homography", (s: SparkSession, dir: String) => {
+      val fit = Georef.fitHomography(Fixtures.gcpHomographyFromNation(s, dir))
+      s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey").as("id"),
+          (col("o_orderkey") % 25).cast("double").as("ptx"),
+          ((col("o_orderkey") * 11) % 25).cast("double").as("pty"))
+        .withColumn("t", Georef.homographyTransform(fit.fwd, col("ptx"), col("pty")))
+        .withColumn("r", Georef.homographyTransform(fit.inv, col("t")(0), col("t")(1)))
+        .withColumn("tw", lit(1.0) + col("ptx") / 64.0 + col("pty") / 128.0)
+        .select(col("id"),
+          round(col("t")(0) * col("tw") * 256.0).cast("bigint").as("gxw_q"),
+          round(col("t")(1) * col("tw") * 256.0).cast("bigint").as("gyw_q"),
+          round(col("r")(0) * 256.0).cast("bigint").as("rx_q"),
+          round(col("r")(1) * 256.0).cast("bigint").as("ry_q"))
+    }, Some("""
+      SELECT o_orderkey AS id,
+        CAST(512 + 128*ptx + 64*pty AS BIGINT) AS gxw_q,
+        CAST(-768 + 32*ptx + 192*pty AS BIGINT) AS gyw_q,
+        CAST(256*ptx AS BIGINT) AS rx_q,
+        CAST(256*pty AS BIGINT) AS ry_q
+      FROM (SELECT o_orderkey, o_orderkey % 25 AS ptx, (o_orderkey * 11) % 25 AS pty
+            FROM orders)""")),
+
     // §2.8 warp density masks: per-image alpha carried through the warp's
     // density plane, blended by the commutative DensityMosaic rule
     // (v = round-half-up Σd·v/Σd, density = min(255, Σd)). Oracle: each
