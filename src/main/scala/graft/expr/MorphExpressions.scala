@@ -233,6 +233,42 @@ case class NearBlackStats(children: Seq[Expression]) extends Expression with Exp
     copy(children = c)
 }
 
+/** los_visible(bytes, fmt, w, h, xa, ya, za, xb, yb, zb) →
+  * struct<visible:int, ix:int, iy:int> — point-to-point line of sight
+  * over a 1-band terrain raster (alg/los.cpp GDALIsLineOfSightVisible):
+  * endpoint pre-checks, then a Bresenham walk with Euclidean-ratio z
+  * interpolation; ix/iy = first terrain intersection or (−1, −1). */
+case class LosVisible(children: Seq[Expression]) extends Expression with ExpectsInputTypes with CodegenFallback {
+  require(children.length == 10, "los_visible(bytes, fmt, w, h, xa, ya, za, xb, yb, zb)")
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(BinaryType, StringType, IntegerType, IntegerType, IntegerType, IntegerType,
+      DoubleType, IntegerType, IntegerType, DoubleType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("visible", IntegerType, nullable = false),
+    StructField("ix", IntegerType, nullable = false),
+    StructField("iy", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "los_visible"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    if (vals.exists(_ == null)) return null
+    val w = vals(2).asInstanceOf[Int]; val h = vals(3).asInstanceOf[Int]
+    val xa = vals(4).asInstanceOf[Int]; val ya = vals(5).asInstanceOf[Int]
+    val xb = vals(7).asInstanceOf[Int]; val yb = vals(8).asInstanceOf[Int]
+    // endpoints come from data — out-of-raster rows yield NULL
+    if (xa < 0 || xa >= w || ya < 0 || ya >= h ||
+        xb < 0 || xb >= w || yb < 0 || yb >= h) return null
+    val r = ImageCodec.decode(vals(0).asInstanceOf[Array[Byte]], vals(1).toString, w, h)
+    val (vis, ix, iy) = Los.isVisible(r.bands(0), w, h,
+      xa, ya, vals(6).asInstanceOf[Double], xb, yb, vals(9).asInstanceOf[Double])
+    org.apache.spark.sql.catalyst.InternalRow(if (vis) 1 else 0, ix, iy)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): LosVisible =
+    copy(children = c)
+}
+
 /** viewshed_vis(bytes, fmt, w, h, ox, oy, obsH, tgtH) → array<int>
   * visibility map (255/0, row-major) of the 1-band DEM from observer
   * cell (ox, oy) — Wang propagation, Normal/Edge defaults

@@ -133,6 +133,12 @@ object functions {
     toCol(ViewshedVis(Seq(toExpr(bytes), toExpr(fmt), toExpr(w), toExpr(h),
       toExpr(ox), toExpr(oy), toExpr(obsH), toExpr(tgtH))))
 
+  def los_visible(bytes: Column, fmt: Column, w: Column, h: Column,
+                  xa: Column, ya: Column, za: Column,
+                  xb: Column, yb: Column, zb: Column): Column =
+    toCol(LosVisible(Seq(toExpr(bytes), toExpr(fmt), toExpr(w), toExpr(h),
+      toExpr(xa), toExpr(ya), toExpr(za), toExpr(xb), toExpr(yb), toExpr(zb))))
+
   def sieve_stats(bytes: Column, fmt: Column, meta9: Column, shift: Column, threshold: Column, connect8: Column): Column =
     toCol(SieveStats(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(shift), toExpr(threshold), toExpr(connect8))))
 

@@ -570,6 +570,77 @@ object Geospatial {
         CASE WHEN greatest(abs(x - 16), abs(y - 16)) <= dw THEN 255 ELSE 0 END AS v
       FROM g2""")),
 
+    // §2.8 point-to-point line of sight (alg/los.cpp
+    // GDALIsLineOfSightVisible): endpoint pre-checks (a blocked B is
+    // reported over an earlier walk hit — mirrored in the oracle's CASE
+    // order), then a Bresenham walk with Euclidean-ratio z lerp. The
+    // fixture makes blocking purely combinatorial: terrain is 0 except
+    // the wall ring (height ≥ 22) and every sight z ∈ [1, 19], so a walk
+    // cell blocks iff it lies ON the ring — the oracle replays the exact
+    // integer Bresenham recurrence (balance init 2·minor − major; step
+    // minor iff balance ≥ 0 before adding 2·minor) in a recursive CTE
+    // and never touches a float. 8 sight lines per DEM.
+    ("q123_los", (s: SparkSession, dir: String) => {
+      Fixtures.demsFromNation(s, dir)
+        .select(col("dem_id"), col("bytes"), col("w"), col("h"),
+          explode(sequence(lit(0), lit(7))).as("j"))
+        .withColumn("r", los_visible(col("bytes"), lit("raw"), col("w"), col("h"),
+          ((col("dem_id") + col("j") * 13) % 33).cast("int"),
+          ((col("dem_id") * 9 + col("j") * 5) % 33).cast("int"),
+          (lit(1) + col("dem_id") % 15).cast("double"),
+          ((col("dem_id") * 5 + col("j") * 7) % 33).cast("int"),
+          ((col("dem_id") * 3 + col("j") * 11) % 33).cast("int"),
+          (lit(1) + (col("dem_id") * 7 + col("j")) % 19).cast("double")))
+        .select(col("dem_id"), col("j").cast("int").as("j"),
+          col("r.visible").as("visible"), col("r.ix").as("ix"), col("r.iy").as("iy"))
+    }, Some("""
+      WITH RECURSIVE lines AS (
+        SELECT key, j,
+          CAST((key + j*13) % 33 AS INT) AS xa, CAST((key*9 + j*5) % 33 AS INT) AS ya,
+          CAST((key*5 + j*7) % 33 AS INT) AS xb, CAST((key*3 + j*11) % 33 AS INT) AS yb,
+          3 + (key % 5) AS dw
+        FROM (SELECT CAST(n_nationkey AS BIGINT) AS key,
+                     unnest(generate_series(0, 7)) AS j FROM nation)),
+      walk AS (
+        SELECT key, j, xa, ya, xb, yb, dw, 0 AS step, xa AS x, ya AS y,
+          CASE WHEN abs(xb-xa) >= abs(yb-ya)
+               THEN 2*abs(yb-ya) - abs(xb-xa)
+               ELSE 2*abs(xb-xa) - abs(yb-ya) END AS bal
+        FROM lines
+        UNION ALL
+        SELECT key, j, xa, ya, xb, yb, dw, step + 1,
+          CASE WHEN abs(xb-xa) >= abs(yb-ya)
+               THEN x + CASE WHEN xb >= xa THEN 1 ELSE -1 END
+               ELSE CASE WHEN bal >= 0
+                         THEN x + CASE WHEN xb >= xa THEN 1 ELSE -1 END
+                         ELSE x END END,
+          CASE WHEN abs(xb-xa) >= abs(yb-ya)
+               THEN CASE WHEN bal >= 0
+                         THEN y + CASE WHEN yb >= ya THEN 1 ELSE -1 END
+                         ELSE y END
+               ELSE y + CASE WHEN yb >= ya THEN 1 ELSE -1 END END,
+          CASE WHEN abs(xb-xa) >= abs(yb-ya)
+               THEN (CASE WHEN bal >= 0 THEN bal - 2*abs(xb-xa) ELSE bal END) + 2*abs(yb-ya)
+               ELSE (CASE WHEN bal >= 0 THEN bal - 2*abs(yb-ya) ELSE bal END) + 2*abs(xb-xa) END
+        FROM walk
+        WHERE CASE WHEN abs(xb-xa) >= abs(yb-ya) THEN x <> xb ELSE y <> yb END),
+      hit AS (
+        SELECT key, j, min(step) AS s FROM walk
+        WHERE greatest(abs(x - 16), abs(y - 16)) = dw
+        GROUP BY key, j),
+      fh AS (
+        SELECT w.key, w.j, w.x AS hx, w.y AS hy
+        FROM walk w JOIN hit h ON w.key = h.key AND w.j = h.j AND w.step = h.s)
+      SELECT l.key AS dem_id, CAST(l.j AS INT) AS j,
+        CAST(CASE WHEN ab OR bb OR fh.key IS NOT NULL THEN 0 ELSE 1 END AS INT) AS visible,
+        CAST(CASE WHEN ab THEN l.xa WHEN bb THEN l.xb
+                  WHEN fh.key IS NOT NULL THEN fh.hx ELSE -1 END AS INT) AS ix,
+        CAST(CASE WHEN ab THEN l.ya WHEN bb THEN l.yb
+                  WHEN fh.key IS NOT NULL THEN fh.hy ELSE -1 END AS INT) AS iy
+      FROM (SELECT *, greatest(abs(xa-16), abs(ya-16)) = dw AS ab,
+                      greatest(abs(xb-16), abs(yb-16)) = dw AS bb FROM lines) l
+      LEFT JOIN fh ON l.key = fh.key AND l.j = fh.j""")),
+
     // §2.8 transformers — GCP polynomial (alg/gdal_crs.cpp): the fixture's
     // geo targets are an EXACT order-2 map with 2⁻⁵-grid coefficients, so
     // the unique least-squares fit recovers it to ~1e-12 and transformed
