@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
-import graft.core.{GcpPoly, Homography, Rpc, Tps}
+import graft.core.{GcpPoly, GeoLoc, Homography, Rpc, Tps}
 
 /** GCP transformer expressions (alg/gdal_crs.cpp, thinplatespline.cpp,
   * gdal_rpc.cpp). The fitted coefficient payload rides the expression via
@@ -35,6 +35,17 @@ object GeorefEval {
     val (tx, ty) = Homography.apply(h.asInstanceOf[Array[Double]], x, y)
     new GenericArrayData(Array(tx, ty))
   }
+
+  def geolocFwd(g: AnyRef, p: Double, l: Double): ArrayData = {
+    val (x, y) = g.asInstanceOf[GeoLoc].forward(p, l)
+    new GenericArrayData(Array(x, y))
+  }
+
+  def geolocInv(g: AnyRef, x: Double, y: Double): ArrayData =
+    g.asInstanceOf[GeoLoc].inverse(x, y) match {
+      case Some((p, l)) => new GenericArrayData(Array(p, l))
+      case None => new GenericArrayData(Array(Double.NaN, Double.NaN))
+    }
 }
 
 /** gcp_to_gt(pxs, pys, gxs, gys) → 6-element affine geotransform fitted
@@ -137,5 +148,27 @@ case class HomographyEval(left: Expression, right: Expression, h: Array[Double])
     defineCodeGen(ctx, ev, (x, y) => s"graft.expr.GeorefEval.homography($ref, $x, $y)")
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): HomographyEval =
+    copy(left = l, right = r)
+}
+
+/** geoloc_transform(p, l) through a driver-held geolocation-array
+  * transformer (alg/gdalgeoloc.cpp) → [geoX, geoY]; inverse = true gives
+  * geoloc_inverse(geoX, geoY) → [pixel, line], [NaN, NaN] when no
+  * geolocation cell contains the point. */
+case class GeoLocEval(left: Expression, right: Expression, geoloc: GeoLoc, inverse: Boolean)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = if (inverse) "geoloc_inverse" else "geoloc_transform"
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    if (inverse) GeorefEval.geolocInv(geoloc, x.asInstanceOf[Double], y.asInstanceOf[Double])
+    else GeorefEval.geolocFwd(geoloc, x.asInstanceOf[Double], y.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("geoloc", geoloc, "java.lang.Object")
+    val fn = if (inverse) "geolocInv" else "geolocFwd"
+    defineCodeGen(ctx, ev, (x, y) => s"graft.expr.GeorefEval.$fn($ref, $x, $y)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GeoLocEval =
     copy(left = l, right = r)
 }

@@ -323,6 +323,31 @@ object Fixtures {
         expr("transform(sequence(0, 63), i -> " +
           "cast(cast((n_nationkey*31 + i*17) % 64 - 32 as double)/32 as float))").as("cent_emb"))
 
+  /** 33×33 geolocation arrays sampled from an EXACT affine map with
+    * dyadic coefficients — X(i,j) = 2 + i/4 + j/8, Y(i,j) = −5 + i/8 + j/2
+    * — at PIXEL_STEP = LINE_STEP = 2, PIXEL_OFFSET = 0.5, LINE_OFFSET = 1.
+    * Bilinear interpolation of an affine grid IS the affine map, so the
+    * forward transform is SQL-closed-form at every raster point and the
+    * exact inverse-bilinear solve roundtrips to the inputs (q124). Every
+    * grid value, step, and offset is an exact double. */
+  lazy val benchGeoLoc: graft.core.GeoLoc = {
+    val gw = 33; val gh = 33
+    val xs = new Array[Double](gw * gh)
+    val ys = new Array[Double](gw * gh)
+    var j = 0
+    while (j < gh) {
+      var i = 0
+      while (i < gw) {
+        xs(j * gw + i) = 2.0 + i / 4.0 + j / 8.0
+        ys(j * gw + i) = -5.0 + i / 8.0 + j / 2.0
+        i += 1
+      }
+      j += 1
+    }
+    graft.core.GeoLoc(xs, ys, gw, gh,
+      pixelOffset = 0.5, lineOffset = 1.0, pixelStep = 2.0, lineStep = 2.0)
+  }
+
   /** RPC probe points: lon ∈ [5,15], lat ∈ [15,25], h ∈ [−40,40] — all
     * inside the benchRpc validity domain (|normalized| ≤ 1). Every op here
     * is mirrored verbatim in the q95 oracle SQL. */

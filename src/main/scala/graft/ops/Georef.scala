@@ -2,8 +2,8 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.core.{GcpPoly, Homography, Rpc, Tps}
-import graft.expr.{GcpPolyEval, HomographyEval, RpcEval, TpsEval}
+import graft.core.{GcpPoly, GeoLoc, Homography, Rpc, Tps}
+import graft.expr.{GcpPolyEval, GeoLocEval, HomographyEval, RpcEval, TpsEval}
 import org.apache.spark.sql.graft.Bridge.{column => toCol, expression => toExpr}
 
 /** DataFrame surface for the GCP transformer family (alg/gdal_crs.cpp,
@@ -77,6 +77,16 @@ object Georef {
   /** [tx, ty] column through a 9-coefficient homography direction. */
   def homographyTransform(h: Array[Double], x: Column, y: Column): Column =
     toCol(HomographyEval(toExpr(x), toExpr(y), h))
+
+  /** [geoX, geoY] from raster (pixel, line) through a geolocation-array
+    * transformer (alg/gdalgeoloc.cpp bilinear interpolation). */
+  def geolocForward(g: GeoLoc, p: Column, l: Column): Column =
+    toCol(GeoLocEval(toExpr(p), toExpr(l), g, inverse = false))
+
+  /** [pixel, line] from (geoX, geoY) — exact inverse bilinear solve;
+    * [NaN, NaN] outside the geolocation grid's image. */
+  def geolocInverse(g: GeoLoc, x: Column, y: Column): Column =
+    toCol(GeoLocEval(toExpr(x), toExpr(y), g, inverse = true))
 
   /** [tx, ty] column from a fitted TPS direction. */
   def tpsTransform(fit: Tps.Fit, x: Column, y: Column): Column =

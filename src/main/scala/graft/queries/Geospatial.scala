@@ -736,6 +736,36 @@ object Geospatial {
       FROM (SELECT o_orderkey, o_orderkey % 25 AS ptx, (o_orderkey * 11) % 25 AS pty
             FROM orders)""")),
 
+    // §2.8 transformers — geolocation arrays (alg/gdalgeoloc.cpp): the
+    // fixture's 33×33 lon/lat arrays sample an exact affine with dyadic
+    // coefficients, so bilinear interpolation IS the affine map —
+    // X·256 = 480 + 32·pp + 16·pl and Y·256 = −1352 + 16·pp + 64·pl at
+    // raster point (pp, pl) through PIXEL_OFFSET/STEP = (0.5, 2) and
+    // LINE_OFFSET/STEP = (1, 2) — and the exact inverse-bilinear cell
+    // solve roundtrips to the integer inputs (·512 quantization, drift
+    // ~1e-13 vs quantum 0.5).
+    ("q124_geoloc", (s: SparkSession, dir: String) => {
+      val g = Fixtures.benchGeoLoc
+      s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").cast("bigint").as("id"),
+          (lit(1) + col("s_suppkey") % 31).cast("double").as("pp"),
+          (lit(1) + (col("s_suppkey") * 7) % 31).cast("double").as("pl"))
+        .withColumn("t", Georef.geolocForward(g, col("pp"), col("pl")))
+        .withColumn("r", Georef.geolocInverse(g, col("t")(0), col("t")(1)))
+        .select(col("id"),
+          round(col("t")(0) * 256.0).cast("bigint").as("gx_q"),
+          round(col("t")(1) * 256.0).cast("bigint").as("gy_q"),
+          round(col("r")(0) * 512.0).cast("bigint").as("rx_q"),
+          round(col("r")(1) * 512.0).cast("bigint").as("ry_q"))
+    }, Some("""
+      SELECT CAST(s_suppkey AS BIGINT) AS id,
+        CAST(480 + 32*pp + 16*pl AS BIGINT) AS gx_q,
+        CAST(-1352 + 16*pp + 64*pl AS BIGINT) AS gy_q,
+        CAST(512*pp AS BIGINT) AS rx_q,
+        CAST(512*pl AS BIGINT) AS ry_q
+      FROM (SELECT s_suppkey, 1 + (s_suppkey % 31) AS pp, 1 + ((s_suppkey * 7) % 31) AS pl
+            FROM supplier)""")),
+
     // §2.8 warp density masks: per-image alpha carried through the warp's
     // density plane, blended by the commutative DensityMosaic rule
     // (v = round-half-up Σd·v/Σd, density = min(255, Σd)). Oracle: each
