@@ -133,6 +133,14 @@ object functions {
     toCol(ViewshedVis(Seq(toExpr(bytes), toExpr(fmt), toExpr(w), toExpr(h),
       toExpr(ox), toExpr(oy), toExpr(obsH), toExpr(tgtH))))
 
+  def surf_points(bytes: Column, fmt: Column, w: Column, h: Column,
+                  octStart: Column, octEnd: Column, threshold: Column): Column =
+    toCol(SurfPoints(Seq(toExpr(bytes), toExpr(fmt), toExpr(w), toExpr(h),
+      toExpr(octStart), toExpr(octEnd), toExpr(threshold))))
+
+  def surf_match(pointsA: Column, pointsB: Column, matchThreshold: Column): Column =
+    toCol(SurfMatch(Seq(toExpr(pointsA), toExpr(pointsB), toExpr(matchThreshold))))
+
   def los_visible(bytes: Column, fmt: Column, w: Column, h: Column,
                   xa: Column, ya: Column, za: Column,
                   xb: Column, yb: Column, zb: Column): Column =

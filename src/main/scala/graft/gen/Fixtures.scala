@@ -348,6 +348,42 @@ object Fixtures {
       pixelOffset = 0.5, lineOffset = 1.0, pixelStep = 2.0, lineStep = 2.0)
   }
 
+  /** Per nation key, a 96×96 single-band scene pair for the SURF
+    * correlator (q125): an L-shaped blob and a diagonal staircase blob of
+    * 255s on a 0 background at (cx, cy) = (30 + k%7, 30 + 3k%9 stays %7),
+    * with the B image translated by (dx, dy) = (3 + k%5, 2 + 7k%5). Both
+    * blobs plus every keypoint's full 40×40 descriptor window stay
+    * interior in BOTH images, so extraction is translation-equivariant
+    * and every match displacement equals the known shift —
+    * SimpleSurfSpec pins this for all 25 keys. */
+  def surfScenesFromNation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/nation.parquet").select(col("n_nationkey").cast("int")).as[Int]
+      .map { k =>
+        val w = 96
+        val cx = 30 + k % 7; val cy = 30 + (k * 3) % 7
+        val dx = 3 + k % 5; val dy = 2 + (k * 7) % 5
+        def scene(ox: Int, oy: Int): Array[Byte] = {
+          val band = new Array[Int](w * w)
+          def sq(x0: Int, y0: Int, sw: Int, sh: Int, v: Int): Unit = {
+            var y = y0
+            while (y < y0 + sh) {
+              var x = x0
+              while (x < x0 + sw) { band((y + oy) * w + (x + ox)) = v; x += 1 }
+              y += 1
+            }
+          }
+          sq(cx - 4, cy - 3, 7, 7, 255)
+          sq(cx - 1, cy - 3, 4, 3, 0) // notch → L-shape
+          val bx = cx - 2; val by = cy + 16
+          sq(bx, by, 4, 4, 255); sq(bx + 3, by + 3, 4, 4, 255); sq(bx + 6, by + 6, 4, 4, 255)
+          ImageCodec.encodeRaw(Raster(w, w, Array(band)))
+        }
+        (k.toLong, scene(0, 0), scene(dx, dy), w, w)
+      }
+      .toDF("key", "bytes_a", "bytes_b", "w", "h")
+  }
+
   /** RPC probe points: lon ∈ [5,15], lat ∈ [15,25], h ∈ [−40,40] — all
     * inside the benchRpc validity domain (|normalized| ≤ 1). Every op here
     * is mirrored verbatim in the q95 oracle SQL. */

@@ -766,6 +766,31 @@ object Geospatial {
       FROM (SELECT s_suppkey, 1 + (s_suppkey % 31) AS pp, 1 + ((s_suppkey * 7) % 31) AS pl
             FROM supplier)""")),
 
+    // SURF correlator (alg/gdal_simplesurf.cpp, gdal_octave.cpp,
+    // gdalmatching.cpp): Fast-Hessian keypoints + 64-d Haar descriptors
+    // per image (one per-row kernel each side), greedy sign-gated
+    // ratio-test matching on the joined pair. The fixture translates an
+    // identical interior scene by a known per-key shift, so extraction is
+    // translation-equivariant (SimpleSurfSpec pins equivariance and the
+    // per-key match sets) and the DISTINCT displacement set per pair is
+    // exactly the known shift — a closed-form oracle that fails on any
+    // missing, extra, or cross-blob match.
+    ("q125_surf_match", (s: SparkSession, dir: String) => {
+      Fixtures.surfScenesFromNation(s, dir)
+        .withColumn("pa", surf_points(col("bytes_a"), lit("raw"), col("w"), col("h"),
+          lit(1), lit(1), lit(0.001)))
+        .withColumn("pb", surf_points(col("bytes_b"), lit("raw"), col("w"), col("h"),
+          lit(1), lit(1), lit(0.001)))
+        .select(col("key"), explode(surf_match(col("pa"), col("pb"), lit(1.0))).as("m"))
+        .select(col("key"),
+          (col("m.x2") - col("m.x1")).as("dx"), (col("m.y2") - col("m.y1")).as("dy"))
+        .distinct()
+    }, Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS key,
+        CAST(3 + n_nationkey % 5 AS INT) AS dx,
+        CAST(2 + (n_nationkey * 7) % 5 AS INT) AS dy
+      FROM nation""")),
+
     // §2.8 warp density masks: per-image alpha carried through the warp's
     // density plane, blended by the commutative DensityMosaic rule
     // (v = round-half-up Σd·v/Σd, density = min(255, Σd)). Oracle: each
