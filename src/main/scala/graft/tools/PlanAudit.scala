@@ -24,7 +24,8 @@ object PlanAudit {
       "q112_raster_blend",
       "q113_phash_neardup", "q114_phash_clusters", "q115_bm25_topk",
       "q116_stratified_sample", "q117_stratified_topk", "q118_dedup_pipeline",
-      "q119_decontaminate", "q120_repetition", "q121_nearblack")
+      "q119_decontaminate", "q120_repetition", "q121_nearblack",
+      "q122_homography", "q123_los", "q124_geoloc", "q125_surf_match")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       val df = graft.SparkEntry.queries(n)(spark, sf)
