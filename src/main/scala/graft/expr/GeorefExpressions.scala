@@ -172,3 +172,36 @@ case class GeoLocEval(left: Expression, right: Expression, geoloc: GeoLoc, inver
   override protected def withNewChildrenInternal(l: Expression, r: Expression): GeoLocEval =
     copy(left = l, right = r)
 }
+
+/** suggest_warp_output(w, h, h9) — GDALSuggestedWarpOutput2 over a
+  * PER-ROW homography (9 doubles; affine rasters pass (h6,h7,h8) =
+  * (1,0,0)) → struct<px:int, ln:int, gt:array<double>,
+  * extent:array<double>>; NULL when the transformer is degenerate. */
+case class SuggestWarpOutput(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def inputTypes: Seq[DataType] =
+    Seq(IntegerType, IntegerType, ArrayType(DoubleType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("px", IntegerType, nullable = false),
+    StructField("ln", IntegerType, nullable = false),
+    StructField("gt", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("extent", ArrayType(DoubleType, containsNull = false), nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "suggest_warp_output"
+  override protected def nullSafeEval(wv: Any, hv: Any, av: Any): Any = {
+    val h9 = av.asInstanceOf[ArrayData].toDoubleArray()
+    if (h9.length != 9) return null
+    val res = for {
+      t <- graft.core.WarpOutput.homographyTransformer(h9)
+      r <- graft.core.WarpOutput.suggest(wv.asInstanceOf[Int], hv.asInstanceOf[Int], t)
+    } yield r
+    res match {
+      case Some(r) => org.apache.spark.sql.catalyst.InternalRow(
+        r.pixels, r.lines, new GenericArrayData(r.gt), new GenericArrayData(r.extent))
+      case None => null
+    }
+  }
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): SuggestWarpOutput =
+    copy(first = a, second = b, third = c)
+}

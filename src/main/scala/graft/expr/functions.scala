@@ -133,6 +133,9 @@ object functions {
     toCol(ViewshedVis(Seq(toExpr(bytes), toExpr(fmt), toExpr(w), toExpr(h),
       toExpr(ox), toExpr(oy), toExpr(obsH), toExpr(tgtH))))
 
+  def suggest_warp_output(w: Column, h: Column, h9: Column): Column =
+    toCol(SuggestWarpOutput(toExpr(w), toExpr(h), toExpr(h9)))
+
   def surf_points(bytes: Column, fmt: Column, w: Column, h: Column,
                   octStart: Column, octEnd: Column, threshold: Column): Column =
     toCol(SurfPoints(Seq(toExpr(bytes), toExpr(fmt), toExpr(w), toExpr(h),

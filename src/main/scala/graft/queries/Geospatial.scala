@@ -766,6 +766,45 @@ object Geospatial {
       FROM (SELECT s_suppkey, 1 + (s_suppkey % 31) AS pp, 1 + ((s_suppkey * 7) % 31) AS pl
             FROM supplier)""")),
 
+    // §2.8 output sizing — GDALSuggestedWarpOutput2
+    // (alg/gdaltransformer.cpp:342): per-row edge sampling, diagonal
+    // pixel-size estimate, +0.5 size rounding, border fitting, north-up
+    // gt assembly. The fixture's per-row transformers are dyadic affine
+    // homographies with power-of-two square pixel sizes, so every stage
+    // is exact: the diagonal estimate reproduces s bit-exactly
+    // (sqrt(s²·K) = s·√K for s = 2^−m), sizes come out as the source
+    // sizes, the border fit accepts ratio 0, and the gt/extent quantize
+    // to closed-form integers.
+    ("q126_suggested_output", (s: SparkSession, dir: String) => {
+      s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey").as("id"),
+          (lit(30) + col("o_orderkey") % 40).cast("int").as("sw"),
+          (lit(25) + (col("o_orderkey") * 7) % 40).cast("int").as("sh"),
+          (lit(0.5) / pow(lit(2.0), (col("o_orderkey") % 3).cast("double"))).as("ps"),
+          ((col("o_orderkey") % 100) - 50 + 0.25).cast("double").as("g0"),
+          (((col("o_orderkey") * 3) % 100) - 50 + 0.5).cast("double").as("g3"))
+        .withColumn("r", suggest_warp_output(col("sw"), col("sh"),
+          array(col("g0"), col("ps"), lit(0.0), col("g3"), lit(0.0), -col("ps"),
+            lit(1.0), lit(0.0), lit(0.0))))
+        .select(col("id"), col("r.px").as("px"), col("r.ln").as("ln"),
+          round(col("r.gt")(0) * 256.0).cast("bigint").as("g0_q"),
+          round(col("r.gt")(1) * 256.0).cast("bigint").as("ps_q"),
+          round(col("r.gt")(3) * 256.0).cast("bigint").as("g3_q"),
+          round(col("r.extent")(1) * 256.0).cast("bigint").as("miny_q"),
+          round(col("r.extent")(2) * 256.0).cast("bigint").as("maxx_q"))
+    }, Some("""
+      SELECT id, CAST(sw AS INT) AS px, CAST(sh AS INT) AS ln,
+        CAST(256*(k100 - 50) + 64 AS BIGINT) AS g0_q,
+        CAST(ps256 AS BIGINT) AS ps_q,
+        CAST(256*(k300 - 50) + 128 AS BIGINT) AS g3_q,
+        CAST(256*(k300 - 50) + 128 - ps256*sh AS BIGINT) AS miny_q,
+        CAST(256*(k100 - 50) + 64 + ps256*sw AS BIGINT) AS maxx_q
+      FROM (SELECT o_orderkey AS id,
+                   30 + o_orderkey % 40 AS sw, 25 + (o_orderkey*7) % 40 AS sh,
+                   128 >> (o_orderkey % 3) AS ps256,
+                   o_orderkey % 100 AS k100, (o_orderkey*3) % 100 AS k300
+            FROM orders)""")),
+
     // SURF correlator (alg/gdal_simplesurf.cpp, gdal_octave.cpp,
     // gdalmatching.cpp): Fast-Hessian keypoints + 64-d Haar descriptors
     // per image (one per-row kernel each side), greedy sign-gated
