@@ -38,7 +38,8 @@ object Bench {
     "q113_phash_neardup", "q114_phash_clusters", "q115_bm25_topk",
     "q116_stratified_sample", "q117_stratified_topk", "q118_dedup_pipeline",
     "q119_decontaminate", "q120_repetition", "q121_nearblack",
-    "q122_homography", "q123_los", "q124_geoloc", "q125_surf_match")
+    "q122_homography", "q123_los", "q124_geoloc", "q125_surf_match",
+    "q126_suggested_output", "q127_ivfpq_topk")
 
   def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()

@@ -44,6 +44,103 @@ object AnnKernels {
   }
 }
 
+/** Product-quantization model: per-subspace codebooks over coarse-cell
+  * residuals (the IndexIVFPQ layout). All constants are driver-built and
+  * broadcast-referenced; `qn(s)(c)` caches Σ_i round(cb²·Scale) with the
+  * same component rounding as the distances so the argmin algebra is
+  * exact int64 end to end. */
+final case class PqModel(cents: Map[Int, Array[Float]],
+                         cb: Array[Array[Array[Float]]],
+                         qn: Array[Array[Long]],
+                         m: Int, dsub: Int) extends Serializable
+
+object PqKernels {
+  /** Round half away from zero — the quantizedDot decision rule. */
+  @inline def qround(v: Double): Long = {
+    val av = java.lang.Math.abs(v)
+    val f = java.lang.Math.floor(av)
+    val r = if (av - f >= 0.5) f.toLong + 1L else f.toLong
+    if (v < 0) -r else r
+  }
+
+  /** PQ codes of the residual (emb − centroid[cell]): per subspace the
+    * argmin over codebook entries of the reduced quantized L2
+    * qn(s)(c) − 2·Σ_i round(resid_i·cb_i·Scale), ties to the lowest
+    * code — exact int64, SQL-mirrorable. */
+  def encode(model: AnyRef, emb: ArrayData, cell: Int): ArrayData = {
+    val pq = model.asInstanceOf[PqModel]
+    val cent = pq.cents(cell)
+    val codes = new Array[Int](pq.m)
+    var s = 0
+    while (s < pq.m) {
+      var best = 0L; var bestC = -1
+      var c = 0
+      while (c < pq.cb(s).length) {
+        var dot = 0L
+        var i = 0
+        while (i < pq.dsub) {
+          val gi = s * pq.dsub + i
+          val resid = emb.getFloat(gi).toDouble - cent(gi).toDouble
+          dot += qround(resid * pq.cb(s)(c)(i).toDouble * AnnKernels.Scale)
+          i += 1
+        }
+        val d = pq.qn(s)(c) - 2L * dot
+        if (bestC == -1 || d < best) { best = d; bestC = c }
+        c += 1
+      }
+      codes(s) = bestC
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  /** ADC score: Σ_s lut(s)(codes(s)) — pure int64 adds per row. */
+  def adc(codes: ArrayData, lut: ArrayData): Long = {
+    var s = 0L
+    var i = 0
+    val n = codes.numElements()
+    while (i < n) {
+      s += lut.getArray(i).getLong(codes.getInt(i))
+      i += 1
+    }
+    s
+  }
+}
+
+/** pq_encode(emb, cell) with a driver-built PqModel → array<int> codes. */
+case class PqEncode(left: Expression, right: Expression, model: PqModel)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(ArrayType(FloatType), IntegerType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_encode"
+  override protected def nullSafeEval(a: Any, c: Any): Any =
+    PqKernels.encode(model, a.asInstanceOf[ArrayData], c.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqModel", model, "java.lang.Object")
+    defineCodeGen(ctx, ev, (a, c) => s"graft.expr.PqKernels.encode($ref, $a, $c)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqEncode =
+    copy(left = l, right = r)
+}
+
+/** pq_adc(codes, lut) → Σ_s lut[s][codes[s]] as bigint. */
+case class PqAdc(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(ArrayType(IntegerType), ArrayType(ArrayType(LongType)))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_adc"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    PqKernels.adc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.PqKernels.adc($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdc =
+    copy(left = l, right = r)
+}
+
 /** quantized_dot(a, b) → Σ round(a_d·b_d·2^20) as bigint; float arrays. */
 case class QuantizedDot(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {

@@ -40,6 +40,12 @@ object functions {
   def quantized_dot(a: Column, b: Column): Column =
     toCol(QuantizedDot(toExpr(a), toExpr(b)))
 
+  def pq_encode(emb: Column, cell: Column, model: PqModel): Column =
+    toCol(PqEncode(toExpr(emb), toExpr(cell), model))
+
+  def pq_adc(codes: Column, lut: Column): Column =
+    toCol(PqAdc(toExpr(codes), toExpr(lut)))
+
   def st_contains_point(wkb: Column, lon: Column, lat: Column): Column =
     toCol(StContainsPoint(toExpr(wkb), toExpr(lon), toExpr(lat)))
 

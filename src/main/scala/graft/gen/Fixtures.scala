@@ -384,6 +384,15 @@ object Fixtures {
       .toDF("key", "bytes_a", "bytes_b", "w", "h")
   }
 
+  /** PQ codebooks for the IVF-PQ index (q127): 8 subspaces × 16 codes ×
+    * 8 dims, entry (s,c,i) = ((7s + 13c + 5i) mod 32 − 16)/64 — a dyadic
+    * rational exact in BOTH float and double, so the residual-encode and
+    * ADC distance algebra is bit-identical between the engine and the
+    * SQL oracle (the q99/centroid discipline). */
+  lazy val pqCodebooks: Array[Array[Array[Float]]] =
+    Array.tabulate(8, 16, 8)((s, c, i) =>
+      (((s * 7 + c * 13 + i * 5) % 32) - 16) / 64.0f)
+
   /** RPC probe points: lon ∈ [5,15], lat ∈ [15,25], h ∈ [−40,40] — all
     * inside the benchRpc validity domain (|normalized| ≤ 1). Every op here
     * is mirrored verbatim in the q95 oracle SQL. */

@@ -184,4 +184,82 @@ object Ann {
       assigned.join(broadcast(qCells), Seq("cell"))
         .join(broadcast(qLocal), Seq("q_id")), k)
   }
+
+  /** Exact-int64 quantized squared component: round(v²·Scale). */
+  private def q2(v: Double): Long = graft.expr.PqKernels.qround(v * v * Scale.toDouble)
+
+  /** IVF-PQ approximate top-k (the IndexIVFPQ search shape): candidates
+    * are coarse-assigned by the shuffle-free argmin and PQ-encoded — the
+    * residual against the cell centroid is product-quantized into `m`
+    * sub-codes by a codegen'd per-row expression. Each query precomputes,
+    * per probed cell, an m×ksub asymmetric-distance lookup table
+    * DRIVER-SIDE (queries, centroids, and codebooks are all small by
+    * contract); scoring a candidate is then m int64 adds
+    * (Σ_s lut[s][code_s]) — no embedding vector ever rides the probe
+    * join. All quantization uses the component-rounded int64 algebra of
+    * [[qdot]], so assignment, codes, and ADC scores are bit-mirrorable
+    * in SQL (q127's oracle re-derives all three).
+    *
+    * At 100 TB the codes column (m bytes/vector class) is the point:
+    * re-ranking reads 32× less than raw embeddings; an exact re-rank on
+    * the ADC top-k' would re-attach embeddings by id for k' rows only. */
+  def ivfPqTopK(queries: DataFrame, cands: DataFrame, centroids: DataFrame,
+                codebooks: Array[Array[Array[Float]]],
+                nprobe: Int, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = collectCentroids(centroids)
+    require(nprobe >= 1 && nprobe <= cents.length, "1 <= nprobe <= #centroids")
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val qn = codebooks.map(_.map(c => c.map(v => q2(v.toDouble)).sum))
+    val model = graft.expr.PqModel(cents.toMap, codebooks, qn, m, dsub)
+
+    val qProj = queries.select(col("q_id"), col("q_emb"))
+    val qRows = qProj.limit(65537).collect()
+    require(qRows.length <= 65536, "IVF-PQ query side must be broadcast-sized")
+
+    // per query: nprobe nearest cells + an m×ksub ADC LUT per cell
+    // lut(s)(c) = Σ_i round(((q_i − cent_i) − cb_i)²·Scale)
+    val lutRows: Seq[org.apache.spark.sql.Row] = qRows.toSeq.flatMap { r =>
+      val emb = r.getSeq[Float](1).toArray
+      cents.map { case (cid, c) => (cid, reducedDistDriver(emb, c)) }
+        .sortBy { case (cid, d) => (d, cid) }
+        .take(nprobe)
+        .map { case (cid, _) =>
+          val cent = model.cents(cid)
+          val lut: Seq[Seq[Long]] = (0 until m).map { s =>
+            (0 until codebooks(s).length).map { c =>
+              var acc = 0L
+              var i = 0
+              while (i < dsub) {
+                val gi = s * dsub + i
+                val diff = (emb(gi).toDouble - cent(gi).toDouble) -
+                  codebooks(s)(c)(i).toDouble
+                acc += q2(diff)
+                i += 1
+              }
+              acc
+            }
+          }
+          org.apache.spark.sql.Row(r.get(0), cid, lut)
+        }
+    }
+    import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StructField, StructType}
+    val qLut = spark.createDataFrame(
+      new java.util.ArrayList(lutRows.asJava),
+      StructType(Seq(qProj.schema("q_id"),
+        StructField("cell", IntegerType, nullable = false),
+        StructField("lut", ArrayType(ArrayType(LongType, containsNull = false), containsNull = false), nullable = false))))
+
+    val assigned = graft.pipeline.Spread.toCores(cands)
+      .withColumn("cell", ivfCell(col("c_emb"), cents))
+      .withColumn("codes", graft.expr.functions.pq_encode(col("c_emb"), col("cell"), model))
+      .select(col("c_id"), col("cell"), col("codes"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("c_id"))
+    assigned.join(broadcast(qLut), Seq("cell"))
+      .withColumn("adc", graft.expr.functions.pq_adc(col("codes"), col("lut")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("adc"), col("rank"))
+  }
 }

@@ -596,6 +596,91 @@ object TrainingData {
                CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS INT) AS rank
         FROM scored) WHERE rank <= 5""")),
 
+    // IVF-PQ approximate top-k (the IndexIVFPQ search shape): coarse
+    // argmin assignment (q99's exact int64 algebra), residual product-
+    // quantization into 8 sub-codes by a codegen'd per-row expression,
+    // and per-query driver-built m×16 ADC lookup tables — scoring a
+    // candidate is 8 int64 adds. Every constant (centroids, codebooks)
+    // is a dyadic rational exact in float AND double, and every distance
+    // is component-rounded int64, so the oracle re-derives assignment,
+    // codes, LUTs, and ranking bit-exactly in SQL.
+    ("q127_ivfpq_topk", (s: SparkSession, dir: String) => {
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val cands = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      Ann.ivfPqTopK(queries, cands, graft.gen.Fixtures.centroidsFromNation(s, dir),
+        graft.gen.Fixtures.pqCodebooks, nprobe = 2, k = 5)
+    }, Some(s"""
+      WITH qn AS (
+        SELECT CAST(n_nationkey AS INT) AS cent_id,
+          (SELECT CAST(sum(CAST(round((
+             (CAST((n_nationkey*31 + (i-1)*17) % 64 - 32 AS DOUBLE)/32)
+             * (CAST((n_nationkey*31 + (i-1)*17) % 64 - 32 AS DOUBLE)/32)) * ${Ann.Scale}) AS BIGINT)) AS BIGINT)
+           FROM unnest(generate_series(1, 64)) AS t(i)) AS qnc
+        FROM nation),
+      dist AS (
+        SELECT e.vec_id, q.cent_id,
+          q.qnc - 2 * (SELECT CAST(sum(CAST(round((CAST(e.embedding[i] AS DOUBLE)
+                         * (CAST((q.cent_id*31 + (i-1)*17) % 64 - 32 AS DOUBLE)/32)) * ${Ann.Scale}) AS BIGINT)) AS BIGINT)
+                       FROM unnest(generate_series(1, 64)) AS t(i)) AS d
+        FROM embeddings e, qn q),
+      acell AS (
+        SELECT vec_id AS c_id, cent_id AS cell FROM (
+          SELECT vec_id, cent_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
+          FROM dist) WHERE rn = 1),
+      qcell AS (
+        SELECT vec_id AS q_id, cent_id AS cell FROM (
+          SELECT vec_id, cent_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
+          FROM dist WHERE vec_id < 8) WHERE rn <= 2),
+      grid AS (
+        SELECT s, c,
+          (SELECT CAST(sum(CAST(round((
+             (CAST((s*7 + c*13 + i0*5) % 32 - 16 AS DOUBLE)/64)
+             * (CAST((s*7 + c*13 + i0*5) % 32 - 16 AS DOUBLE)/64)) * ${Ann.Scale}) AS BIGINT)) AS BIGINT)
+           FROM unnest(generate_series(0, 7)) AS t(i0)) AS qnc
+        FROM (SELECT ss.s, cc.c
+              FROM (SELECT unnest(generate_series(0, 7)) AS s) ss,
+                   (SELECT unnest(generate_series(0, 15)) AS c) cc)),
+      encdist AS (
+        SELECT a.c_id, a.cell, g.s, g.c,
+          g.qnc - 2 * (SELECT CAST(sum(CAST(round((
+              (CAST(e.embedding[g.s*8 + i0 + 1] AS DOUBLE)
+               - (CAST((a.cell*31 + (g.s*8 + i0)*17) % 64 - 32 AS DOUBLE)/32))
+              * (CAST((g.s*7 + g.c*13 + i0*5) % 32 - 16 AS DOUBLE)/64)) * ${Ann.Scale}) AS BIGINT)) AS BIGINT)
+                      FROM unnest(generate_series(0, 7)) AS t(i0)) AS d
+        FROM acell a JOIN embeddings e ON e.vec_id = a.c_id, grid g),
+      codes AS (
+        SELECT c_id, cell, s, c AS code FROM (
+          SELECT c_id, cell, s, c,
+                 row_number() OVER (PARTITION BY c_id, s ORDER BY d, c) AS rn
+          FROM encdist) WHERE rn = 1),
+      lut AS (
+        SELECT qc.q_id, qc.cell, g.s, g.c,
+          (SELECT CAST(sum(CAST(round((
+              ((CAST(q.embedding[g.s*8 + i0 + 1] AS DOUBLE)
+                - (CAST((qc.cell*31 + (g.s*8 + i0)*17) % 64 - 32 AS DOUBLE)/32))
+               - (CAST((g.s*7 + g.c*13 + i0*5) % 32 - 16 AS DOUBLE)/64))
+              * ((CAST(q.embedding[g.s*8 + i0 + 1] AS DOUBLE)
+                - (CAST((qc.cell*31 + (g.s*8 + i0)*17) % 64 - 32 AS DOUBLE)/32))
+               - (CAST((g.s*7 + g.c*13 + i0*5) % 32 - 16 AS DOUBLE)/64))) * ${Ann.Scale}) AS BIGINT)) AS BIGINT)
+           FROM unnest(generate_series(0, 7)) AS t(i0)) AS v
+        FROM qcell qc JOIN embeddings q ON q.vec_id = qc.q_id, grid g),
+      adcs AS (
+        SELECT qc.q_id, a.c_id, CAST(sum(l.v) AS BIGINT) AS adc
+        FROM qcell qc
+        JOIN acell a ON a.cell = qc.cell
+        JOIN codes cd ON cd.c_id = a.c_id AND cd.cell = a.cell
+        JOIN lut l ON l.q_id = qc.q_id AND l.cell = qc.cell
+                  AND l.s = cd.s AND l.c = cd.code
+        GROUP BY qc.q_id, a.c_id)
+      SELECT q_id, c_id, adc, rank FROM (
+        SELECT q_id, c_id, adc,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS INT) AS rank
+        FROM adcs) WHERE rank <= 5""")),
+
     ("q51_multimodal_features", (s: SparkSession, dir: String) => {
       graft.gen.Fixtures.imagesFromParts(s, dir)
         .filter(col("key") % 5 === 0)

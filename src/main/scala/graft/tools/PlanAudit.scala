@@ -25,7 +25,8 @@ object PlanAudit {
       "q113_phash_neardup", "q114_phash_clusters", "q115_bm25_topk",
       "q116_stratified_sample", "q117_stratified_topk", "q118_dedup_pipeline",
       "q119_decontaminate", "q120_repetition", "q121_nearblack",
-      "q122_homography", "q123_los", "q124_geoloc", "q125_surf_match")
+      "q122_homography", "q123_los", "q124_geoloc", "q125_surf_match",
+      "q126_suggested_output", "q127_ivfpq_topk")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       val df = graft.SparkEntry.queries(n)(spark, sf)
