@@ -233,6 +233,38 @@ case class NearBlackStats(children: Seq[Expression]) extends Expression with Exp
     copy(children = c)
 }
 
+/** equalize_stats(bytes, fmt, meta9) → struct<checksum_eq:int, lut64:int,
+  * lut128:int, lut192:int> — histogram-equalize band 0 with the
+  * gdalenhance LUT (apps/gdalenhance.cpp; core.Enhance) and checksum the
+  * result, plus three LUT probe points for the oracle. */
+case class EqualizeStats(children: Seq[Expression]) extends Expression with ExpectsInputTypes with CodegenFallback {
+  require(children.length == 3, "equalize_stats(bytes, fmt, meta9)")
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(BinaryType, StringType, ArrayType(DoubleType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("checksum_eq", IntegerType, nullable = false),
+    StructField("lut64", IntegerType, nullable = false),
+    StructField("lut128", IntegerType, nullable = false),
+    StructField("lut192", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "equalize_stats"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    if (vals.exists(_ == null)) return null
+    val meta = vals(2).asInstanceOf[ArrayData].toDoubleArray()
+    val w = meta(0).toInt; val h = meta(1).toInt
+    val r = ImageCodec.decode(vals(0).asInstanceOf[Array[Byte]], vals(1).toString, w, h)
+    val lut = Enhance.equalizationLut(r.bands(0))
+    val eq = r.bands(0).map(v => lut(math.max(0, math.min(255, v))))
+    org.apache.spark.sql.catalyst.InternalRow(
+      GdalChecksum.ofInts(eq, w, h), lut(64), lut(128), lut(192))
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): EqualizeStats =
+    copy(children = c)
+}
+
 /** los_visible(bytes, fmt, w, h, xa, ya, za, xb, yb, zb) →
   * struct<visible:int, ix:int, iy:int> — point-to-point line of sight
   * over a 1-band terrain raster (alg/los.cpp GDALIsLineOfSightVisible):

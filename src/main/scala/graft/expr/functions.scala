@@ -150,6 +150,9 @@ object functions {
   def surf_match(pointsA: Column, pointsB: Column, matchThreshold: Column): Column =
     toCol(SurfMatch(Seq(toExpr(pointsA), toExpr(pointsB), toExpr(matchThreshold))))
 
+  def equalize_stats(bytes: Column, fmt: Column, meta9: Column): Column =
+    toCol(EqualizeStats(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9))))
+
   def los_visible(bytes: Column, fmt: Column, w: Column, h: Column,
                   xa: Column, ya: Column, za: Column,
                   xb: Column, yb: Column, zb: Column): Column =

@@ -1552,6 +1552,47 @@ object Geospatial {
         ${checksumSql("CASE WHEN msk THEN 0 ELSE v END")} AS checksum_nb
       FROM m GROUP BY key, sz""")),
 
+    // Histogram equalization (apps/gdalenhance.cpp): the LUT pipeline —
+    // 256-bucket histogram with zeroed extremes, half-bucket cumulative
+    // (integer division), clamp((cum·256)/total) LUT, out = lut[v] — is
+    // pure integer arithmetic, so the oracle re-derives the LUT with
+    // window functions and checksums the equalized band, plus three LUT
+    // probe columns.
+    ("q128_equalize", (s: SparkSession, dir: String) => {
+      Fixtures.imagesFromParts(s, dir)
+        .filter(col("w") <= 64 && col("fmt") =!= "jpeg")
+        .withColumn("e", equalize_stats(col("bytes"), col("fmt"), Tiling.meta9))
+        .select(col("key"), col("e.checksum_eq").as("checksum_eq"),
+          col("e.lut64").as("lut64"), col("e.lut128").as("lut128"),
+          col("e.lut192").as("lut192"))
+    }, Some(s"""
+      WITH $PixCte,
+      h AS (SELECT key, sz, v, count(*) AS cnt FROM pv GROUP BY key, sz, v),
+      bins AS (SELECT i.key, i.sz, g.b
+               FROM pimg i, (SELECT unnest(generate_series(0, 255)) AS b) g),
+      hist AS (SELECT bins.key, bins.sz, bins.b,
+               CASE WHEN bins.b = 0 OR bins.b = 255 THEN 0
+                    ELSE coalesce(h.cnt, 0) END AS cnt
+               FROM bins LEFT JOIN h ON h.key = bins.key AND h.v = bins.b),
+      cum AS (SELECT key, sz, b,
+              coalesce(sum(cnt) OVER (PARTITION BY key ORDER BY b
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cnt // 2 AS cumv,
+              sum(cnt) OVER (PARTITION BY key) AS total
+              FROM hist),
+      lut AS (SELECT key, sz, b,
+              greatest(0, least(255, (cumv * 256) // greatest(total, 1))) AS lv
+              FROM cum),
+      eq AS (SELECT p.key, p.sz, p.px, p.py, l.lv AS v
+             FROM pv p JOIN lut l ON l.key = p.key AND l.b = p.v)
+      SELECT c.key, c.checksum_eq, p.lut64, p.lut128, p.lut192
+      FROM (SELECT key, sz, ${checksumSql("v")} AS checksum_eq
+            FROM eq GROUP BY key, sz) c
+      JOIN (SELECT key,
+              CAST(max(CASE WHEN b = 64 THEN lv END) AS INT) AS lut64,
+              CAST(max(CASE WHEN b = 128 THEN lv END) AS INT) AS lut128,
+              CAST(max(CASE WHEN b = 192 THEN lv END) AS INT) AS lut192
+            FROM lut GROUP BY key) p ON p.key = c.key""")),
+
     ("q74_morphology", (s: SparkSession, dir: String) => {
       Fixtures.imagesFromParts(s, dir)
         .filter(col("w") <= 64 && col("fmt") =!= "jpeg")
