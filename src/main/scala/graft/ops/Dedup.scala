@@ -224,6 +224,35 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("qdot"), col("qn_a"), col("qn_b"))
   }
 
+  /** Corpus-wide duplicated-span removal (the C4/RefinedWeb "remove any
+    * span seen before" pass, segment granularity): documents split into
+    * consecutive non-overlapping windows of `w` words; a segment is KEPT
+    * only at its global first occurrence, ordered by (doc_id, seg_no).
+    * Returns per-doc (doc_id, total_segs, kept_segs).
+    *
+    * Shape at scale: segmentation is a codegen'd builtin-HOF map (split/
+    * transform/slice — no UDF); the only wide op is the per-segment
+    * first-occurrence window. The shuffle key here is the segment text
+    * itself (exact semantics, SQL-mirrorable); at 100 TB swap the
+    * partition key to xxhash64(seg) and keep the text only for the
+    * in-partition compare — same plan shape, 8-byte shuffle keys. */
+  def segmentDedup(docs: DataFrame, w: Int,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val segs = docs
+      .filter(length(col(textCol)) > 0)
+      .select(col(idCol),
+        expr(s"transform(sequence(0, int(ceil(size(split($textCol, ' ')) / ${w}.0)) - 1), " +
+          s"i -> array_join(slice(split($textCol, ' '), i * $w + 1, $w), ' '))").as("__segs"))
+      .select(col(idCol), posexplode(col("__segs")).as(Seq("seg_no", "seg")))
+    val win = Window.partitionBy(col("seg")).orderBy(col(idCol), col("seg_no"))
+    segs
+      .withColumn("__rn", row_number().over(win))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("total_segs"),
+        sum(when(col("__rn") === 1, 1).otherwise(0)).cast("int").as("kept_segs"))
+  }
+
   /** Exact n-gram Jaccard on candidate pairs (verification stage after any
     * candidate generator): expects (id_a, id_b) plus the docs table. */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, shingle: Int = 3, minJaccard: Double = 0.0,

@@ -681,6 +681,31 @@ object TrainingData {
                CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS INT) AS rank
         FROM adcs) WHERE rank <= 5""")),
 
+    // Corpus-wide duplicated-span removal (C4-style, segment granularity):
+    // 10-word windows, global first occurrence kept. Pure integer counts
+    // per doc; the oracle replays segmentation (1-based inclusive list
+    // slices ≡ Spark's slice(arr, start, len)) and the first-occurrence
+    // window in SQL.
+    ("q129_segment_dedup", (s: SparkSession, dir: String) => {
+      Dedup.segmentDedup(s.read.parquet(s"$dir/documents.parquet"), w = 10)
+        .withColumn("dropped_segs", col("total_segs") - col("kept_segs"))
+    }, Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents WHERE len(text) > 0),
+      segs AS (
+        SELECT doc_id, i AS seg_no,
+               array_to_string(ws[i*10 + 1 : i*10 + 10], ' ') AS seg
+        FROM d, unnest(generate_series(0, CAST(ceil(len(ws) / 10.0) AS INT) - 1)) AS t(i)),
+      k AS (
+        SELECT doc_id, seg_no,
+               row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_no) AS rn
+        FROM segs)
+      SELECT doc_id,
+        CAST(count(*) AS INT) AS total_segs,
+        CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS kept_segs,
+        CAST(count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS dropped_segs
+      FROM k GROUP BY doc_id""")),
+
     ("q51_multimodal_features", (s: SparkSession, dir: String) => {
       graft.gen.Fixtures.imagesFromParts(s, dir)
         .filter(col("key") % 5 === 0)
