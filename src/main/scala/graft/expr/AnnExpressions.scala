@@ -156,3 +156,89 @@ case class QuantizedDot(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): QuantizedDot =
     copy(left = l, right = r)
 }
+
+/** k-means coarse-quantizer model: k int64-quantized centroids (row j =
+  * centroid j's components, qx-domain) with cached squared norms so the
+  * per-row argmin is qn(j) − 2·qx·c_j — the reduced L2 of the IVF
+  * assignment (`Ann.ivfCell`) carried into the quantized-component
+  * domain, where Lloyd's update (floorDiv of component sums) is ALSO
+  * exact int64 and therefore SQL-mirrorable end to end. */
+final case class KmeansModel(cents: Array[Array[Long]]) extends Serializable {
+  val qn: Array[Long] = cents.map { c =>
+    var s = 0L; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }; s
+  }
+}
+
+object KmeansKernels {
+  /** Component quantization qx_i = round(v_i·2^20), half away from zero —
+    * v·2^20 is EXACT for float v (24-bit mantissa × a power of two), so
+    * the tie set is exactly the dyadics with fractional part .5 and both
+    * engines (Spark Round = BigDecimal HALF_UP, DuckDB = C std::round)
+    * agree on every component. */
+  def quantize(emb: ArrayData): ArrayData = {
+    val n = emb.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = PqKernels.qround(emb.getFloat(i).toDouble * AnnKernels.Scale)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** argmin_j qn(j) − 2·qx·c_j, ties to the LOWEST j (strict `<` keeps
+    * the first minimum) → [bestJ, bestDist] so one pass yields both the
+    * assignment and its reduced distance (the per-cluster inertia term).
+    * Bounds: |qx_i|,|c_i| ≤ 2^21 ⇒ |dot| ≤ d·2^42 — int64-safe to
+    * d ≈ 2^20 components. */
+  def assign(model: AnyRef, qx: ArrayData): ArrayData = {
+    val m = model.asInstanceOf[KmeansModel]
+    var best = 0L; var bestJ = -1
+    var j = 0
+    while (j < m.cents.length) {
+      val c = m.cents(j)
+      var dot = 0L; var i = 0
+      while (i < c.length) { dot += qx.getLong(i) * c(i); i += 1 }
+      val d = m.qn(j) - 2L * dot
+      if (bestJ == -1 || d < best) { best = d; bestJ = j }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(bestJ.toLong, best))
+  }
+}
+
+/** quantize_emb(emb) → array<bigint> of round(v·2^20) per component. */
+case class QuantizeEmb(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "quantize_emb"
+  override protected def nullSafeEval(a: Any): Any =
+    KmeansKernels.quantize(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.expr.KmeansKernels.quantize($a)")
+  override protected def withNewChildInternal(c: Expression): QuantizeEmb =
+    copy(child = c)
+}
+
+/** kmeans_assign(qx) with a driver-built KmeansModel →
+  * array<bigint> [cell, reduced-distance]. */
+case class KmeansAssign(child: Expression, model: KmeansModel)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "kmeans_assign"
+  override protected def nullSafeEval(a: Any): Any =
+    KmeansKernels.assign(model, a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kmModel", model, "java.lang.Object")
+    defineCodeGen(ctx, ev, a => s"graft.expr.KmeansKernels.assign($ref, $a)")
+  }
+  override protected def withNewChildInternal(c: Expression): KmeansAssign =
+    copy(child = c)
+}

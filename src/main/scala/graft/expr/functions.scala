@@ -46,6 +46,11 @@ object functions {
   def pq_adc(codes: Column, lut: Column): Column =
     toCol(PqAdc(toExpr(codes), toExpr(lut)))
 
+  def quantize_emb(emb: Column): Column = toCol(QuantizeEmb(toExpr(emb)))
+
+  def kmeans_assign(qx: Column, model: KmeansModel): Column =
+    toCol(KmeansAssign(toExpr(qx), model))
+
   def st_contains_point(wkb: Column, lon: Column, lat: Column): Column =
     toCol(StContainsPoint(toExpr(wkb), toExpr(lon), toExpr(lat)))
 

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Ann, Dedup}
+import graft.ops.{Ann, Dedup, Kmeans}
 import graft.text.textfunctions._
 
 /** Training-data pipeline operators over the documents/embeddings tables:
@@ -705,6 +705,64 @@ object TrainingData {
         CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS kept_segs,
         CAST(count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS dropped_segs
       FROM k GROUP BY doc_id""")),
+
+    // k-means coarse-quantizer TRAINING (distributed Lloyd's) — q99/q127
+    // take their IVF centroid sets as input; this is where they come
+    // from. Per round: one codegen'd argmin map (centroids broadcast in
+    // the expression) + one hash-agg of k×(d+2) longs with map-side
+    // combine. The whole trajectory is exact int64 (component
+    // quantization, reduced-L2 argmin, floorDiv update), so the oracle
+    // re-derives BOTH Lloyd's rounds — every assignment, every updated
+    // centroid — and the final per-cluster (n, qx_sum, score, qc_sum)
+    // bit-for-bit. (The SQL floor(s/n) double division is exact while
+    // |s| < 2^52 and |s/n| has ≥1/n slack to integers — holds at any
+    // test SF; the ENGINE uses Math.floorDiv, exact at any scale.)
+    ("q130_kmeans", (s: SparkSession, dir: String) => {
+      Kmeans.fit(emb(s, dir).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", k = 4, iters = 2).summary
+    }, Some(s"""
+      WITH px AS (
+        SELECT vec_id, i,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * ${Ann.Scale}) AS BIGINT) AS q
+        FROM embeddings, unnest(generate_series(1, 64)) AS t(i)),
+      c0 AS (SELECT CAST(vec_id AS INT) AS j, i, q FROM px WHERE vec_id < 4),
+      d1 AS (
+        SELECT p.vec_id, c.j,
+               CAST(sum(c.q * c.q) - 2 * sum(p.q * c.q) AS BIGINT) AS d
+        FROM px p JOIN c0 c ON c.i = p.i GROUP BY p.vec_id, c.j),
+      a1 AS (SELECT vec_id, j AS cell, d FROM (
+               SELECT vec_id, j, d,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+               FROM d1) WHERE rn = 1),
+      u1 AS (SELECT a.cell AS j, p.i, CAST(sum(p.q) AS BIGINT) AS s,
+                    CAST(count(*) AS BIGINT) AS n
+             FROM a1 a JOIN px p ON p.vec_id = a.vec_id GROUP BY a.cell, p.i),
+      c1 AS (SELECT c0.j, c0.i,
+                    COALESCE(CAST(floor(CAST(u1.s AS DOUBLE) / u1.n) AS BIGINT), c0.q) AS q
+             FROM c0 LEFT JOIN u1 ON u1.j = c0.j AND u1.i = c0.i),
+      d2 AS (
+        SELECT p.vec_id, c.j,
+               CAST(sum(c.q * c.q) - 2 * sum(p.q * c.q) AS BIGINT) AS d
+        FROM px p JOIN c1 c ON c.i = p.i GROUP BY p.vec_id, c.j),
+      a2 AS (SELECT vec_id, j AS cell, d FROM (
+               SELECT vec_id, j, d,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+               FROM d2) WHERE rn = 1),
+      u2 AS (SELECT a.cell AS j, p.i, CAST(sum(p.q) AS BIGINT) AS s,
+                    CAST(count(*) AS BIGINT) AS n
+             FROM a2 a JOIN px p ON p.vec_id = a.vec_id GROUP BY a.cell, p.i),
+      c2 AS (SELECT c1.j, c1.i,
+                    COALESCE(CAST(floor(CAST(u2.s AS DOUBLE) / u2.n) AS BIGINT), c1.q) AS q
+             FROM c1 LEFT JOIN u2 ON u2.j = c1.j AND u2.i = c1.i),
+      pv AS (SELECT vec_id, CAST(sum(q) AS BIGINT) AS qs FROM px GROUP BY vec_id),
+      cs AS (SELECT j, CAST(sum(q) AS BIGINT) AS qcs FROM c2 GROUP BY j)
+      SELECT a.cell,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pv.qs) AS BIGINT) AS qx_sum,
+             CAST(sum(a.d) AS BIGINT) AS score,
+             CAST(min(cs.qcs) AS BIGINT) AS qc_sum
+      FROM a2 a JOIN pv ON pv.vec_id = a.vec_id JOIN cs ON cs.j = a.cell
+      GROUP BY a.cell""")),
 
     ("q51_multimodal_features", (s: SparkSession, dir: String) => {
       graft.gen.Fixtures.imagesFromParts(s, dir)
