@@ -39,7 +39,8 @@ object Bench {
     "q116_stratified_sample", "q117_stratified_topk", "q118_dedup_pipeline",
     "q119_decontaminate", "q120_repetition", "q121_nearblack",
     "q122_homography", "q123_los", "q124_geoloc", "q125_surf_match",
-    "q126_suggested_output", "q127_ivfpq_topk", "q128_equalize", "q129_segment_dedup")
+    "q126_suggested_output", "q127_ivfpq_topk", "q128_equalize", "q129_segment_dedup",
+    "q130_kmeans")
 
   def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()

@@ -208,6 +208,31 @@ object KmeansKernels {
   }
 }
 
+/** Elementwise sum of long-array columns (the k-means update's Σ qx per
+  * cluster as ONE aggregate — d separate sum(element_at) expressions cost
+  * ~12 s of first-compile whole-stage codegen at d=64 and scale the
+  * generated source with d; this buffer is the same k×d longs with O(1)
+  * generated code). Empty buffer = identity, so clusters never see a
+  * length mismatch; merge is commutative + associative (map-side combine
+  * safe). */
+object VecSumAgg extends org.apache.spark.sql.expressions.Aggregator[Array[Long], Array[Long], Array[Long]] {
+  override def zero: Array[Long] = Array.emptyLongArray
+  override def reduce(buf: Array[Long], x: Array[Long]): Array[Long] = merge(buf, x)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    if (a.isEmpty) return if (b.isEmpty) a else b.clone()
+    if (b.isEmpty) return a
+    require(a.length == b.length, s"vec_sum dimension mismatch ${a.length} vs ${b.length}")
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+  override def finish(r: Array[Long]): Array[Long] = r
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
+
 /** quantize_emb(emb) → array<bigint> of round(v·2^20) per component. */
 case class QuantizeEmb(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {

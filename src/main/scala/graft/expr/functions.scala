@@ -48,6 +48,10 @@ object functions {
 
   def quantize_emb(emb: Column): Column = toCol(QuantizeEmb(toExpr(emb)))
 
+  def vec_sum(qx: Column): Column =
+    org.apache.spark.sql.functions.udaf(VecSumAgg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()).apply(qx)
+
   def kmeans_assign(qx: Column, model: KmeansModel): Column =
     toCol(KmeansAssign(toExpr(qx), model))
 

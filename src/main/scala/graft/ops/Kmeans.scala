@@ -73,22 +73,26 @@ object Kmeans {
       val assigned = qp
         .withColumn("ad", kmeans_assign(col("qx"), model))
         .withColumn("cell", element_at(col("ad"), 1).cast("int"))
-      // one hash-agg job: cluster size, member-distance sum, component sums
-      val aggCols =
-        sum(element_at(col("ad"), 2)).as("score") +:
-          (0 until d).map(i => sum(element_at(col("qx"), i + 1)).as(s"s$i"))
+      // one object-hash-agg job: cluster size, member-distance sum, and the
+      // component sums as ONE elementwise vector aggregate — d separate
+      // sum(element_at) expressions made the first compile pay ~12 s of
+      // whole-stage codegen at d=64 (and would not survive d=768 at all);
+      // the buffer is k×d longs either way.
       val rows = assigned.groupBy("cell")
-        .agg(count(lit(1)).as("n"), aggCols: _*)
+        .agg(count(lit(1)).as("n"),
+             sum(element_at(col("ad"), 2)).as("score"),
+             graft.expr.functions.vec_sum(col("qx")).as("s"))
         .collect()
 
       val next = cents.map(_.clone()) // empty clusters keep their centroid
       rows.foreach { r =>
         val j = r.getInt(0)
         val n = r.getLong(1)
-        next(j) = Array.tabulate(d)(i => Math.floorDiv(r.getLong(3 + i), n))
+        val s = r.getSeq[Long](3)
+        next(j) = Array.tabulate(d)(i => Math.floorDiv(s(i), n))
       }
       cents = next
-      if (it == iters - 1) summary = buildSummary(spark, rows, cents, d)
+      if (it == iters - 1) summary = buildSummary(spark, rows, cents)
       it += 1
     }
     graft.pipeline.Caches.drop(qp)
@@ -99,12 +103,10 @@ object Kmeans {
     * cell, n, qx_sum (Σ members Σ_i qx_i), score, qc_sum (post-update
     * centroid component sum). Driver-built: k×(d+2) longs by contract. */
   private def buildSummary(spark: SparkSession, rows: Array[Row],
-                           cents: Array[Array[Long]], d: Int): DataFrame = {
+                           cents: Array[Array[Long]]): DataFrame = {
     val out = rows.toSeq.sortBy(_.getInt(0)).map { r =>
       val j = r.getInt(0)
-      var qxSum = 0L
-      var i = 0
-      while (i < d) { qxSum += r.getLong(3 + i); i += 1 }
+      val qxSum = r.getSeq[Long](3).sum
       Row(j, r.getLong(1), qxSum, r.getLong(2), cents(j).sum)
     }
     spark.createDataFrame(

@@ -26,7 +26,8 @@ object PlanAudit {
       "q116_stratified_sample", "q117_stratified_topk", "q118_dedup_pipeline",
       "q119_decontaminate", "q120_repetition", "q121_nearblack",
       "q122_homography", "q123_los", "q124_geoloc", "q125_surf_match",
-      "q126_suggested_output", "q127_ivfpq_topk", "q128_equalize", "q129_segment_dedup")
+      "q126_suggested_output", "q127_ivfpq_topk", "q128_equalize", "q129_segment_dedup",
+      "q130_kmeans")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       val df = graft.SparkEntry.queries(n)(spark, sf)
