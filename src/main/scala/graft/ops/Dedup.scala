@@ -224,6 +224,65 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("qdot"), col("qn_a"), col("qn_b"))
   }
 
+  /** SemDeDup — semantic deduplication via k-means cluster candidates
+    * (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication"): train a coarse quantizer on the
+    * embedding corpus ([[Kmeans.fit]]), generate candidate pairs ONLY
+    * within each cluster, verify each pair with the EXACT quantized
+    * cosine test of [[cosineNearDup]], and drop every vector that has a
+    * verified near-duplicate with a smaller id in its cluster (the
+    * min-id representative rule of the exact-dedup family — one kept row
+    * per duplicate chain head). Returns one row per input vector:
+    * (idCol, cell, dropped).
+    *
+    * Recall contract (honest, like the LSH generators): pairs split
+    * across two clusters are never tested — the published SemDeDup
+    * tradeoff; raising k shrinks clusters (cost) and lowers recall.
+    *
+    * Scale shape: training touches the corpus `iters+1` times but only
+    * map + k-row aggregates (see Kmeans); the final assignment is one
+    * more codegen'd map. The only quadratic stage is the within-cluster
+    * self-join — bounded because k is chosen to keep clusters at
+    * ~corpus/k (the paper's regime), with the hot-bucket cap excluding
+    * any degenerate cluster beyond `maxCluster` (an all-identical
+    * corpus would otherwise go quadratic in one cell). Embeddings never
+    * ride the pair shuffle: pairs carry ids, embeddings re-attach by id
+    * for the verify. */
+  def semDedup(embs: DataFrame, k: Int, iters: Int, tau: Double,
+               idCol: String = "vec_id", embCol: String = "embedding",
+               maxCluster: Int = 100000): DataFrame = {
+    require(tau >= 0.0 && tau <= 1.0, "tau in [0, 1]")
+    val fit = Kmeans.fit(embs, idCol, embCol, k, iters)
+    val base = graft.pipeline.Caches.persist(
+      graft.pipeline.Spread.toCores(embs).select(
+        col(idCol).cast("long").as("id"),
+        col(embCol).as("emb"),
+        Ann.qnorm(embCol).as("qn"),
+        element_at(graft.expr.functions.kmeans_assign(
+            graft.expr.functions.quantize_emb(col(embCol)), fit.model), 1)
+          .cast("int").as("cell")))
+    val cand = capBuckets(
+      base.select(col("id"), lit(0).as("band"), col("cell").cast("long").as("bkey")),
+      maxCluster)
+    val pairs = cand.as("a").join(cand.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val tau2 = tau * tau
+    val dropped = pairs
+      .join(base.select(col("id").as("id_a"), col("emb").as("__ea"), col("qn").as("qn_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("emb").as("__eb"), col("qn").as("qn_b")), Seq("id_b"))
+      .withColumn("qdot", Ann.qdot("__ea", "__eb"))
+      // the q105 accept rule, fixed double op order — mirrored in SQL
+      .filter(col("qdot") >= 0L &&
+        col("qdot").cast("double") * col("qdot").cast("double") >=
+          (lit(tau2) * col("qn_a").cast("double")) * col("qn_b").cast("double"))
+      .select(col("id_b").as("id")).distinct()
+    base.select(col("id"), col("cell"))
+      .join(dropped.withColumn("__dup", lit(true)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cell"),
+        coalesce(col("__dup"), lit(false)).as("dropped"))
+  }
+
   /** Corpus-wide duplicated-span removal (the C4/RefinedWeb "remove any
     * span seen before" pass, segment granularity): documents split into
     * consecutive non-overlapping windows of `w` words; a segment is KEPT

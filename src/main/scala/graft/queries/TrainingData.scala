@@ -26,6 +26,46 @@ object TrainingData {
   /** 2^64 as a decimal literal. */
   private val U64 = "18446744073709551616"
 
+  /** Shared oracle CTE chain replaying the q130 k-means trajectory
+    * (k=4, iters=2, d=64, min-id seeding) exactly: px = quantized
+    * components, c0 = seed centroids, d/a/u/c 1–2 = per-round reduced
+    * distances, argmin assignments, component sums, floorDiv updates.
+    * Ends at `c2` (the trained model); q130 summarizes the last round,
+    * q131 assigns the corpus against c2. */
+  private lazy val kmeansTrajectoryCtes: String = s"""px AS (
+        SELECT vec_id, i,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * ${Ann.Scale}) AS BIGINT) AS q
+        FROM embeddings, unnest(generate_series(1, 64)) AS t(i)),
+      c0 AS (SELECT CAST(vec_id AS INT) AS j, i, q FROM px WHERE vec_id < 4),
+      d1 AS (
+        SELECT p.vec_id, c.j,
+               CAST(sum(c.q * c.q) - 2 * sum(p.q * c.q) AS BIGINT) AS d
+        FROM px p JOIN c0 c ON c.i = p.i GROUP BY p.vec_id, c.j),
+      a1 AS (SELECT vec_id, j AS cell, d FROM (
+               SELECT vec_id, j, d,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+               FROM d1) WHERE rn = 1),
+      u1 AS (SELECT a.cell AS j, p.i, CAST(sum(p.q) AS BIGINT) AS s,
+                    CAST(count(*) AS BIGINT) AS n
+             FROM a1 a JOIN px p ON p.vec_id = a.vec_id GROUP BY a.cell, p.i),
+      c1 AS (SELECT c0.j, c0.i,
+                    COALESCE(CAST(floor(CAST(u1.s AS DOUBLE) / u1.n) AS BIGINT), c0.q) AS q
+             FROM c0 LEFT JOIN u1 ON u1.j = c0.j AND u1.i = c0.i),
+      d2 AS (
+        SELECT p.vec_id, c.j,
+               CAST(sum(c.q * c.q) - 2 * sum(p.q * c.q) AS BIGINT) AS d
+        FROM px p JOIN c1 c ON c.i = p.i GROUP BY p.vec_id, c.j),
+      a2 AS (SELECT vec_id, j AS cell, d FROM (
+               SELECT vec_id, j, d,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+               FROM d2) WHERE rn = 1),
+      u2 AS (SELECT a.cell AS j, p.i, CAST(sum(p.q) AS BIGINT) AS s,
+                    CAST(count(*) AS BIGINT) AS n
+             FROM a2 a JOIN px p ON p.vec_id = a.vec_id GROUP BY a.cell, p.i),
+      c2 AS (SELECT c1.j, c1.i,
+                    COALESCE(CAST(floor(CAST(u2.s AS DOUBLE) / u2.n) AS BIGINT), c1.q) AS q
+             FROM c1 LEFT JOIN u2 ON u2.j = c1.j AND u2.i = c1.i)"""
+
   /** FNV-1a 64 over the `n`-char substring of `col` starting at 1-based
     * index `i` — unrolled (no recursion), yields UBIGINT. */
   private def fnvSql(colName: String, i: String, n: Int): String =
@@ -721,39 +761,7 @@ object TrainingData {
       Kmeans.fit(emb(s, dir).select(col("vec_id"), col("embedding")),
         "vec_id", "embedding", k = 4, iters = 2).summary
     }, Some(s"""
-      WITH px AS (
-        SELECT vec_id, i,
-               CAST(round(CAST(embedding[i] AS DOUBLE) * ${Ann.Scale}) AS BIGINT) AS q
-        FROM embeddings, unnest(generate_series(1, 64)) AS t(i)),
-      c0 AS (SELECT CAST(vec_id AS INT) AS j, i, q FROM px WHERE vec_id < 4),
-      d1 AS (
-        SELECT p.vec_id, c.j,
-               CAST(sum(c.q * c.q) - 2 * sum(p.q * c.q) AS BIGINT) AS d
-        FROM px p JOIN c0 c ON c.i = p.i GROUP BY p.vec_id, c.j),
-      a1 AS (SELECT vec_id, j AS cell, d FROM (
-               SELECT vec_id, j, d,
-                      row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
-               FROM d1) WHERE rn = 1),
-      u1 AS (SELECT a.cell AS j, p.i, CAST(sum(p.q) AS BIGINT) AS s,
-                    CAST(count(*) AS BIGINT) AS n
-             FROM a1 a JOIN px p ON p.vec_id = a.vec_id GROUP BY a.cell, p.i),
-      c1 AS (SELECT c0.j, c0.i,
-                    COALESCE(CAST(floor(CAST(u1.s AS DOUBLE) / u1.n) AS BIGINT), c0.q) AS q
-             FROM c0 LEFT JOIN u1 ON u1.j = c0.j AND u1.i = c0.i),
-      d2 AS (
-        SELECT p.vec_id, c.j,
-               CAST(sum(c.q * c.q) - 2 * sum(p.q * c.q) AS BIGINT) AS d
-        FROM px p JOIN c1 c ON c.i = p.i GROUP BY p.vec_id, c.j),
-      a2 AS (SELECT vec_id, j AS cell, d FROM (
-               SELECT vec_id, j, d,
-                      row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
-               FROM d2) WHERE rn = 1),
-      u2 AS (SELECT a.cell AS j, p.i, CAST(sum(p.q) AS BIGINT) AS s,
-                    CAST(count(*) AS BIGINT) AS n
-             FROM a2 a JOIN px p ON p.vec_id = a.vec_id GROUP BY a.cell, p.i),
-      c2 AS (SELECT c1.j, c1.i,
-                    COALESCE(CAST(floor(CAST(u2.s AS DOUBLE) / u2.n) AS BIGINT), c1.q) AS q
-             FROM c1 LEFT JOIN u2 ON u2.j = c1.j AND u2.i = c1.i),
+      WITH $kmeansTrajectoryCtes,
       pv AS (SELECT vec_id, CAST(sum(q) AS BIGINT) AS qs FROM px GROUP BY vec_id),
       cs AS (SELECT j, CAST(sum(q) AS BIGINT) AS qcs FROM c2 GROUP BY j)
       SELECT a.cell,
@@ -763,6 +771,55 @@ object TrainingData {
              CAST(min(cs.qcs) AS BIGINT) AS qc_sum
       FROM a2 a JOIN pv ON pv.vec_id = a.vec_id JOIN cs ON cs.j = a.cell
       GROUP BY a.cell""")),
+
+    // SemDeDup (Abbas et al. 2023): k-means-clustered embedding dedup —
+    // candidates only within a coarse cluster, exact quantized-cosine
+    // verify (the q105 accept rule), min-id representative kept. The
+    // oracle replays the FULL chain exactly: both Lloyd's training rounds
+    // (the q130 trajectory CTEs), the final-model assignment, the
+    // within-cluster pair set, the int64 qdot/qnorm verify with the fixed
+    // double comparison order, and the drop rule.
+    ("q131_semdedup", (s: SparkSession, dir: String) => {
+      Dedup.semDedup(emb(s, dir), k = 4, iters = 2, tau = 0.35)
+    }, Some {
+      val tau2 = 0.35 * 0.35
+      s"""
+      WITH $kmeansTrajectoryCtes,
+      d3 AS (
+        SELECT p.vec_id, c.j,
+               CAST(sum(c.q * c.q) - 2 * sum(p.q * c.q) AS BIGINT) AS d
+        FROM px p JOIN c2 c ON c.i = p.i GROUP BY p.vec_id, c.j),
+      a3 AS (SELECT vec_id, j AS cell FROM (
+               SELECT vec_id, j,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+               FROM d3) WHERE rn = 1),
+      qn AS (
+        SELECT vec_id,
+          (SELECT CAST(sum(CAST(round((CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) * ${Ann.Scale}) AS BIGINT)) AS BIGINT)
+           FROM unnest(generate_series(1, 64)) AS t(i)) AS qn
+        FROM embeddings),
+      pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM a3 a JOIN a3 b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+      scored AS (
+        SELECT p.id_a, p.id_b,
+          (SELECT CAST(sum(CAST(round((CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)) * ${Ann.Scale}) AS BIGINT)) AS BIGINT)
+           FROM unnest(generate_series(1, 64)) AS t(i)) AS qdot,
+          qa.qn AS qn_a, qb.qn AS qn_b
+        FROM pairs p
+        JOIN embeddings ea ON ea.vec_id = p.id_a
+        JOIN embeddings eb ON eb.vec_id = p.id_b
+        JOIN qn qa ON qa.vec_id = p.id_a
+        JOIN qn qb ON qb.vec_id = p.id_b),
+      drp AS (
+        SELECT DISTINCT id_b FROM scored
+        WHERE qdot >= 0
+          AND CAST(qdot AS DOUBLE) * CAST(qdot AS DOUBLE) >=
+              ($tau2 * CAST(qn_a AS DOUBLE)) * CAST(qn_b AS DOUBLE))
+      SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+             (d.id_b IS NOT NULL) AS dropped
+      FROM a3 a LEFT JOIN drp d ON d.id_b = a.vec_id"""
+    }),
 
     ("q51_multimodal_features", (s: SparkSession, dir: String) => {
       graft.gen.Fixtures.imagesFromParts(s, dir)

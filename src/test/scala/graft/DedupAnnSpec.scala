@@ -218,4 +218,25 @@ class DedupAnnSpec extends AnyFunSuite {
     val capped = Dedup.cosineNearDup(dup, tau = 0.9, maxBucket = 50)
     assert(capped.count() == 0, "over-full buckets must not generate pairs")
   }
+
+  test("semdedup drops planted duplicates to the min-id representative") {
+    // two orthogonal directions; ids 0/1 seed the k=2 clusters. Exact
+    // copies (cos = 1) must drop to the smallest id; the diagonal vectors
+    // (cos = 1/sqrt(2) ≈ 0.707 to either axis) must survive tau = 0.9.
+    def v(a: Float, b: Float, c: Float): Seq[Float] = Seq(a, b, c, 0f)
+    val e = Seq(
+      0L -> v(1, 0, 0), 1L -> v(0, 1, 0),
+      2L -> v(1, 0, 0), 3L -> v(0, 1, 0),
+      4L -> v(1, 0, 0), 5L -> v(0, 1, 0),
+      6L -> v(1, 0, 1), 7L -> v(0, 1, 1)
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.semDedup(e, k = 2, iters = 2, tau = 0.9)
+      .select("vec_id", "dropped").as[(Long, Boolean)].collect().toMap
+    assert(got.size == 8)
+    assert(got.filter(_._2).keySet == Set(2L, 3L, 4L, 5L), s"got $got")
+    // partitioning cannot change the result
+    val repart = Dedup.semDedup(e.repartition(5), k = 2, iters = 2, tau = 0.9)
+      .select("vec_id", "dropped").as[(Long, Boolean)].collect().toMap
+    assert(repart == got)
+  }
 }
