@@ -1034,7 +1034,79 @@ object TrainingData {
       SELECT a.doc_id, a.total_words, a.distinct_words, a.top_word_count,
              coalesce(b.total_bigrams, 0) AS total_bigrams,
              coalesce(b.top_bigram_count, 0) AS top_bigram_count
-      FROM agg a LEFT JOIN bagg b ON b.doc_id = a.doc_id"""))
+      FROM agg a LEFT JOIN bagg b ON b.doc_id = a.doc_id""")),
+
+    // Gopher quality-rule filter (Rae et al. 2021 §A1.1): the full rule
+    // set over exact integer counters, thresholds cross-multiplied so no
+    // division ever happens. The fixture text is a single line of ASCII
+    // words, so the query first derives a structured text with plain
+    // left-to-right replaces (newline+bullet after ' agg ', '#' after
+    // ' the ') — identical replace semantics in both engines, keeping
+    // every line/symbol rule non-degenerate AND bit-mirrorable.
+    ("q132_gopher_filter", (s: SparkSession, dir: String) => {
+      val st = replace(replace(col("text"),
+          lit(" agg "), lit(" agg...\n- ")), lit(" the "), lit(" the #"))
+      docs(s, dir).select(col("doc_id"), gopher_stats(st).as("g"))
+        .select(col("doc_id"),
+          col("g")(0).as("n_words"), col("g")(1).as("sum_word_len"),
+          col("g")(2).as("n_alpha_words"), col("g")(3).as("n_stop_hits"),
+          col("g")(4).as("n_lines"), col("g")(5).as("n_bullet_lines"),
+          col("g")(6).as("n_ellipsis_lines"), col("g")(7).as("n_hash"),
+          col("g")(8).as("n_ellipsis"))
+        .withColumn("gopher_pass",
+          col("n_words") >= 50 && col("n_words") <= 100000 &&
+          lit(3) * col("n_words") <= col("sum_word_len") &&
+          col("sum_word_len") <= lit(10) * col("n_words") &&
+          lit(10) * (col("n_hash") + col("n_ellipsis")) <= col("n_words") &&
+          lit(10) * col("n_bullet_lines") <= lit(9) * col("n_lines") &&
+          lit(10) * col("n_ellipsis_lines") <= lit(3) * col("n_lines") &&
+          lit(5) * col("n_alpha_words") >= lit(4) * col("n_words") &&
+          col("n_stop_hits") >= 2)
+    }, Some("""
+      WITH s AS (
+        SELECT doc_id,
+               replace(replace(text, ' agg ', ' agg...' || chr(10) || '- '), ' the ', ' the #') AS t
+        FROM documents),
+      w AS (SELECT doc_id, t,
+                   list_filter(string_split_regex(t, '\s+'), x -> x <> '') AS ws
+            FROM s),
+      tok AS (SELECT doc_id, unnest(ws) AS tk FROM w),
+      wagg AS (
+        SELECT doc_id, CAST(count(*) AS INT) AS n_words,
+               CAST(sum(len(tk)) AS INT) AS sum_word_len,
+               CAST(sum(CASE WHEN regexp_matches(tk, '[a-zA-Z]') THEN 1 ELSE 0 END) AS INT) AS n_alpha_words,
+               CAST(sum(CASE WHEN lower(tk) IN ('the','be','to','of','and','that','have','with') THEN 1 ELSE 0 END) AS INT) AS n_stop_hits
+        FROM tok GROUP BY doc_id),
+      ln AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS l FROM w),
+      lagg AS (
+        SELECT doc_id, CAST(count(*) AS INT) AS n_lines,
+               CAST(sum(CASE WHEN starts_with(l, '- ') OR starts_with(l, '* ') THEN 1 ELSE 0 END) AS INT) AS n_bullet_lines,
+               CAST(sum(CASE WHEN ends_with(l, '...') THEN 1 ELSE 0 END) AS INT) AS n_ellipsis_lines
+        FROM ln GROUP BY doc_id),
+      sym AS (
+        SELECT doc_id,
+               CAST(len(t) - len(replace(t, '#', '')) AS INT) AS n_hash,
+               CAST((len(t) - len(replace(t, '...', ''))) // 3 AS INT) AS n_ellipsis
+        FROM w)
+      SELECT s.doc_id,
+             COALESCE(wa.n_words, 0) AS n_words,
+             COALESCE(wa.sum_word_len, 0) AS sum_word_len,
+             COALESCE(wa.n_alpha_words, 0) AS n_alpha_words,
+             COALESCE(wa.n_stop_hits, 0) AS n_stop_hits,
+             la.n_lines, la.n_bullet_lines, la.n_ellipsis_lines,
+             sym.n_hash, sym.n_ellipsis,
+             (COALESCE(wa.n_words, 0) >= 50 AND COALESCE(wa.n_words, 0) <= 100000
+              AND 3 * COALESCE(wa.n_words, 0) <= COALESCE(wa.sum_word_len, 0)
+              AND COALESCE(wa.sum_word_len, 0) <= 10 * COALESCE(wa.n_words, 0)
+              AND 10 * (sym.n_hash + sym.n_ellipsis) <= COALESCE(wa.n_words, 0)
+              AND 10 * la.n_bullet_lines <= 9 * la.n_lines
+              AND 10 * la.n_ellipsis_lines <= 3 * la.n_lines
+              AND 5 * COALESCE(wa.n_alpha_words, 0) >= 4 * COALESCE(wa.n_words, 0)
+              AND COALESCE(wa.n_stop_hits, 0) >= 2) AS gopher_pass
+      FROM s
+      LEFT JOIN wagg wa ON wa.doc_id = s.doc_id
+      JOIN lagg la ON la.doc_id = s.doc_id
+      JOIN sym ON sym.doc_id = s.doc_id"""))
   )
 
   private def SampleRates = Map(

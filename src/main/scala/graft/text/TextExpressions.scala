@@ -154,6 +154,21 @@ case class RepetitionStats(child: Expression) extends UnaryExpression with Impli
   override protected def withNewChildInternal(c: Expression): RepetitionStats = copy(child = c)
 }
 
+/** gopher_stats(text) → array<int> of the nine exact Gopher rule counters
+  * (see TextKernels.gopherStats). */
+case class GopherStats(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "gopher_stats"
+  override protected def nullSafeEval(s: Any): Any =
+    new GenericArrayData(TextKernels.gopherStats(s.toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.text.TextKernels.gopherStats($s.toString()))")
+  override protected def withNewChildInternal(c: Expression): GopherStats = copy(child = c)
+}
+
 /** ngram_hits(text, n) against a driver-collected, broadcast benchmark
   * gram set → array<int>[matchedGrams, totalGrams]. The broadcast handle
   * rides the expression (the GcpPolyEval pattern): tasks fetch the sorted
@@ -205,6 +220,8 @@ object textfunctions {
   def word_ngrams(text: Column, n: Int): Column =
     toCol(WordNgramHashes(toExpr(text), Literal(n)))
   def repetition_stats(c: Column): Column = toCol(RepetitionStats(toExpr(c)))
+
+  def gopher_stats(c: Column): Column = toCol(GopherStats(toExpr(c)))
   def ngram_hits(text: Column, n: Int,
                  bench: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
     toCol(NgramHitCount(toExpr(text), Literal(n), bench))

@@ -93,6 +93,64 @@ object TextKernels {
     out
   }
 
+  /** Gopher quality-rule stopword list (Rae et al. 2021, §A1.1). */
+  private val GopherStops: java.util.Set[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("the", "be", "to", "of", "and", "that", "have", "with").foreach(s.add)
+    s
+  }
+
+  /** Exact per-document Gopher rule counters (Rae et al. 2021, §A1.1),
+    * all integers so the pass/fail thresholds reduce to cross-multiplied
+    * int comparisons the oracle mirrors exactly:
+    * [nWords, sumWordLen, nAlphaWords, nStopHits,
+    *  nLines, nBulletLines, nEllipsisLines, nHash, nEllipsis].
+    * Conventions pinned for SQL parity: words = \\s+ tokens; alpha = has
+    * an ASCII letter; stop hits compare lowercased tokens; lines = '\n'
+    * split KEEPING empties (DuckDB string_split); bullet = raw "- "/"* "
+    * prefix (no trim — engines disagree on trim charsets); ellipsis
+    * occurrences = leftmost non-overlapping "..." (≡ the replace-based
+    * SQL count). */
+  def gopherStats(text: String): Array[Int] = {
+    val ws = tokens(text)
+    var sumLen = 0
+    var nAlpha = 0
+    var nStop = 0
+    var i = 0
+    while (i < ws.length) {
+      val w = ws(i)
+      sumLen += w.length
+      var hasAlpha = false
+      var j = 0
+      while (j < w.length && !hasAlpha) {
+        val c = w.charAt(j)
+        if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) hasAlpha = true
+        j += 1
+      }
+      if (hasAlpha) nAlpha += 1
+      if (GopherStops.contains(w.toLowerCase(java.util.Locale.ROOT))) nStop += 1
+      i += 1
+    }
+    val lines = text.split("\n", -1)
+    var nBullet = 0
+    var nEllLine = 0
+    i = 0
+    while (i < lines.length) {
+      val l = lines(i)
+      if (l.startsWith("- ") || l.startsWith("* ")) nBullet += 1
+      if (l.endsWith("...")) nEllLine += 1
+      i += 1
+    }
+    var nHash = 0
+    i = 0
+    while (i < text.length) { if (text.charAt(i) == '#') nHash += 1; i += 1 }
+    var nEll = 0
+    i = text.indexOf("...")
+    while (i >= 0) { nEll += 1; i = text.indexOf("...", i + 3) }
+    Array(ws.length, sumLen, nAlpha, nStop,
+      lines.length, nBullet, nEllLine, nHash, nEll)
+  }
+
   /** Exact per-document repetition profile:
     * [totalWords, distinctWords, topWordCount, totalBigrams, topBigramCount].
     * Gopher-style repetition quality signals (duplicate-word fraction,

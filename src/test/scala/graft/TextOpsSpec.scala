@@ -77,4 +77,23 @@ class TextOpsSpec extends AnyFunSuite {
       .collect().map { case (id, t) => id -> TextKernels.repetitionStats(t).toSeq }.toMap
     assert(viaExpr == viaKernel)
   }
+
+  test("gopher counters pin every rule input") {
+    // [nWords, sumWordLen, nAlphaWords, nStopHits,
+    //  nLines, nBulletLines, nEllipsisLines, nHash, nEllipsis]
+    assert(TextKernels.gopherStats("").toSeq == Seq(0, 0, 0, 0, 1, 0, 0, 0, 0))
+    val t = "the cat... sat\n- a bullet line...\n* another\nplain #tag line\n"
+    val g = TextKernels.gopherStats(t)
+    assert(g(0) == 12, "words")            // whitespace tokens
+    assert(g(2) == 10, "alpha words")      // the '-' and '*' tokens aren't alpha
+    assert(g(3) == 1, "stop hits: 'the'")
+    assert(g(4) == 5, "lines: trailing newline keeps an empty 5th line")
+    assert(g(5) == 2, "bullet lines: '- ' and '* '")
+    assert(g(6) == 1, "one line ends with ...")
+    assert(g(7) == 1, "one #")
+    assert(g(8) == 2, "two non-overlapping ... occurrences")
+    // overlapping ellipsis: '....' counts once (leftmost non-overlap)
+    assert(TextKernels.gopherStats("a....")(8) == 1)
+    assert(TextKernels.gopherStats("a......")(8) == 2)
+  }
 }
