@@ -42,6 +42,39 @@ object Sampling {
       .filter(col("bucket") < col("rate_ppm"))
   }
 
+  /** Temperature-reweighted mixture sampling (the data-mixing move of the
+    * GPT-3/PaLM recipes at α = 1/2): per-stratum quotas ∝ n_d^α flatten
+    * the mixture so rare domains are over-represented relative to their
+    * natural share. Exactness discipline: s_d = floor(sqrt(n_d)·2^20) is
+    * int64 (sqrt is IEEE correctly-rounded in every engine, ·2^20 is an
+    * exponent shift, floor exact), Σ s_d is an order-free integer sum,
+    * and quota_d = (total·s_d) div Σ s_d is integer division — the whole
+    * quota derivation is bit-mirrorable SQL. Row selection inside a
+    * stratum is the deterministic (bucket, id) hash order of
+    * [[stratifiedTopK]].
+    *
+    * Scale shape: the counts/quota frame is one two-phase hash-agg down
+    * to |strata| rows (broadcast back onto the corpus); the only wide op
+    * on the corpus is the per-stratum rank window — one Exchange keyed
+    * by stratum. A quota above |stratum| keeps the whole stratum. */
+  def temperatureMix(df: DataFrame, idCol: String, stratumCol: String,
+                     total: Long): DataFrame = {
+    require(total >= 0, "non-negative target total")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("s_q", floor(sqrt(col("n_docs").cast("double")) * (1L << 20)).cast("long"))
+    val tot = counts.agg(sum(col("s_q")).as("s_tot"))
+    val quotas = counts.crossJoin(tot)
+      .withColumn("quota", expr(s"($total * s_q) div s_tot"))
+      .select(col(stratumCol), col("quota"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(col("bucket"), col(idCol))
+    df.withColumn("bucket", sample_bucket(col(idCol)))
+      .join(broadcast(quotas), Seq(stratumCol))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= col("quota"))
+  }
+
   /** EXACTLY min(k, |stratum|) rows per stratum, chosen deterministically
     * by hash order (bucket, id) — the "k examples per class" primitive.
     * One shuffle keyed by stratum. */

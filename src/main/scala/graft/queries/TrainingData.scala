@@ -915,6 +915,27 @@ object TrainingData {
         FROM smb)
       WHERE rk <= 20""")),
 
+    // Temperature-reweighted mixture sampling (α = 1/2 data mixing):
+    // per-language quotas ∝ sqrt(n_lang), derived entirely in exact int64
+    // after a correctly-rounded sqrt (floor(sqrt·2^20), order-free integer
+    // sum, integer division), rows picked in deterministic hash order.
+    ("q133_temperature_mix", (s: SparkSession, dir: String) => {
+      graft.ops.Sampling.temperatureMix(
+        docs(s, dir).select(col("doc_id"), col("lang")), "doc_id", "lang", total = 200L)
+    }, Some(s"""
+      WITH $sampleBucketCtes,
+      cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+      sq AS (SELECT lang, n_docs,
+                    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1048576) AS BIGINT) AS s_q
+             FROM cnt),
+      q AS (SELECT lang, CAST((200 * s_q) // (SELECT sum(s_q) FROM sq) AS BIGINT) AS quota
+            FROM sq)
+      SELECT * FROM (
+        SELECT m.doc_id, m.lang, m.bucket, q.quota,
+               CAST(row_number() OVER (PARTITION BY m.lang ORDER BY m.bucket, m.doc_id) AS INT) AS rk
+        FROM smb m JOIN q ON q.lang = m.lang)
+      WHERE rk <= quota""")),
+
     // The END-TO-END curation flow as one declarative plan — what a real
     // 100 TB dedup run actually executes: MinHash-LSH candidates (q46) →
     // exact n-gram Jaccard verify ≥ 0.5 (q48/q53) → connected components

@@ -76,4 +76,22 @@ class RelevanceSamplingSpec extends AnyFunSuite {
     val expect = (0L until 90L).sortBy(i => (TextKernels.sampleBucket(i), i)).take(25).toSet
     assert(winners == expect)
   }
+
+  test("temperatureMix flattens the mixture toward sqrt quotas") {
+    // 900 'big' vs 100 'small': natural shares 90/10; sqrt shares 75/25.
+    val df = spark.range(0, 1000).select(col("id"),
+      when(col("id") < 900, "big").otherwise("small").as("grp"))
+    val out = Sampling.temperatureMix(df, "id", "grp", total = 200L)
+    val counts = out.groupBy("grp").count().as[(String, Long)].collect().toMap
+    // exact quotas: s_big = floor(30*2^20) , s_small = floor(10*2^20);
+    // quota_big = 200*3/4 = 150, quota_small = 200/4 = 50
+    assert(counts == Map("big" -> 150L, "small" -> 50L))
+    // deterministic and partitioning-invariant
+    val again = Sampling.temperatureMix(df.repartition(7), "id", "grp", total = 200L)
+      .select("id").as[Long].collect().toSet
+    assert(again == out.select("id").as[Long].collect().toSet)
+    // a quota above the stratum size keeps the whole stratum
+    val tiny = spark.range(0, 10).select(col("id"), lit("only").as("grp"))
+    assert(Sampling.temperatureMix(tiny, "id", "grp", total = 100L).count() == 10L)
+  }
 }
