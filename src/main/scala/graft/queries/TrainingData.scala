@@ -915,6 +915,48 @@ object TrainingData {
         FROM smb)
       WHERE rk <= 20""")),
 
+    // PII detection + masking (the C4/Dolma scrubbing pass): email, IPv4
+    // and US-phone patterns counted and replaced with type tokens. Pure
+    // codegen'd regex builtins — at 100 TB this is a map-only pass, no
+    // UDF, no shuffle. The fixture text carries no PII, so the query
+    // injects it deterministically first (left-to-right replaces,
+    // identical in DuckDB); patterns are anchored/char-class-only so
+    // java.util.regex and RE2 agree on every match boundary.
+    ("q134_pii_mask", (s: SparkSession, dir: String) => {
+      val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipPat = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+      val phonePat = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+      val injected = replace(replace(replace(col("text"),
+          lit(" row "), lit(" alice.smith@example.com ")),
+          lit(" scan "), lit(" 10.0.42.7 ")),
+          lit(" sort "), lit(" 555-867-5309 "))
+      docs(s, dir).select(col("doc_id"), injected.as("t"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(emailPat), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("t"), lit(ipPat), lit(0))).as("n_ips"),
+          size(regexp_extract_all(col("t"), lit(phonePat), lit(0))).as("n_phones"),
+          regexp_replace(regexp_replace(regexp_replace(col("t"),
+            lit(emailPat), lit("[EMAIL]")),
+            lit(ipPat), lit("[IP]")),
+            lit(phonePat), lit("[PHONE]")).as("masked"))
+    }, Some("""
+      WITH s AS (
+        SELECT doc_id,
+               replace(replace(replace(text,
+                 ' row ', ' alice.smith@example.com '),
+                 ' scan ', ' 10.0.42.7 '),
+                 ' sort ', ' 555-867-5309 ') AS t
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+             CAST(len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ips,
+             CAST(len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS INT) AS n_phones,
+             regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
+               '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '[PHONE]', 'g') AS masked
+      FROM s""")),
+
     // Temperature-reweighted mixture sampling (α = 1/2 data mixing):
     // per-language quotas ∝ sqrt(n_lang), derived entirely in exact int64
     // after a correctly-rounded sqrt (floor(sqrt·2^20), order-free integer
