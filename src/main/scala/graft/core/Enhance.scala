@@ -22,6 +22,47 @@ package graft.core
 object Enhance {
   val LutBins = 256
 
+  /** Raw 256-bin histogram of one Byte band (no extreme zeroing — the
+    * matching input, unlike the equalization histogram above). */
+  def bandHistogram(band: Array[Int]): Array[Long] = {
+    val hist = new Array[Long](256)
+    var i = 0
+    while (i < band.length) { hist(band(i) & 0xff) += 1; i += 1 }
+    hist
+  }
+
+  /** Histogram-MATCHING LUT against a reference (corpus) histogram:
+    * lut[b] = min{ g : C[g]·ti ≥ c[b]·tc } — each image level maps to the
+    * smallest reference level whose CDF share reaches the image's CDF
+    * share, decided by exact int64 cross-multiplication (never a
+    * floating-point quantile). c is nondecreasing, so the minimal g is
+    * nondecreasing too and one two-pointer pass builds the whole LUT.
+    *
+    * Overflow bound: needs tc·ti < 2^63 (corpus pixels × image pixels).
+    * Fails fast past it — at corpora beyond ~2^50 pixels, pre-scale the
+    * corpus histogram (e.g. proportional reduction to ppm) and keep the
+    * same compare. */
+  def matchLut(hist: Array[Long], corpus: Array[Long]): Array[Int] = {
+    require(hist.length == 256 && corpus.length == 256, "256-bin histograms")
+    val c = new Array[Long](256)
+    val cum = new Array[Long](256)
+    var ti = 0L
+    var tc = 0L
+    var i = 0
+    while (i < 256) { ti += hist(i); c(i) = ti; tc += corpus(i); cum(i) = tc; i += 1 }
+    require(tc == 0 || ti == 0 || ti <= Long.MaxValue / tc,
+      "histogram-match cross-multiply would overflow int64 — normalize the corpus histogram first")
+    val lut = new Array[Int](256)
+    var g = 0
+    i = 0
+    while (i < 256) {
+      while (g < 255 && cum(g) * ti < c(i) * tc) g += 1
+      lut(i) = g
+      i += 1
+    }
+    lut
+  }
+
   /** Equalization LUT of one Byte band. */
   def equalizationLut(band: Array[Int]): Array[Int] = {
     val hist = new Array[Long](256)

@@ -265,6 +265,66 @@ case class EqualizeStats(children: Seq[Expression]) extends Expression with Expe
     copy(children = c)
 }
 
+/** band_hist(bytes, fmt, meta9) → array<long>(256): raw 256-bin histogram
+  * of band 0 — the corpus side of histogram matching (vec_sum over these
+  * arrays is the reference histogram; one two-phase aggregate, 256 longs
+  * per task on the shuffle). */
+case class BandHist(children: Seq[Expression]) extends Expression with ExpectsInputTypes with CodegenFallback {
+  require(children.length == 3, "band_hist(bytes, fmt, meta9)")
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(BinaryType, StringType, ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "band_hist"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    if (vals.exists(_ == null)) return null
+    val meta = vals(2).asInstanceOf[ArrayData].toDoubleArray()
+    val r = ImageCodec.decode(vals(0).asInstanceOf[Array[Byte]], vals(1).toString,
+      meta(0).toInt, meta(1).toInt)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Enhance.bandHistogram(r.bands(0)))
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): BandHist =
+    copy(children = c)
+}
+
+/** hist_match_stats(bytes, fmt, meta9) with a driver-summed corpus
+  * histogram riding the expression → struct<checksum_hm:int, lut64:int,
+  * lut128:int, lut192:int> — remap band 0 through the exact
+  * cross-multiplied CDF-inversion LUT (Enhance.matchLut) against the
+  * corpus reference and checksum the result, plus three LUT probes. */
+case class HistMatchStats(children: Seq[Expression], corpus: Array[Long])
+    extends Expression with ExpectsInputTypes with CodegenFallback {
+  require(children.length == 3, "hist_match_stats(bytes, fmt, meta9)")
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(BinaryType, StringType, ArrayType(DoubleType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("checksum_hm", IntegerType, nullable = false),
+    StructField("lut64", IntegerType, nullable = false),
+    StructField("lut128", IntegerType, nullable = false),
+    StructField("lut192", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "hist_match_stats"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    if (vals.exists(_ == null)) return null
+    val meta = vals(2).asInstanceOf[ArrayData].toDoubleArray()
+    val w = meta(0).toInt; val h = meta(1).toInt
+    val r = ImageCodec.decode(vals(0).asInstanceOf[Array[Byte]], vals(1).toString, w, h)
+    val lut = Enhance.matchLut(Enhance.bandHistogram(r.bands(0)), corpus)
+    val out = r.bands(0).map(v => lut(v & 0xff))
+    org.apache.spark.sql.catalyst.InternalRow(
+      GdalChecksum.ofInts(out, w, h), lut(64), lut(128), lut(192))
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): HistMatchStats =
+    copy(children = c)
+}
+
 /** los_visible(bytes, fmt, w, h, xa, ya, za, xb, yb, zb) →
   * struct<visible:int, ix:int, iy:int> — point-to-point line of sight
   * over a 1-band terrain raster (alg/los.cpp GDALIsLineOfSightVisible):

@@ -162,6 +162,12 @@ object functions {
   def equalize_stats(bytes: Column, fmt: Column, meta9: Column): Column =
     toCol(EqualizeStats(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9))))
 
+  def band_hist(bytes: Column, fmt: Column, meta9: Column): Column =
+    toCol(BandHist(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9))))
+
+  def hist_match_stats(bytes: Column, fmt: Column, meta9: Column, corpus: Array[Long]): Column =
+    toCol(HistMatchStats(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9)), corpus))
+
   def los_visible(bytes: Column, fmt: Column, w: Column, h: Column,
                   xa: Column, ya: Column, za: Column,
                   xb: Column, yb: Column, zb: Column): Column =

@@ -1593,6 +1593,56 @@ object Geospatial {
               CAST(max(CASE WHEN b = 192 THEN lv END) AS INT) AS lut192
             FROM lut GROUP BY key) p ON p.key = c.key""")),
 
+    // Corpus histogram MATCHING (the image-curation normalizer beside
+    // q128's per-image equalization): every band-0 histogram is summed
+    // into ONE corpus reference via the vec_sum array aggregate (256
+    // longs per task on the shuffle — a two-phase agg over any corpus
+    // size), then each image maps level b to the smallest reference
+    // level whose corpus-CDF share reaches the image's CDF share —
+    // decided by exact int64 cross-multiplication, never a float
+    // quantile — and the remapped band is checksummed. The oracle
+    // re-derives both CDFs and the min-g inversion relationally.
+    ("q135_hist_match", (s: SparkSession, dir: String) => {
+      val imgs = Fixtures.imagesFromParts(s, dir)
+        .filter(col("w") <= 64 && col("fmt") =!= "jpeg")
+      val ip = graft.pipeline.Caches.persist(graft.pipeline.Spread.toCores(imgs))
+      val corpus = ip.agg(graft.expr.functions.vec_sum(
+          graft.expr.functions.band_hist(col("bytes"), col("fmt"), Tiling.meta9)).as("h"))
+        .head.getSeq[Long](0).toArray
+      ip.withColumn("m",
+          graft.expr.functions.hist_match_stats(col("bytes"), col("fmt"), Tiling.meta9, corpus))
+        .select(col("key"), col("m.checksum_hm").as("checksum_hm"),
+          col("m.lut64").as("lut64"), col("m.lut128").as("lut128"),
+          col("m.lut192").as("lut192"))
+    }, Some(s"""
+      WITH $PixCte,
+      h AS (SELECT key, sz, v, count(*) AS cnt FROM pv GROUP BY key, sz, v),
+      bins AS (SELECT i.key, i.sz, g.b
+               FROM pimg i, (SELECT unnest(generate_series(0, 255)) AS b) g),
+      hist AS (SELECT bins.key, bins.sz, bins.b, coalesce(h.cnt, 0) AS cnt
+               FROM bins LEFT JOIN h ON h.key = bins.key AND h.v = bins.b),
+      tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tc FROM hist),
+      cim AS (SELECT key, sz, b,
+                     CAST(sum(cnt) OVER (PARTITION BY key ORDER BY b) AS BIGINT) AS c,
+                     CAST(sz AS BIGINT) * sz AS ti
+              FROM hist),
+      ccum AS (SELECT b, CAST(sum(cc) OVER (ORDER BY b) AS BIGINT) AS cg
+               FROM (SELECT b, sum(cnt) AS cc FROM hist GROUP BY b)),
+      lutbl AS (SELECT i.key, i.sz, i.b, CAST(min(g.b) AS INT) AS lv
+                FROM cim i JOIN ccum g
+                  ON g.cg * i.ti >= i.c * (SELECT tc FROM tot)
+                GROUP BY i.key, i.sz, i.b),
+      eq AS (SELECT p.key, p.sz, p.px, p.py, l.lv AS v
+             FROM pv p JOIN lutbl l ON l.key = p.key AND l.b = p.v)
+      SELECT c.key, c.checksum_hm, p.lut64, p.lut128, p.lut192
+      FROM (SELECT key, sz, ${checksumSql("v")} AS checksum_hm
+            FROM eq GROUP BY key, sz) c
+      JOIN (SELECT key,
+              CAST(max(CASE WHEN b = 64 THEN lv END) AS INT) AS lut64,
+              CAST(max(CASE WHEN b = 128 THEN lv END) AS INT) AS lut128,
+              CAST(max(CASE WHEN b = 192 THEN lv END) AS INT) AS lut192
+            FROM lutbl GROUP BY key) p ON p.key = c.key""")),
+
     ("q74_morphology", (s: SparkSession, dir: String) => {
       Fixtures.imagesFromParts(s, dir)
         .filter(col("w") <= 64 && col("fmt") =!= "jpeg")

@@ -32,6 +32,25 @@ class EnhanceSpec extends AnyFunSuite {
     assert(math.abs(lut(128) - 128) <= 2)
   }
 
+  test("matchLut matches the brute-force min-g rule and self-matches to identity") {
+    def brute(hist: Array[Long], corpus: Array[Long]): Array[Int] = {
+      val c = hist.scanLeft(0L)(_ + _).tail
+      val cg = corpus.scanLeft(0L)(_ + _).tail
+      val ti = c(255); val tc = cg(255)
+      Array.tabulate(256)(b => (0 to 255).find(g => cg(g) * ti >= c(b) * tc).getOrElse(255))
+    }
+    val rnd = new scala.util.Random(7)
+    val hist = Array.fill(256)(rnd.nextInt(50).toLong)
+    val corpus = Array.fill(256)(rnd.nextInt(900).toLong)
+    assert(Enhance.matchLut(hist, corpus).toSeq == brute(hist, corpus).toSeq)
+    // matching a histogram against itself: every occupied level maps to
+    // itself (C = c, so min g with c(g) >= c(b) is b for occupied b)
+    val self = Enhance.matchLut(hist.map(_ + 1), hist.map(_ + 1)) // all bins occupied
+    assert(self.toSeq == (0 to 255).toSeq)
+    // empty corpus → all-zero LUT, no crash
+    assert(Enhance.matchLut(hist, new Array[Long](256)).forall(_ == 0))
+  }
+
   test("an all-constant band maps everything at/above the value to 255") {
     // hist {100: n}; cum[100] = n/2 → lut[100] = clamp(128) = 128
     val lut = Enhance.equalizationLut(Array.fill(64)(100))
