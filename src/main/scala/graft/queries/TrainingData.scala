@@ -978,6 +978,47 @@ object TrainingData {
         FROM smb m JOIN q ON q.lang = m.lang)
       WHERE rk <= quota""")),
 
+    // Aspect-ratio bucketing + batch packing (the SDXL/NovelAI bucketed-
+    // batching recipe): nearest aspect bucket by division-free integer
+    // argmin (common-denominator scores, ties → lowest index), then
+    // fixed-size batches per bucket in deterministic hash order with the
+    // incomplete tail dropped. Metadata-only — no image ever decodes.
+    // The fixture corpus is square, so varied dims derive from the key.
+    ("q136_aspect_batches", (s: SparkSession, dir: String) => {
+      val m = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey").as("key"),
+          (lit(64) + (col("p_partkey") * 13) % 193).cast("int").as("w_ar"),
+          (lit(64) + (col("p_partkey") * 29) % 157).cast("int").as("h_ar"))
+      graft.ops.Batching.packBatches(m, "key", "w_ar", "h_ar", batchSize = 8)
+    }, Some(s"""
+      WITH pm AS (
+        SELECT p_partkey AS key,
+               CAST(64 + (p_partkey * 13) % 193 AS INT) AS w_ar,
+               CAST(64 + (p_partkey * 29) % 157 AS INT) AS h_ar
+        FROM part),
+      ${smixCtes("pm", "key", "w_ar, h_ar")},
+      sc AS (
+        SELECT key, w_ar, h_ar, bucket AS sb,
+               abs(w_ar - h_ar) * 144 AS s0,
+               abs(w_ar * 3 - h_ar * 4) * 48 AS s1,
+               abs(w_ar * 4 - h_ar * 3) * 36 AS s2,
+               abs(w_ar * 9 - h_ar * 16) * 16 AS s3,
+               abs(w_ar * 16 - h_ar * 9) * 9 AS s4
+        FROM smb),
+      ab AS (
+        SELECT key, w_ar, h_ar, sb,
+               CAST(CASE WHEN s0 = m THEN 0 WHEN s1 = m THEN 1 WHEN s2 = m THEN 2
+                         WHEN s3 = m THEN 3 ELSE 4 END AS INT) AS bucket
+        FROM (SELECT *, least(s0, s1, s2, s3, s4) AS m FROM sc)),
+      rked AS (
+        SELECT key, w_ar, h_ar, bucket,
+               CAST(row_number() OVER (PARTITION BY bucket ORDER BY sb, key) AS INT) AS rk,
+               count(*) OVER (PARTITION BY bucket) AS n
+        FROM ab)
+      SELECT key, w_ar, h_ar, bucket, rk,
+             CAST((rk - 1) // 8 AS INT) AS batch_id
+      FROM rked WHERE rk <= (n // 8) * 8""")),
+
     // The END-TO-END curation flow as one declarative plan — what a real
     // 100 TB dedup run actually executes: MinHash-LSH candidates (q46) →
     // exact n-gram Jaccard verify ≥ 0.5 (q48/q53) → connected components
@@ -1190,17 +1231,25 @@ object TrainingData {
 
   /** CTE chain re-deriving TextKernels.splitmix64(doc_id) and the sampling
     * bucket (unsigned residue mod 1e6): `smb(doc_id, lang, bucket)`. */
-  private def sampleBucketCtes: String = s"""
+  /** splitmix64 sampling-bucket mirror over any source: `src` must expose
+    * an id column `idCol` plus the carried columns `carry` (comma-joined,
+    * may be empty); ends at CTE `smb(idCol, carry…, bucket)`. */
+  private def smixCtes(src: String, idCol: String, carry: String): String = {
+    val c = if (carry.isEmpty) "" else s"$carry,"
+    s"""
       sm0 AS (
-        SELECT doc_id, lang,
-          CAST((CAST(doc_id AS HUGEINT) + 11400714819323198485) % $U64 AS UBIGINT) AS z0
-        FROM documents),
-      sm0x AS (SELECT doc_id, lang, xor(z0, z0 // 1073741824) AS y0 FROM sm0),
-      sm1 AS (SELECT doc_id, lang, ${limbMulSql("y0", 484763065L, 3210233709L)} AS z1 FROM sm0x),
-      sm1x AS (SELECT doc_id, lang, xor(z1, z1 // 134217728) AS y1 FROM sm1),
-      sm2 AS (SELECT doc_id, lang, ${limbMulSql("y1", 321982955L, 2496678331L)} AS z2 FROM sm1x),
-      smh AS (SELECT doc_id, lang, xor(z2, z2 // 2147483648) AS h FROM sm2),
-      smb AS (SELECT doc_id, lang, CAST(h % 1000000 AS BIGINT) AS bucket FROM smh)"""
+        SELECT $idCol, $c
+          CAST((CAST($idCol AS HUGEINT) + 11400714819323198485) % $U64 AS UBIGINT) AS z0
+        FROM $src),
+      sm0x AS (SELECT $idCol, $c xor(z0, z0 // 1073741824) AS y0 FROM sm0),
+      sm1 AS (SELECT $idCol, $c ${limbMulSql("y0", 484763065L, 3210233709L)} AS z1 FROM sm0x),
+      sm1x AS (SELECT $idCol, $c xor(z1, z1 // 134217728) AS y1 FROM sm1),
+      sm2 AS (SELECT $idCol, $c ${limbMulSql("y1", 321982955L, 2496678331L)} AS z2 FROM sm1x),
+      smh AS (SELECT $idCol, $c xor(z2, z2 // 2147483648) AS h FROM sm2),
+      smb AS (SELECT $idCol, $c CAST(h % 1000000 AS BIGINT) AS bucket FROM smh)"""
+  }
+
+  private def sampleBucketCtes: String = smixCtes("documents", "doc_id", "lang")
 
   private def Bm25Terms = Seq("spark", "window", "vector", "merge")
 
