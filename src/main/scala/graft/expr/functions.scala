@@ -186,6 +186,14 @@ object functions {
   def nearblack_stats(bytes: Column, fmt: Column, meta9: Column, nearDist: Column, maxNonBlack: Column, white: Column): Column =
     toCol(NearBlackStats(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(nearDist), toExpr(maxNonBlack), toExpr(white))))
 
+  def raster_compare(bytesA: Column, fmtA: Column, wA: Column, hA: Column,
+                     bytesB: Column, fmtB: Column, wB: Column, hB: Column): Column =
+    toCol(RasterCompare(Seq(toExpr(bytesA), toExpr(fmtA), toExpr(wA), toExpr(hA),
+      toExpr(bytesB), toExpr(fmtB), toExpr(wB), toExpr(hB))))
+
+  def raster_xyz(bytes: Column, fmt: Column, meta9: Column, nodata: Column): Column =
+    toCol(RasterXyz(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(nodata))))
+
   def raster_histogram(bytes: Column, fmt: Column, w: Column, h: Column, nBuckets: Column, vmin: Column, vmax: Column): Column =
     toCol(RasterHistogram(Seq(toExpr(bytes), toExpr(fmt), toExpr(w), toExpr(h), toExpr(nBuckets), toExpr(vmin), toExpr(vmax))))
 

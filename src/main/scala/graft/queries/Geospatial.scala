@@ -1643,6 +1643,82 @@ object Geospatial {
               CAST(max(CASE WHEN b = 192 THEN lv END) AS INT) AS lut192
             FROM lutbl GROUP BY key) p ON p.key = c.key""")),
 
+    // gdalcompare: corpus-vs-corpus raster diffing (golden key k vs
+    // candidate k+12 — same size/format/band class by construction, so
+    // the comparison exercises the checksum + pixel-sweep path, not the
+    // structural bail-outs). Self equi-join on key over the cached
+    // corpus: both sides are the big operand at scale, so the shuffle
+    // hash join IS the right plan — no broadcast candidate exists when
+    // comparing two corpus versions. The oracle re-derives both images'
+    // pixels from the pattern and both GDAL checksums in SQL.
+    ("q137_raster_compare", (s: SparkSession, dir: String) => {
+      val imgs = Fixtures.imagesFromParts(s, dir)
+        .filter(col("w") <= 64 && col("fmt") =!= "jpeg")
+      val a = imgs.select(col("key").as("key_a"), col("bytes").as("bytes_a"),
+        col("fmt").as("fmt_a"), col("w").as("w_a"), col("h").as("h_a"))
+      val b = imgs.select(col("key").as("key_b"), col("bytes").as("bytes_b"),
+        col("fmt").as("fmt_b"), col("w").as("w_b"), col("h").as("h_b"))
+      a.join(b, col("key_b") === col("key_a") + 12)
+        .withColumn("c", raster_compare(col("bytes_a"), col("fmt_a"), col("w_a"), col("h_a"),
+          col("bytes_b"), col("fmt_b"), col("w_b"), col("h_b")))
+        .select(col("key_a"), col("key_b"),
+          col("c.nbands_a").as("nbands"),
+          col("c.checksum_a").as("checksum_a"), col("c.checksum_b").as("checksum_b"),
+          col("c.diff_count").as("diff_count"), col("c.max_diff").as("max_diff"),
+          col("c.sse").as("sse"), col("c.found_diff").as("found_diff"))
+    }, Some(s"""
+      WITH $PixCte,
+      pairs AS (SELECT a.key AS key_a, b.key AS key_b
+                FROM pimg a JOIN pimg b ON b.key = a.key + 12),
+      pd AS (SELECT p.key_a, p.key_b, x.sz, x.px, x.py,
+               ((x.px * 7) + (x.py * 13) + (p.key_a * 31)) % 256 AS va,
+               ((x.px * 7) + (x.py * 13) + (p.key_b * 31)) % 256 AS vb
+             FROM pairs p JOIN ppx x ON x.key = p.key_a),
+      agg AS (SELECT key_a, key_b,
+               CAST(sum(CASE WHEN va <> vb THEN 1 ELSE 0 END) AS BIGINT) AS diff_count,
+               CAST(max(abs(va - vb)) AS INT) AS max_diff,
+               CAST(sum(CAST(va - vb AS BIGINT) * (va - vb)) AS BIGINT) AS sse,
+               ${checksumSql("va")} AS checksum_a,
+               ${checksumSql("vb")} AS checksum_b
+              FROM pd GROUP BY key_a, key_b)
+      SELECT key_a, key_b,
+        CAST(CASE WHEN (key_a % 2) = 0 THEN 1 ELSE 3 END AS INT) AS nbands,
+        checksum_a, checksum_b, diff_count, max_diff, sse,
+        CAST(CASE WHEN checksum_a <> checksum_b
+             THEN (CASE WHEN (key_a % 2) = 0 THEN 1 ELSE 3 END) ELSE 0 END AS INT) AS found_diff
+      FROM agg""")),
+
+    // gdal2xyz: raster → (gx, gy, value) point dump with the skip_nodata
+    // path (nodata = 0), pixel-center georeferencing, over the 16×16
+    // raw 4326 subset (exactly decodable, oracle-enumerable gt). One
+    // decode per image; the explode fans per-pixel rows across the
+    // shuffle — at scale the generator shape keeps the decode cost
+    // amortized over w*h output rows.
+    ("q138_xyz_extract", (s: SparkSession, dir: String) => {
+      Fixtures.imagesFromParts(s, dir)
+        .filter(col("key") % 12 === 0 && col("key") % 8 =!= 1)
+        .withColumn("p", explode(raster_xyz(col("bytes"), col("fmt"), Tiling.meta9, lit(0))))
+        .select(col("key"), col("p.px").as("px"), col("p.py").as("py"),
+          col("p.gx").as("gx"), col("p.gy").as("gy"), col("p.v").as("v"))
+    }, Some("""
+      WITH ximg AS (
+        SELECT p_partkey AS key, 16 AS sz,
+          (CAST(0.01 AS DOUBLE) * (1 + (p_partkey % 499))) AS span,
+          ((((p_partkey * 9973) % 350000) / 1000.0) - 180.0) AS lon0,
+          ((((p_partkey * 7919) % 160000) / 1000.0) - 80.0) AS lat0
+        FROM part WHERE (p_partkey % 12) = 0 AND (p_partkey % 8) <> 1),
+      xres AS (SELECT key, sz, (span / sz) AS res, lon0, lat0 FROM ximg),
+      xrows AS (SELECT key, sz, res, lon0, lat0,
+                unnest(generate_series(0, sz - 1)) AS py FROM xres),
+      xpx AS (SELECT key, sz, res, lon0, lat0, py,
+              unnest(generate_series(0, sz - 1)) AS px FROM xrows)
+      SELECT key, CAST(px AS INT) AS px, CAST(py AS INT) AS py,
+        (lon0 + ((CAST(px AS DOUBLE) + 0.5) * res)) AS gx,
+        (lat0 + ((CAST(py AS DOUBLE) + 0.5) * (-(res)))) AS gy,
+        CAST(((px * 7) + (py * 13) + (key * 31)) % 256 AS INT) AS v
+      FROM xpx
+      WHERE (((px * 7) + (py * 13) + (key * 31)) % 256) <> 0""")),
+
     ("q74_morphology", (s: SparkSession, dir: String) => {
       Fixtures.imagesFromParts(s, dir)
         .filter(col("w") <= 64 && col("fmt") =!= "jpeg")
