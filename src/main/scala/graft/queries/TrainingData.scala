@@ -888,6 +888,30 @@ object TrainingData {
       graft.text.Relevance.bm25TopK(docs(s, dir), Bm25Terms, k = 50, logIdf = false)
     }, Some(bm25OracleSql)),
 
+    // DSIR importance resampling: raw-pool docs scored by hashed-unigram
+    // (fnv-1a & 255) target-vs-pool resemblance, target = source 'src0'.
+    // The per-token log-ratio is the integer LLR surrogate tc·R − rc·T —
+    // same sign/ordering direction, exact int64 end-to-end (see
+    // Relevance.dsirTopK). Oracle replays the fnv token hashing (the q47
+    // recursive chain), the 256-bucket counts, and the surrogate sum.
+    ("q139_dsir_topk", (s: SparkSession, dir: String) => {
+      graft.text.Relevance.dsirTopK(docs(s, dir), col("source") === "src0", k = 50)
+    }, Some(s"""
+      WITH RECURSIVE $simhashCtes,
+      b AS (SELECT doc_id, CAST((h % 256) AS BIGINT) AS hb FROM tokh),
+      flag AS (SELECT doc_id, (source = 'src0') AS tgt FROM documents),
+      cnt AS (SELECT hb,
+               sum(CASE WHEN f.tgt THEN 1 ELSE 0 END) AS tc,
+               sum(CASE WHEN NOT f.tgt THEN 1 ELSE 0 END) AS rc
+              FROM b JOIN flag f ON f.doc_id = b.doc_id GROUP BY hb),
+      tot AS (SELECT sum(tc) AS t, sum(rc) AS r FROM cnt),
+      sc AS (SELECT b.doc_id,
+               CAST(sum(c.tc * (SELECT r FROM tot) - c.rc * (SELECT t FROM tot)) AS BIGINT) AS score,
+               CAST(count(*) AS BIGINT) AS n_toks
+             FROM b JOIN cnt c ON c.hb = b.hb JOIN flag f ON f.doc_id = b.doc_id
+             WHERE NOT f.tgt GROUP BY b.doc_id)
+      SELECT doc_id, score, n_toks FROM sc ORDER BY score DESC, doc_id LIMIT 50""")),
+
     // Deterministic stratified sampling (the training-mix recipe: keep a
     // per-language ppm fraction, selected by the splitmix64 bucket of the
     // doc id — reproducible across retries/repartitioning, unlike

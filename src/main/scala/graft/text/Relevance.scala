@@ -69,4 +69,50 @@ object Relevance {
       .select((col(idCol) +: col("dl") +: terms.map(t => col(s"tf_$t")) :+
         col("score") :+ col("rank")): _*)
   }
+
+  /** DSIR-style importance resampling (hashed bag-of-words flavor of Xie
+    * et al. 2023, "Data Selection for Language Models via Importance
+    * Resampling"): docs from the RAW pool are scored by how much more
+    * their hashed-unigram profile resembles a small TARGET slice than the
+    * pool itself, and the top-k survive.
+    *
+    * Exactness discipline: with per-bucket counts tc/rc and totals T/R,
+    * the textbook per-token log weight ln((tc/T)/(rc/R)) is replaced by
+    * the integer LLR surrogate (tc·R − rc·T) — same sign, same target-vs-
+    * raw direction, exact int64 — so the per-doc score Σ_tokens surrogate
+    * is order-free integer arithmetic a SQL oracle reproduces bit-for-bit
+    * (no ln() ULP hazard across engines). Buckets must be a power of two:
+    * the bucket id is the UNSIGNED residue of the fnv-1a hash, and signed
+    * `pmod` only equals the unsigned residue when the modulus divides
+    * 2^64.
+    *
+    * Scale shape: one token explode (persisted — counts and scoring reuse
+    * it), a two-phase hash-agg down to `buckets` rows broadcast back onto
+    * the token frame, one map-side-combined per-doc agg, TakeOrdered
+    * top-k. No corpus-sized wide op beyond the per-doc agg. */
+  def dsirTopK(docs: DataFrame, isTarget: Column, k: Int,
+               idCol: String = "doc_id", textCol: String = "text",
+               buckets: Int = 256): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0, "buckets must be a power of two")
+    import graft.text.textfunctions.fnv64
+    val toks = graft.pipeline.Caches.persist(
+      docs.select(col(idCol), isTarget.as("__tgt"),
+          explode(split(col(textCol), "\\s+")).as("__tok"))
+        .filter(col("__tok") =!= "")
+        .withColumn("__hb", fnv64(col("__tok")).bitwiseAND(lit((buckets - 1).toLong))))
+    val cnt = toks.groupBy(col("__hb"))
+      .agg(sum(when(col("__tgt"), 1L).otherwise(0L)).as("__tc"),
+        sum(when(!col("__tgt"), 1L).otherwise(0L)).as("__rc"))
+    // totals ride the same tiny frame: one extra agg over `buckets` rows
+    val tot = cnt.agg(sum(col("__tc")).as("__t"), sum(col("__rc")).as("__r"))
+    val weights = cnt.crossJoin(broadcast(tot))
+      .select(col("__hb"),
+        (col("__tc") * col("__r") - col("__rc") * col("__t")).as("__w"))
+    toks.filter(!col("__tgt"))
+      .join(broadcast(weights), "__hb")
+      .groupBy(col(idCol))
+      .agg(sum(col("__w")).as("score"), count(lit(1)).as("n_toks"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -42,6 +42,42 @@ class RelevanceSamplingSpec extends AnyFunSuite {
     assert(scores(2L) == 0.0 && scores(4L) == 0.0)
   }
 
+  test("dsir scores match a hand replay and exclude the target slice") {
+    val docs = Seq(
+      (1L, "spark spark shuffle", "tgt"),
+      (2L, "spark shuffle join", "tgt"),
+      (3L, "spark spark spark", "raw"), // target-like -> should outrank 4
+      (4L, "filter scan sort", "raw"),
+      (5L, "spark scan", "raw")
+    ).toDF("doc_id", "text", "source")
+    val out = Relevance.dsirTopK(docs, col("source") === "tgt", k = 5)
+      .as[(Long, Long, Long)].collect()
+    assert(out.map(_._1).toSet == Set(3L, 4L, 5L)) // raw pool only
+    // hand replay: bucket counts over fnv&255, weight tc*R - rc*T
+    val tokens = Seq(1L -> "spark spark shuffle", 2L -> "spark shuffle join",
+      3L -> "spark spark spark", 4L -> "filter scan sort", 5L -> "spark scan")
+      .flatMap { case (id, t) => t.split("\\s+").map(tok => (id, tok)) }
+    val tgtIds = Set(1L, 2L)
+    val byBucket = tokens.groupBy { case (_, tok) => TextKernels.fnv1a64(tok) & 255L }
+    val tT = tokens.count { case (id, _) => tgtIds(id) }.toLong
+    val tR = tokens.size - tT
+    val w = byBucket.map { case (hb, ts) =>
+      val tc = ts.count { case (id, _) => tgtIds(id) }.toLong
+      val rc = ts.size - tc
+      hb -> (tc * tR - rc * tT)
+    }
+    val expected = tokens.filterNot { case (id, _) => tgtIds(id) }
+      .groupBy(_._1).map { case (id, ts) =>
+        id -> ts.map { case (_, tok) => w(TextKernels.fnv1a64(tok) & 255L) }.sum }
+    out.foreach { case (id, score, nToks) =>
+      assert(score == expected(id), s"doc $id")
+      assert(nToks == tokens.count { case (i, _) => i == id }.toLong)
+    }
+    // target-like raw doc outranks the unrelated one
+    val rank = out.sortBy { case (id, s, _) => (-s, id) }.map(_._1)
+    assert(rank.indexOf(3L) < rank.indexOf(4L))
+  }
+
   test("sample buckets are deterministic and partition-invariant") {
     val ids = spark.range(0, 5000, 1, 7).select(col("id"))
     val a = Sampling.hashSample(ids, "id", 300000).select("id").as[Long].collect().toSet
