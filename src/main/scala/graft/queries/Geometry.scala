@@ -378,6 +378,66 @@ object Geometry {
         CAST(round(lon * 1000000.0) AS BIGINT) AS xq,
         CAST(round(lat * 1000000.0) AS BIGINT) AS yq
       FROM pts p JOIN boxes b
-        ON p.lon > b.minx AND p.lon < b.maxx AND p.lat > b.miny AND p.lat < b.maxy"""))
+        ON p.lon > b.minx AND p.lon < b.maxx AND p.lat > b.miny AND p.lat < b.maxy""")),
+
+    // Voronoi tessellation (Delaunay dual, core/Voronoi.scala) verified
+    // FUNCTIONALLY: probes are assigned to cells by the broadcast-STR-tree
+    // PIP join — geometry only, no distance math — and the oracle
+    // recomputes each probe's nearest site by exact int64 argmin over
+    // milli-degree coordinates. If any cell boundary were wrong, some
+    // strict-interior probe would land in the wrong cell and the hash
+    // would diverge. Probes whose two nearest sites tie exactly sit ON a
+    // Voronoi edge (assignment genuinely ambiguous) and are excluded by
+    // the same integer-strictness rule on both sides. The strictness
+    // window is oracle support, not the operator: the operator itself is
+    // the guarded driver Voronoi build (site count capped like
+    // pipJoinIndexed) + the broadcast PIP join, with the per-tile
+    // ghost-margin construction as the documented big-site-layer path.
+    ("q140_voronoi_assign", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val siteRows = Fixtures.nodesFromSuppliers(s, dir)
+        .filter(col("t_id") <= 300).orderBy("t_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      require(siteRows.length <= 100000, "voronoi site layer must fit the driver")
+      val wkbs = graft.core.Voronoi.cells(
+        siteRows.map(_._2), siteRows.map(_._3), -180.0, -85.0, 180.0, 85.0)
+      val cellsDf = siteRows.map(_._1).zip(wkbs).toSeq.toDF("site_id", "wkb")
+      val probes = Fixtures.pointsFromOrders(s, dir)
+      val assigned = graft.ops.SpatialJoin.pipJoinIndexed(probes, cellsDf)
+      // exact-integer strict-margin filter (milli-degrees; mirrors oracle)
+      val sdf = broadcast(siteRows.map { case (id, _, _) =>
+        (id, ((id * 31) % 360 - 180) * 1000 + 250, ((id * 17) % 160 - 80) * 1000 + 250)
+      }.toSeq.toDF("sid", "sx", "sy"))
+      val d = probes.select(col("point_id"),
+          ((col("point_id") * 9973) % 360000 - 180000).as("px"),
+          ((col("point_id") * 7919) % 170000 - 85000).as("py"))
+        .crossJoin(sdf)
+        .withColumn("d2", (col("px") - col("sx")) * (col("px") - col("sx"))
+          + (col("py") - col("sy")) * (col("py") - col("sy")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("point_id").orderBy(col("d2"), col("sid"))
+      val strict = d.withColumn("rn", row_number().over(w))
+        .withColumn("d2n", lead(col("d2"), 1).over(w))
+        .filter(col("rn") === 1 && col("d2n") > col("d2"))
+        .select(col("point_id"))
+      assigned.join(strict, "point_id").select(col("point_id"), col("site_id"))
+    }, Some("""
+      WITH sites AS (SELECT s_suppkey AS sid,
+              ((((s_suppkey * 31) % 360) - 180) * 1000 + 250) AS sx,
+              ((((s_suppkey * 17) % 160) - 80) * 1000 + 250) AS sy
+             FROM supplier WHERE s_suppkey <= 300),
+      probes AS (SELECT o_orderkey AS pid,
+              (((o_orderkey * 9973) % 360000) - 180000) AS px,
+              (((o_orderkey * 7919) % 170000) - 85000) AS py
+             FROM orders),
+      d AS (SELECT p.pid, s.sid,
+             (p.px - s.sx) * (p.px - s.sx) + (p.py - s.sy) * (p.py - s.sy) AS d2
+            FROM probes p CROSS JOIN sites s),
+      r AS (SELECT pid, sid, d2,
+             row_number() OVER (PARTITION BY pid ORDER BY d2, sid) AS rn,
+             lead(d2) OVER (PARTITION BY pid ORDER BY d2, sid) AS d2n
+            FROM d)
+      SELECT pid AS point_id, CAST(sid AS BIGINT) AS site_id
+      FROM r WHERE rn = 1 AND d2n > d2"""))
   )
 }
