@@ -42,6 +42,21 @@ object AnnKernels {
     }
     s
   }
+
+  /** Exact int64 dot of two already-quantized component arrays (the
+    * qx-domain of QuantizeEmb / vec_sum outputs). */
+  def intDot(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"int_dot: length mismatch ($n vs ${b.numElements()})")
+    var i = 0
+    var s = 0L
+    while (i < n) {
+      s += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    s
+  }
 }
 
 /** Product-quantization model: per-subspace codebooks over coarse-cell
@@ -154,6 +169,25 @@ case class QuantizedDot(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.expr.AnnKernels.quantizedDot($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): QuantizedDot =
+    copy(left = l, right = r)
+}
+
+/** int_dot(a, b) over array<bigint> columns — the exact int64 companion
+  * of quantized_dot for frames already in the quantized component domain
+  * (QuantizeEmb vectors, vec_sum centroid sums). Codegen'd: stays inside
+  * whole-stage codegen like the float variant. */
+case class IntDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "int_dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    AnnKernels.intDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.AnnKernels.intDot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IntDot =
     copy(left = l, right = r)
 }
 

@@ -48,6 +48,9 @@ object functions {
 
   def quantize_emb(emb: Column): Column = toCol(QuantizeEmb(toExpr(emb)))
 
+  def int_dot(a: Column, b: Column): Column =
+    toCol(IntDot(toExpr(a), toExpr(b)))
+
   def vec_sum(qx: Column): Column =
     org.apache.spark.sql.functions.udaf(VecSumAgg,
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()).apply(qx)

@@ -912,6 +912,47 @@ object TrainingData {
              WHERE NOT f.tgt GROUP BY b.doc_id)
       SELECT doc_id, score, n_toks FROM sc ORDER BY score DESC, doc_id LIMIT 50""")),
 
+    // Embedding label-outlier pruning (the mislabeled/noise-sample filter
+    // of an embedding-curated corpus): each vector scores by its exact
+    // int64 alignment with its label's quantized component-sum vector
+    // (the unnormalized centroid — same argsort as mean-centroid dot),
+    // and the bottom-5 per label are flagged. One persisted quantized
+    // frame feeds the per-label vec_sum (two-phase agg to |labels| rows,
+    // broadcast back) and the codegen'd int_dot scoring map; the only
+    // corpus-wide wide op is the per-label rank window. Oracle re-derives
+    // quantization, sums, and dots in exact int64 SQL.
+    ("q141_label_outliers", (s: SparkSession, dir: String) => {
+      val e = graft.pipeline.Caches.persist(
+        emb(s, dir).select(col("vec_id"), col("label"),
+          graft.expr.functions.quantize_emb(col("embedding")).as("qx")))
+      val sums = e.groupBy("label")
+        .agg(graft.expr.functions.vec_sum(col("qx")).as("sv"), count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("label").orderBy(col("score"), col("vec_id"))
+      e.join(broadcast(sums), "label")
+        .withColumn("score", graft.expr.functions.int_dot(col("qx"), col("sv")))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 5)
+        .select(col("label"), col("vec_id"), col("score"), col("rank"), col("n"))
+    }, Some(s"""
+      WITH px AS (
+        SELECT vec_id, i,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * ${Ann.Scale}) AS BIGINT) AS q
+        FROM embeddings, unnest(generate_series(1, 64)) AS t(i)),
+      lv AS (SELECT vec_id, label FROM embeddings),
+      sv AS (SELECT l.label, p.i, CAST(sum(p.q) AS BIGINT) AS s
+             FROM px p JOIN lv l ON l.vec_id = p.vec_id GROUP BY l.label, p.i),
+      nn AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+      sc AS (SELECT l.vec_id, l.label, CAST(sum(p.q * s.s) AS BIGINT) AS score
+             FROM px p JOIN lv l ON l.vec_id = p.vec_id
+               JOIN sv s ON s.label = l.label AND s.i = p.i
+             GROUP BY l.vec_id, l.label)
+      SELECT x.label, x.vec_id, x.score, CAST(x.rank AS INT) AS rank, nn.n
+      FROM (SELECT label, vec_id, score,
+              row_number() OVER (PARTITION BY label ORDER BY score, vec_id) AS rank
+            FROM sc) x JOIN nn ON nn.label = x.label
+      WHERE x.rank <= 5""")),
+
     // Deterministic stratified sampling (the training-mix recipe: keep a
     // per-language ppm fraction, selected by the splitmix64 bucket of the
     // doc id — reproducible across retries/repartitioning, unlike

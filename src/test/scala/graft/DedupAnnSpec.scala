@@ -206,6 +206,20 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(viaSql == viaHof)
   }
 
+  test("int_dot matches the interpreted HOF over quantized arrays") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(200) { i =>
+      val d = 1 + rnd.nextInt(64)
+      (i.toLong,
+        Seq.fill(d)(rnd.nextLong() % 1048576L),
+        Seq.fill(d)(rnd.nextLong() % (1048576L * 512)))
+    }
+    val cmp = rows.toDF("id", "a", "b").select(
+      graft.expr.functions.int_dot(col("a"), col("b")).as("fast"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("hof"))
+    assert(cmp.filter(col("fast") =!= col("hof")).count() == 0)
+  }
+
   test("cosine near-dup is partitioning-invariant and respects the hot-bucket cap") {
     val e = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
     val base = Dedup.cosineNearDup(e, tau = 0.35)
