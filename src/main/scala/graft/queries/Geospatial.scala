@@ -1719,6 +1719,33 @@ object Geospatial {
       FROM xpx
       WHERE (((px * 7) + (py * 13) + (key * 31)) % 256) <> 0""")),
 
+    // Training-chip extraction (the vision-pretraining loader's window
+    // sweep, gdal_retile-shaped): every full 8×8 chip at stride 4, each
+    // summarized by its own GDAL checksum + exact pixel sum. One decode
+    // per image; the explode fans chips across the shuffle (never a
+    // decode per chip — at stride<chip that would multiply decode cost
+    // by the overlap factor). Oracle enumerates every chip pixel.
+    ("q142_image_chips", (s: SparkSession, dir: String) => {
+      Fixtures.imagesFromParts(s, dir)
+        .filter(col("w") <= 64 && col("fmt") =!= "jpeg")
+        .withColumn("c", explode(raster_chips(col("bytes"), col("fmt"), Tiling.meta9,
+          lit(8), lit(4))))
+        .select(col("key"), col("c.cx").as("cx"), col("c.cy").as("cy"),
+          col("c.checksum").as("checksum"), col("c.vsum").as("vsum"))
+    }, Some(s"""
+      WITH $PixCte,
+      cgrid AS (SELECT key, sz, unnest(generate_series(0, ((sz - 8) // 4))) AS cy FROM pimg),
+      cgx AS (SELECT key, sz, cy, unnest(generate_series(0, ((sz - 8) // 4))) AS cx FROM cgrid),
+      co AS (SELECT key, sz, cx, cy, unnest(generate_series(0, 7)) AS oy FROM cgx),
+      cox AS (SELECT key, sz, cx, cy, oy, unnest(generate_series(0, 7)) AS ox FROM co),
+      cv AS (SELECT key, cx, cy, ox, oy,
+              ((((cx * 4) + ox) * 7) + (((cy * 4) + oy) * 13) + (key * 31)) % 256 AS v
+             FROM cox)
+      SELECT key, CAST(cx AS INT) AS cx, CAST(cy AS INT) AS cy,
+        CAST(sum((v) % ([7,11,13,17,19,23,29,31,37,41,43])[(((oy * 8) + ox) % 11) + 1]) % 65536 AS INT) AS checksum,
+        CAST(sum(v) AS BIGINT) AS vsum
+      FROM cv GROUP BY key, cx, cy""")),
+
     ("q74_morphology", (s: SparkSession, dir: String) => {
       Fixtures.imagesFromParts(s, dir)
         .filter(col("w") <= 64 && col("fmt") =!= "jpeg")

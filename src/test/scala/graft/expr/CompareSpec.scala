@@ -78,6 +78,25 @@ class CompareSpec extends AnyFunSuite {
     assert(rows.contains((1, 1, 100.75, 39.625, 30)))
   }
 
+  test("raster_chips emits every full strided window with exact stats") {
+    val r = raster(5, 16, 16, 1)
+    val chips = Seq(ImageCodec.encode(r, "raw")).toDF("bytes")
+      .select(explode(raster_chips(col("bytes"), lit("raw"),
+        array(lit(16.0), lit(16.0), lit(0.0),
+          lit(0.0), lit(1.0), lit(0.0), lit(0.0), lit(0.0), lit(1.0)),
+        lit(8), lit(4))).as("c"))
+      .select("c.*").collect()
+      .map(x => (x.getInt(0), x.getInt(1), x.getInt(2), x.getLong(3)))
+    assert(chips.length == 9) // (16-8)/4+1 = 3 per axis
+    // chip (1,2) hand replay
+    val (cx, cy) = (1, 2)
+    val vals = for (oy <- 0 until 8; ox <- 0 until 8)
+      yield r.bands(0)((cy * 4 + oy) * 16 + (cx * 4 + ox))
+    val exp = chips.find(c => c._1 == cx && c._2 == cy).get
+    assert(exp._4 == vals.map(_.toLong).sum)
+    assert(exp._3 == GdalChecksum.ofInts(vals.toArray, 8, 8))
+  }
+
   test("raster_xyz with out-of-range nodata keeps every pixel") {
     val r = raster(9, 5, 3, 1)
     val n = Seq(ImageCodec.encode(r, "raw")).toDF("bytes")
