@@ -141,14 +141,24 @@ object GcpPoly {
     * covers the exactdet square case). */
   def fit(srcX: Array[Double], srcY: Array[Double],
           dstX: Array[Double], dstY: Array[Double], order: Int): Fit = {
+    val n = srcX.length
+    var xm = 0.0; var ym = 0.0
+    var i = 0
+    while (i < n) { xm += srcX(i); ym += srcY(i); i += 1 }
+    fitWithMeans(srcX, srcY, dstX, dstY, order, xm / n, ym / n)
+  }
+
+  /** `fit` with the centering means supplied by the caller — the refine
+    * loop (remove_outliers, gdal_crs.cpp:1092) keeps the FULL input set's
+    * means fixed across refits over shrinking GCP subsets. */
+  def fitWithMeans(srcX: Array[Double], srcY: Array[Double],
+                   dstX: Array[Double], dstY: Array[Double], order: Int,
+                   xm: Double, ym: Double): Fit = {
     require(order >= 1 && order <= 3, s"order must be 1..3, got $order")
     val n = srcX.length
     val nc = nCoeffs(order)
     require(n >= nc, s"need >= $nc GCPs for order $order, got $n")
-    var xm = 0.0; var ym = 0.0
     var i = 0
-    while (i < n) { xm += srcX(i); ym += srcY(i); i += 1 }
-    xm /= n; ym /= n
     // normal equations: (Tᵀ T) c = Tᵀ d, assembled directly
     val ata = new Array[Double](nc * nc)
     val atb = new Array[Double](nc * 2)
@@ -188,6 +198,64 @@ object GcpPoly {
       ggy = Array(gy(0), gy(1), gy(0))
     }
     Both(fit(ppx, ppy, ggx, ggy, order), fit(ggx, ggy, ppx, ppy, order))
+  }
+
+  /** Outcome of a refine run: surviving input indices (input order),
+    * dropped indices (drop order), and the final two-direction fit. */
+  final case class Refined(kept: Array[Int], dropped: Array[Int], both: Both)
+
+  /** GDALCreateGCPRefineTransformer — `gdalwarp -refine_gcps`
+    * (alg/gdal_crs.cpp:365 → remove_outliers:1092): fit order-`order`
+    * polynomials, then, while more than `minimumGcps` GCPs survive, drop
+    * the single worst-forward-residual GCP whose residual is at or above
+    * `tolerance` and refit both directions; stop when no residual clears
+    * the tolerance. Reference details mirrored exactly: the centering
+    * means are those of the FULL input set and stay fixed across refits
+    * (remove_outliers computes x1_mean/x2_mean once, before the loop);
+    * residuals below FLT_EPSILON count as zero (worst_outlier:1068); ties
+    * keep the first maximum (strict `>` scan); `minimumGcps = -1` takes
+    * the reference default (order+1)(order+2)/2 + 1
+    * (GDALCreateGCPTransformerEx:183). */
+  def refine(px: Array[Double], py: Array[Double],
+             gx: Array[Double], gy: Array[Double],
+             order: Int, tolerance: Double, minimumGcps: Int = -1): Refined = {
+    require(tolerance >= 0.0, "refine tolerance may not be negative")
+    val minG = if (minimumGcps == -1) nCoeffs(order) + 1 else minimumGcps
+    val n = px.length
+    var x1m = 0.0; var y1m = 0.0; var x2m = 0.0; var y2m = 0.0
+    var i = 0
+    while (i < n) {
+      x1m += px(i); y1m += py(i); x2m += gx(i); y2m += gy(i); i += 1
+    }
+    x1m /= n; y1m /= n; x2m /= n; y2m /= n
+    val live = scala.collection.mutable.ArrayBuffer.range(0, n)
+    val dropped = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def sub(a: Array[Double]): Array[Double] = live.map(a).toArray
+    def fitPair(): Both = Both(
+      fitWithMeans(sub(px), sub(py), sub(gx), sub(gy), order, x1m, y1m),
+      fitWithMeans(sub(gx), sub(gy), sub(px), sub(py), order, x2m, y2m))
+    var both = fitPair()
+    var go = true
+    while (go && live.length > minG) {
+      var worstPos = -1
+      var worstRes = -1.0
+      var k = 0
+      while (k < live.length) {
+        val j = live(k)
+        val (tx, ty) = both.fwd(px(j), py(j))
+        val dx = tx - gx(j); val dy = ty - gy(j)
+        var r = math.sqrt(dx * dx + dy * dy)
+        if (r < 1.19209290e-7) r = 0.0
+        if (r > worstRes && r >= tolerance) { worstRes = r; worstPos = k }
+        k += 1
+      }
+      if (worstPos == -1) go = false
+      else {
+        dropped += live.remove(worstPos)
+        both = fitPair()
+      }
+    }
+    Refined(live.toArray, dropped.toArray, both)
   }
 
   /** First-order fit as an affine geotransform — GDALGCPsToGeoTransform

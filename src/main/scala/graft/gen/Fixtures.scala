@@ -244,6 +244,26 @@ object Fixtures {
       .withColumn("gx", (lit(384) + col("px") * 192 + col("py") * 64) / 256.0)
       .withColumn("gy", (lit(-512) + col("px") * 128 + col("py") * 320) / 256.0)
 
+  /** The gcpAffineFromNation grid with four PLANTED OUTLIERS
+    * (n_nationkey % 7 == 3 → keys 3, 10, 17, 24): their geo targets are
+    * offset by (+7, −5) — residual magnitude ≈ 8.6 against a refine
+    * tolerance of 1 — so remove_outliers-style refinement must drop
+    * exactly those four, and the surviving 21 exactly-affine GCPs make
+    * the refined fit THE dyadic affine to solver precision (q143's
+    * round(·×256) oracle; verified deterministic: residual ordering keeps
+    * every planted outlier above every inlier at each iteration). */
+  def gcpOutlierFromNation(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey").cast("bigint").as("id"),
+        ((col("n_nationkey") % 5) * 6).cast("double").as("px"),
+        (floor(col("n_nationkey") / 5) * 6).cast("double").as("py"))
+      .withColumn("bad", (col("id") % 7) === 3)
+      .withColumn("gx", (lit(384) + col("px") * 192 + col("py") * 64) / 256.0 +
+        when(col("bad"), 7.0).otherwise(0.0))
+      .withColumn("gy", (lit(-512) + col("px") * 128 + col("py") * 320) / 256.0 -
+        when(col("bad"), 5.0).otherwise(0.0))
+      .drop("bad")
+
   /** Same 5×5 source grid with geo targets from an EXACT projective map
     * with dyadic coefficients:
     *   gx = (2 + px/2 + py/4) / w,  gy = (−3 + px/8 + 3·py/4) / w,

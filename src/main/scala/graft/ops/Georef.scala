@@ -41,6 +41,35 @@ object Georef {
     GcpPoly.fitBoth(px, py, gx, gy, order)
   }
 
+  /** Outlier-rejecting GCP fit keyed by an id column: surviving/dropped
+    * GCP ids plus the final two-direction fit. */
+  final case class RefinedGcps(keptIds: Array[Long], droppedIds: Array[Long],
+                               both: GcpPoly.Both)
+
+  /** `gdalwarp -refine_gcps tolerance [min_gcps]` —
+    * GDALCreateGCPRefineTransformer (alg/gdal_crs.cpp:365): iteratively
+    * drop the worst-residual GCP at or above `tolerance` and refit, until
+    * none clears it or only `minimumGcps` remain (see GcpPoly.refine for
+    * the mirrored loop). Driver-side like every GCP fit here — the
+    * refined coefficients then ride codegen'd expressions over any point
+    * layer. */
+  def refineGcpPoly(gcps: DataFrame, order: Int, tolerance: Double,
+                    minimumGcps: Int = -1, idCol: String = "id",
+                    pxCol: String = "px", pyCol: String = "py",
+                    gxCol: String = "gx", gyCol: String = "gy"): RefinedGcps = {
+    val rows = gcps.select(
+      col(idCol).cast("long"), col(pxCol).cast("double"), col(pyCol).cast("double"),
+      col(gxCol).cast("double"), col(gyCol).cast("double")).limit(MaxGcps + 1).collect()
+    require(rows.length <= MaxGcps,
+      s"Georef: GCP side exceeds $MaxGcps rows — control points must be a small driver-side set")
+    val ids = rows.map(_.getLong(0))
+    val r = GcpPoly.refine(
+      rows.map(_.getDouble(1)), rows.map(_.getDouble(2)),
+      rows.map(_.getDouble(3)), rows.map(_.getDouble(4)),
+      order, tolerance, minimumGcps)
+    RefinedGcps(r.kept.map(ids), r.dropped.map(ids), r.both)
+  }
+
   /** Fit forward+inverse thin plate splines from a GCP frame. */
   def fitTps(gcps: DataFrame,
              pxCol: String = "px", pyCol: String = "py",

@@ -766,6 +766,44 @@ object Geospatial {
       FROM (SELECT s_suppkey, 1 + (s_suppkey % 31) AS pp, 1 + ((s_suppkey * 7) % 31) AS pl
             FROM supplier)""")),
 
+    // §2.8 transformers — GCP refinement (`gdalwarp -refine_gcps`;
+    // GDALCreateGCPRefineTransformer, alg/gdal_crs.cpp:365 →
+    // remove_outliers:1092): the fixture plants four outliers offset
+    // (+7, −5) against an exact dyadic affine (Fixtures.
+    // gcpOutlierFromNation) — refinement at tolerance 1 drops EXACTLY
+    // those four (every planted residual stays above every inlier
+    // residual at each iteration — deterministic for this geometry),
+    // after which the surviving fit IS the affine: probe points quantize
+    // to exact integers and the roundtrip through the refined inverse
+    // returns 256·p. The oracle re-derives the dropped set from the
+    // fixture's planting rule (n_nationkey % 7 = 3), not from literals.
+    ("q143_gcp_refine", (s: SparkSession, dir: String) => {
+      val r = Georef.refineGcpPoly(Fixtures.gcpOutlierFromNation(s, dir),
+        order = 1, tolerance = 1.0)
+      s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey").as("id"),
+          (col("o_orderkey") % 25).cast("double").as("ptx"),
+          ((col("o_orderkey") * 13) % 25).cast("double").as("pty"))
+        .withColumn("t", Georef.gcpPolyTransform(r.both.fwd, col("ptx"), col("pty")))
+        .withColumn("rt", Georef.gcpPolyTransform(r.both.inv, col("t")(0), col("t")(1)))
+        .select(col("id"),
+          round(col("t")(0) * 256.0).cast("bigint").as("gx_q"),
+          round(col("t")(1) * 256.0).cast("bigint").as("gy_q"),
+          round(col("rt")(0) * 256.0).cast("bigint").as("rx_q"),
+          round(col("rt")(1) * 256.0).cast("bigint").as("ry_q"),
+          lit(r.keptIds.length).cast("int").as("n_kept"),
+          lit(r.droppedIds.sum).cast("bigint").as("dropped_id_sum"))
+    }, Some("""
+      SELECT o_orderkey AS id,
+        CAST(384 + 192*ptx + 64*pty AS BIGINT) AS gx_q,
+        CAST(-512 + 128*ptx + 320*pty AS BIGINT) AS gy_q,
+        CAST(256*ptx AS BIGINT) AS rx_q,
+        CAST(256*pty AS BIGINT) AS ry_q,
+        (SELECT CAST(count(*) AS INT) FROM nation WHERE n_nationkey % 7 <> 3) AS n_kept,
+        (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM nation WHERE n_nationkey % 7 = 3) AS dropped_id_sum
+      FROM (SELECT o_orderkey, o_orderkey % 25 AS ptx, (o_orderkey * 13) % 25 AS pty
+            FROM orders)""")),
+
     // §2.8 output sizing — GDALSuggestedWarpOutput2
     // (alg/gdaltransformer.cpp:342): per-row edge sampling, diagonal
     // pixel-size estimate, +0.5 size rounding, border fitting, north-up

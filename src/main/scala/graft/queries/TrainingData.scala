@@ -1049,6 +1049,31 @@ object TrainingData {
     // fixed-size batches per bucket in deterministic hash order with the
     // incomplete tail dropped. Metadata-only — no image ever decodes.
     // The fixture corpus is square, so varied dims derive from the key.
+    // WebDataset-style shard packing (ops/Sharding.scala): cut the corpus
+    // in deterministic id order into ~256 KiB shards via the two-phase
+    // distributed prefix sum — per-bucket byte subtotals broadcast back
+    // as exclusive offsets + a per-bucket running-sum window (the corpus
+    // never passes through a single-task global window). The oracle IS
+    // the naive global formulation: one window cumsum over the same
+    // order, shard = exclusive-prefix div target — exact int64 algebra,
+    // so the two-phase plan must reproduce it row-for-row.
+    ("q144_shard_pack", (s: SparkSession, dir: String) => {
+      val src = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey").as("id"),
+          ((col("o_orderkey") * 31) % 997 + 100).cast("long").as("nbytes"))
+      graft.ops.Sharding.packShards(src, "id", "nbytes",
+        targetBytes = 262144L, bucket = expr("id div 4096"))
+        .select(col("id"), col("nbytes"), col("cum_before"), col("shard_id"))
+    }, Some("""
+      SELECT id, nbytes,
+        CAST(cum - nbytes AS BIGINT) AS cum_before,
+        CAST((cum - nbytes) // 262144 AS BIGINT) AS shard_id
+      FROM (
+        SELECT id, nbytes, sum(nbytes) OVER (ORDER BY id) AS cum
+        FROM (SELECT o_orderkey AS id,
+                     CAST((o_orderkey * 31) % 997 + 100 AS BIGINT) AS nbytes
+              FROM orders))""")),
+
     ("q136_aspect_batches", (s: SparkSession, dir: String) => {
       val m = s.read.parquet(s"$dir/part.parquet")
         .select(col("p_partkey").as("key"),

@@ -166,4 +166,52 @@ class GeorefSpec extends AnyFunSuite {
       GcpPoly.fit(px, py, px, py, 2)
     }
   }
+
+  // the q143 fixture, driver-side: exact dyadic affine + 4 planted outliers
+  private def outlierGcps(): (Array[Double], Array[Double], Array[Double], Array[Double]) = {
+    val keys = Array.range(0, 25)
+    val px = keys.map(k => (k % 5) * 6.0)
+    val py = keys.map(k => (k / 5) * 6.0)
+    val gx = keys.indices.map { i =>
+      (384 + px(i) * 192 + py(i) * 64) / 256.0 + (if (keys(i) % 7 == 3) 7.0 else 0.0)
+    }.toArray
+    val gy = keys.indices.map { i =>
+      (-512 + px(i) * 128 + py(i) * 320) / 256.0 - (if (keys(i) % 7 == 3) 5.0 else 0.0)
+    }.toArray
+    (px, py, gx, gy)
+  }
+
+  test("refine drops exactly the planted outliers and recovers the affine") {
+    val (px, py, gx, gy) = outlierGcps()
+    val r = GcpPoly.refine(px, py, gx, gy, order = 1, tolerance = 1.0)
+    assert(r.dropped.sorted.toSeq == Seq(3, 10, 17, 24))
+    assert(r.kept.length == 21 && !r.kept.exists(k => k % 7 == 3))
+    // worst residual is dropped first: key 10 leads for this geometry
+    assert(r.dropped.head == 10)
+    for (tx <- Seq(3.0, 24.0, 11.5); ty <- Seq(0.0, 7.0, 13.0)) {
+      val (fx, fy) = r.both.fwd(tx, ty)
+      assert(math.abs(fx - (384 + tx * 192 + ty * 64) / 256.0) < 1e-9)
+      assert(math.abs(fy - (-512 + tx * 128 + ty * 320) / 256.0) < 1e-9)
+      val (rx, ry) = r.both.inv(fx, fy)
+      assert(math.abs(rx - tx) < 1e-9 && math.abs(ry - ty) < 1e-9)
+    }
+  }
+
+  test("refine is a no-op on a consistent GCP set; minimumGcps floors the loop") {
+    val (px, py, _, _) = outlierGcps()
+    val gx = px.indices.map(i => (384 + px(i) * 192 + py(i) * 64) / 256.0).toArray
+    val gy = px.indices.map(i => (-512 + px(i) * 128 + py(i) * 320) / 256.0).toArray
+    val clean = GcpPoly.refine(px, py, gx, gy, order = 1, tolerance = 1.0)
+    assert(clean.dropped.isEmpty && clean.kept.length == 25)
+    // tolerance 0 keeps dropping (zeroed residuals still clear >= 0, per
+    // worst_outlier's comparison) until only minimumGcps remain
+    val floored = GcpPoly.refine(px, py, gx, gy, order = 1, tolerance = 0.0, minimumGcps = 20)
+    assert(floored.kept.length == 20)
+    // ...and a full drain degenerates to collinear survivors: the refit
+    // goes singular and the fit FAILS, like the reference (remove_outliers
+    // propagates MUNSOLVABLE and GDALCreateGCPTransformerEx returns null)
+    assertThrows[IllegalArgumentException] {
+      GcpPoly.refine(px, py, gx, gy, order = 1, tolerance = 0.0)
+    }
+  }
 }
