@@ -1873,6 +1873,40 @@ object Geospatial {
         ${(0 until 8).map(i => s"CAST(sum(CASE WHEN (v >> 5) = $i THEN 1 ELSE 0 END) AS BIGINT) AS h$i").mkString(",\n        ")}
       FROM pv GROUP BY key""")),
 
+    // §2.11 image-quality signals (engine-native curation filter — the
+    // image analog of the Gopher text rules): Laplacian blur moments over
+    // interior pixels, exposure Σv/Σv², and clipped-pixel counts, all
+    // exact int64 per image. The oracle re-derives every moment from the
+    // fixture plane: each 4-neighbour of A = 7px+13py+31k is (A±7)%256 or
+    // (A±13)%256, non-negative inside the interior guard, so the SQL is
+    // pure integer algebra.
+    ("q145_image_quality", (s: SparkSession, dir: String) => {
+      Fixtures.imagesFromParts(s, dir)
+        .filter(col("w") <= 64 && col("fmt") =!= "jpeg")
+        .withColumn("q", raster_quality(col("bytes"), col("fmt"), col("w"), col("h")))
+        .select(col("key"), col("q.n_int"), col("q.lap_sum"), col("q.lap_sum2"),
+          col("q.n_lo"), col("q.n_hi"), col("q.v_sum"), col("q.v_sum2"))
+    }, Some(s"""
+      WITH $PixCte,
+      lap AS (
+        SELECT key, sz, px, py, v,
+          CASE WHEN px > 0 AND px < sz - 1 AND py > 0 AND py < sz - 1
+               THEN 4*v - ((px*7 + py*13 + key*31) - 7) % 256
+                        - ((px*7 + py*13 + key*31) + 7) % 256
+                        - ((px*7 + py*13 + key*31) - 13) % 256
+                        - ((px*7 + py*13 + key*31) + 13) % 256
+               ELSE NULL END AS l
+        FROM pv)
+      SELECT key,
+        CAST(count(l) AS BIGINT) AS n_int,
+        CAST(coalesce(sum(l), 0) AS BIGINT) AS lap_sum,
+        CAST(coalesce(sum(l*l), 0) AS BIGINT) AS lap_sum2,
+        CAST(sum(CASE WHEN v <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        CAST(sum(CASE WHEN v >= 254 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+        CAST(sum(v) AS BIGINT) AS v_sum,
+        CAST(sum(v*v) AS BIGINT) AS v_sum2
+      FROM lap GROUP BY key""")),
+
     // §2.1 windowed read (IRasterIO analog): slice checksum re-derived in
     // SQL over the window's local coordinates
     ("q76_windowed_read", (s: SparkSession, dir: String) => {
