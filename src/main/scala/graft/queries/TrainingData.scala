@@ -912,6 +912,38 @@ object TrainingData {
              WHERE NOT f.tgt GROUP BY b.doc_id)
       SELECT doc_id, score, n_toks FROM sc ORDER BY score DESC, doc_id LIMIT 50""")),
 
+    // Caption↔embedding alignment (the CLIP-score-style multimodal
+    // filter): each document's hashed bag-of-words vector (hashing trick,
+    // 64 buckets = the embedding dimension) scores by exact int64 dot
+    // against its row's quantized embedding, and the 50 LEAST-aligned
+    // pairs — what a curation pass would drop or re-caption — are
+    // emitted. The plumbing is the production shape (per-row hash-embed
+    // map, id equi-join that shuffles both corpus-sized sides at scale,
+    // TakeOrdered top-k with per-partition heaps); the fixture
+    // embeddings are synthetic so the score's MEANING is synthetic too,
+    // but every number is exact: the oracle re-derives tokenization,
+    // fnv-1a bucketing, quantization, and the dot in SQL.
+    ("q146_caption_align", (s: SparkSession, dir: String) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        graft.text.textfunctions.hash_embed(col("text"), 64).as("hv"))
+      val e = emb(s, dir).select(col("vec_id"),
+        graft.expr.functions.quantize_emb(col("embedding")).as("qx"))
+      d.join(e, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"),
+          graft.expr.functions.int_dot(col("hv"), col("qx")).as("score"),
+          expr("aggregate(hv, CAST(0 AS BIGINT), (a, x) -> a + x)").as("n_toks"))
+        .orderBy(col("score"), col("doc_id")).limit(50)
+    }, Some(s"""
+      WITH RECURSIVE $simhashCtes,
+      bc AS (SELECT doc_id, CAST((h % 64) AS BIGINT) AS hb, count(*) AS c
+             FROM tokh GROUP BY doc_id, hb),
+      sc AS (SELECT b.doc_id,
+               CAST(sum(b.c * CAST(round(CAST(e.embedding[CAST(b.hb AS INT) + 1] AS DOUBLE) * ${Ann.Scale}) AS BIGINT)) AS BIGINT) AS score,
+               CAST(sum(b.c) AS BIGINT) AS n_toks
+             FROM bc b JOIN embeddings e ON e.vec_id = b.doc_id
+             GROUP BY b.doc_id)
+      SELECT doc_id, score, n_toks FROM sc ORDER BY score, doc_id LIMIT 50""")),
+
     // Embedding label-outlier pruning (the mislabeled/noise-sample filter
     // of an embedding-curated corpus): each vector scores by its exact
     // int64 alignment with its label's quantized component-sum vector

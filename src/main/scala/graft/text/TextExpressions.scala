@@ -53,6 +53,23 @@ case class MinHashSig(first: Expression, second: Expression, third: Expression)
     copy(first = f, second = s, third = t)
 }
 
+/** hash_embed(text, buckets) → array<bigint> hashed-unigram counts
+  * (TextKernels.hashEmbed). `buckets` must be a power of two. */
+case class HashEmbed(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hash_embed"
+  override protected def nullSafeEval(t: Any, b: Any): Any =
+    new GenericArrayData(TextKernels.hashEmbed(t.toString, b.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, b) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.text.TextKernels.hashEmbed($t.toString(), $b))")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HashEmbed =
+    copy(left = l, right = r)
+}
+
 case class SimHash64(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(StringType)
   override def dataType: DataType = LongType
@@ -211,6 +228,8 @@ object textfunctions {
   def minhash_sig(text: Column, k: Int, shingle: Int): Column =
     toCol(MinHashSig(toExpr(text), Literal(k), Literal(shingle)))
   def simhash64(c: Column): Column = toCol(SimHash64(toExpr(c)))
+  def hash_embed(text: Column, buckets: Int): Column =
+    toCol(HashEmbed(toExpr(text), Literal(buckets)))
   def doc_fingerprint(c: Column): Column = toCol(RollingFingerprint(toExpr(c)))
   def lang_id(c: Column): Column = toCol(LangId(toExpr(c)))
   def shingle_overlap(a: Column, b: Column, n: Int): Column =

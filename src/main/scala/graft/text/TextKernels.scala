@@ -216,6 +216,19 @@ object TextKernels {
   }
 
   /** 64-bit SimHash over whitespace tokens (Charikar bit-vote). */
+  /** Hashed bag-of-words vector ("hashing trick"): per-bucket token
+    * counts with bucket = UNSIGNED fnv-1a residue (h & (buckets−1),
+    * `buckets` a power of two — the DSIR bucket rule). The text half of
+    * the caption↔embedding alignment score (q146): counts are exact
+    * integers, so int_dot against a quantized embedding is exact int64. */
+  def hashEmbed(text: String, buckets: Int): Array[Long] = {
+    val v = new Array[Long](buckets)
+    tokens(text).foreach { t =>
+      v((fnv1a64(t) & (buckets - 1)).toInt) += 1L
+    }
+    v
+  }
+
   def simhash64(text: String): Long = {
     val votes = new Array[Int](64)
     tokens(text).foreach { t =>

@@ -19,6 +19,18 @@ class TextOpsSpec extends AnyFunSuite {
     assert(TextKernels.repetitionStats("z z z z").toSeq == Seq(4, 1, 4, 3, 3))
   }
 
+  test("hashEmbed: bucket counts follow the unsigned fnv residue, sum = token count") {
+    val v = TextKernels.hashEmbed("a b a  c", 64)
+    assert(v.sum == 4L)
+    assert(v((TextKernels.fnv1a64("a") & 63L).toInt) == 2L)
+    assert(v((TextKernels.fnv1a64("b") & 63L).toInt) >= 1L)
+    assert(TextKernels.hashEmbed("", 64).forall(_ == 0L))
+    // an int_dot against a constant-1 vector recovers the token count
+    val ones = Array.fill(64)(1L)
+    val dot = v.zip(ones).map { case (a, b) => a * b }.sum
+    assert(dot == 4L)
+  }
+
   test("wordNgramHashes: count, dedup, and short-document collapse") {
     // 6 words, n=3 -> 4 grams, all distinct
     assert(TextKernels.wordNgramHashes("a b c d e f", 3).length == 4)
