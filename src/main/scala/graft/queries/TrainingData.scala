@@ -258,6 +258,30 @@ object TrainingData {
           CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS INT) AS n_vowels
         FROM documents)""")),
 
+    // BPE-ish token counting (the GPT-2 pre-tokenizer's split classes,
+    // simplified to the engine-portable core): letter runs, digit runs,
+    // and single non-alphanumeric marks each count one token — the
+    // pre-merge unit count a BPE tokenizer starts from, and the budget
+    // number a pretraining mix is planned against. Pure codegen'd regex
+    // builtins (the q134 discipline: the scale path IS the builtin);
+    // identical character-class semantics in Java and RE2 regex, so the
+    // oracle is the same pattern verbatim.
+    ("q147_bpe_tokens", (s: SparkSession, dir: String) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).as("n_bpe"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0))).as("n_words"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_nums"),
+        size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9 ]"), lit(0))).as("n_marks"))
+    }, Some("""
+      SELECT doc_id,
+        CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT) AS n_bpe,
+        CAST(length(regexp_extract_all(text, '[A-Za-z]+')) AS INT) AS n_words,
+        CAST(length(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_nums,
+        CAST(length(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS INT) AS n_marks
+      FROM documents""")),
+
     // quality scoring: stopword-hit ratio (non-overlapping replace count)
     ("q42_quality_score", (s: SparkSession, dir: String) => {
       val theHits = ((length(col("text")) - length(regexp_replace(col("text"), " the ", ""))) / lit(5)).cast("int")
