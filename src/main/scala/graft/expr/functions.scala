@@ -200,6 +200,9 @@ object functions {
   def raster_quality(bytes: Column, fmt: Column, w: Column, h: Column): Column =
     toCol(RasterQuality(Seq(toExpr(bytes), toExpr(fmt), toExpr(w), toExpr(h))))
 
+  def raster_augment(bytes: Column, fmt: Column, w: Column, h: Column): Column =
+    toCol(RasterAugment(Seq(toExpr(bytes), toExpr(fmt), toExpr(w), toExpr(h))))
+
   def raster_chips(bytes: Column, fmt: Column, meta9: Column, chip: Column, stride: Column): Column =
     toCol(RasterChips(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(chip), toExpr(stride))))
 

@@ -1907,6 +1907,29 @@ object Geospatial {
         CAST(sum(v*v) AS BIGINT) AS v_sum2
       FROM lap GROUP BY key""")),
 
+    // §2.11 deterministic augmentation (flip_h/flip_v/rot90/rot180 — the
+    // training-loader stage): each view is value-checked by its GDAL
+    // checksum. The oracle never materializes a flipped image: the
+    // checksum of a remapped view equals the sum over SOURCE pixels
+    // weighted by the prime at the pixel's OUTPUT index, so all five
+    // sums ride one pass over the pv pixel CTE with remapped (±7/±13-free)
+    // integer index arithmetic.
+    ("q148_augment", (s: SparkSession, dir: String) => {
+      Fixtures.imagesFromParts(s, dir)
+        .filter(col("w") <= 64 && col("fmt") =!= "jpeg")
+        .withColumn("a", raster_augment(col("bytes"), col("fmt"), col("w"), col("h")))
+        .select(col("key"), col("a.cks_id"), col("a.cks_fh"), col("a.cks_fv"),
+          col("a.cks_r90"), col("a.cks_r180"))
+    }, Some(s"""
+      WITH $PixCte
+      SELECT key,
+        CAST(sum(v % ([7,11,13,17,19,23,29,31,37,41,43])[(((py * sz) + px) % 11) + 1]) % 65536 AS INT) AS cks_id,
+        CAST(sum(v % ([7,11,13,17,19,23,29,31,37,41,43])[(((py * sz) + (sz - 1 - px)) % 11) + 1]) % 65536 AS INT) AS cks_fh,
+        CAST(sum(v % ([7,11,13,17,19,23,29,31,37,41,43])[((((sz - 1 - py) * sz) + px) % 11) + 1]) % 65536 AS INT) AS cks_fv,
+        CAST(sum(v % ([7,11,13,17,19,23,29,31,37,41,43])[(((px * sz) + (sz - 1 - py)) % 11) + 1]) % 65536 AS INT) AS cks_r90,
+        CAST(sum(v % ([7,11,13,17,19,23,29,31,37,41,43])[((((sz - 1 - py) * sz) + (sz - 1 - px)) % 11) + 1]) % 65536 AS INT) AS cks_r180
+      FROM pv GROUP BY key""")),
+
     // §2.1 windowed read (IRasterIO analog): slice checksum re-derived in
     // SQL over the window's local coordinates
     ("q76_windowed_read", (s: SparkSession, dir: String) => {

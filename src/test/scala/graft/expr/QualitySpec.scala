@@ -36,6 +36,32 @@ class QualitySpec extends AnyFunSuite {
     assert(m.getAs[Long]("n_lo") == 32L && m.getAs[Long]("n_hi") == 32L)
   }
 
+  test("raster_augment: checksums match hand-remapped views; group identities hold") {
+    val w = 8
+    val b = Array.tabulate(w * w)(i => (i * 37 + 11) % 256) // asymmetric
+    val bytes = ImageCodec.encode(Raster(w, w, Array(b)), "raw")
+    val m = Seq(Tuple1(bytes)).toDF("b")
+      .select(raster_augment(col("b"), lit("raw"), lit(w), lit(w)).as("a"))
+      .select("a.*").head
+    def view(sx: (Int, Int) => Int, sy: (Int, Int) => Int): Array[Int] =
+      Array.tabulate(w * w)(i => b(sy(i % w, i / w) * w + sx(i % w, i / w)))
+    assert(m.getAs[Int]("cks_id") == graft.core.GdalChecksum.ofInts(b, w, w))
+    assert(m.getAs[Int]("cks_fh") ==
+      graft.core.GdalChecksum.ofInts(view((x, _) => w - 1 - x, (_, y) => y), w, w))
+    assert(m.getAs[Int]("cks_r90") ==
+      graft.core.GdalChecksum.ofInts(view((_, y) => y, (x, _) => w - 1 - x), w, w))
+    // group identity: rot180 = flip_h ∘ flip_v
+    val fhfv = view((x, _) => w - 1 - x, (_, y) => w - 1 - y)
+    assert(m.getAs[Int]("cks_r180") == graft.core.GdalChecksum.ofInts(fhfv, w, w))
+    // a horizontally symmetric image is fixed by flip_h
+    val sym = Array.tabulate(w * w)(i => math.min(i % w, w - 1 - i % w) * 30)
+    val symB = ImageCodec.encode(Raster(w, w, Array(sym)), "raw")
+    val ms = Seq(Tuple1(symB)).toDF("b")
+      .select(raster_augment(col("b"), lit("raw"), lit(w), lit(w)).as("a"))
+      .select("a.*").head
+    assert(ms.getAs[Int]("cks_fh") == ms.getAs[Int]("cks_id"))
+  }
+
   test("a blurred gradient scores below a sharp edge (the filter's ordering)") {
     val sharp = Array.tabulate(64)(i => if (i % 8 < 4) 0 else 200)
     val smooth = Array.tabulate(64)(i => (i % 8) * 25)
