@@ -203,6 +203,12 @@ object functions {
   def raster_augment(bytes: Column, fmt: Column, w: Column, h: Column): Column =
     toCol(RasterAugment(Seq(toExpr(bytes), toExpr(fmt), toExpr(w), toExpr(h))))
 
+  def raster_resize(bytes: Column, fmt: Column, w: Column, h: Column, factor: Column): Column =
+    toCol(RasterResize(Seq(toExpr(bytes), toExpr(fmt), toExpr(w), toExpr(h), toExpr(factor))))
+
+  def raster_moments(bytes: Column, fmt: Column, w: Column, h: Column): Column =
+    toCol(RasterMoments(Seq(toExpr(bytes), toExpr(fmt), toExpr(w), toExpr(h))))
+
   def raster_chips(bytes: Column, fmt: Column, meta9: Column, chip: Column, stride: Column): Column =
     toCol(RasterChips(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(chip), toExpr(stride))))
 

@@ -1930,6 +1930,71 @@ object Geospatial {
         CAST(sum(v % ([7,11,13,17,19,23,29,31,37,41,43])[((((sz - 1 - py) * sz) + (sz - 1 - px)) % 11) + 1]) % 65536 AS INT) AS cks_r180
       FROM pv GROUP BY key""")),
 
+    // §2.11 training-loader resize: area downsample by 4 (round-half-up
+    // on the exact block sum — the average overview kernel at an integral
+    // factor, where it is SQL-derivable) plus the central half-crop, each
+    // view value-checked by its GDAL checksum from ONE decode. The oracle
+    // re-derives the block sums, the rounded means, and both remapped
+    // checksums in pure integer algebra over the pixel CTE.
+    ("q149_resize_crop", (s: SparkSession, dir: String) => {
+      Fixtures.imagesFromParts(s, dir)
+        .filter(col("w") <= 64 && col("fmt") =!= "jpeg")
+        .withColumn("r", raster_resize(col("bytes"), col("fmt"), col("w"), col("h"), lit(4)))
+        .select(col("key"), col("r.rw").as("rw"),
+          col("r.cks_resized").as("cks_resized"),
+          col("r.sum_resized").as("sum_resized"),
+          col("r.cks_crop").as("cks_crop"))
+    }, Some(s"""
+      WITH $PixCte,
+      blk AS (
+        SELECT key, sz, px // 4 AS bx, py // 4 AS by, sum(v) AS bs
+        FROM pv GROUP BY key, sz, bx, by),
+      rz AS (SELECT key, sz // 4 AS rsz, bx, by, (bs + 8) // 16 AS rv FROM blk),
+      rza AS (
+        SELECT key, CAST(max(rsz) AS INT) AS rw,
+          CAST(sum(rv % ([7,11,13,17,19,23,29,31,37,41,43])[(((by * rsz) + bx) % 11) + 1]) % 65536 AS INT) AS cks_resized,
+          CAST(sum(rv) AS BIGINT) AS sum_resized
+        FROM rz GROUP BY key),
+      cr AS (
+        SELECT key, sz // 2 AS csz, px - (sz // 4) AS cx, py - (sz // 4) AS cy, v
+        FROM pv
+        WHERE px >= sz // 4 AND px < (sz // 4) + (sz // 2)
+          AND py >= sz // 4 AND py < (sz // 4) + (sz // 2)),
+      cra AS (
+        SELECT key,
+          CAST(sum(v % ([7,11,13,17,19,23,29,31,37,41,43])[(((cy * csz) + cx) % 11) + 1]) % 65536 AS INT) AS cks_crop
+        FROM cr GROUP BY key)
+      SELECT r.key AS key, r.rw, r.cks_resized, r.sum_resized, c.cks_crop
+      FROM rza r JOIN cra c ON r.key = c.key""")),
+
+    // §2.11 corpus normalization statistics: the dataset mean/std job a
+    // training pipeline runs once before input scaling — per-image exact
+    // int64 moments from ONE decode, reduced by a plain two-phase Spark
+    // aggregate (map-side combined ⇒ one row per size class on the
+    // shuffle; a single scan at any corpus size).
+    ("q150_norm_stats", (s: SparkSession, dir: String) => {
+      Fixtures.imagesFromParts(s, dir)
+        .filter(col("w") <= 64 && col("fmt") =!= "jpeg")
+        .withColumn("m", raster_moments(col("bytes"), col("fmt"), col("w"), col("h")))
+        .groupBy(col("w").as("sz"))
+        .agg(count(lit(1)).as("n_images"), sum(col("m.n_px")).as("n_px"),
+          sum(col("m.v_sum")).as("v_sum"), sum(col("m.v_sum2")).as("v_sum2"),
+          min(col("m.v_min")).as("v_min"), max(col("m.v_max")).as("v_max"))
+        .withColumn("mean", col("v_sum").cast("double") / col("n_px").cast("double"))
+    }, Some(s"""
+      WITH $PixCte,
+      agg AS (
+        SELECT sz, count(DISTINCT key) AS n_images, count(*) AS n_px,
+          sum(v) AS v_sum, sum(CAST(v AS BIGINT) * v) AS v_sum2,
+          min(v) AS v_min, max(v) AS v_max
+        FROM pv GROUP BY sz)
+      SELECT CAST(sz AS INT) AS sz, CAST(n_images AS BIGINT) AS n_images,
+        CAST(n_px AS BIGINT) AS n_px, CAST(v_sum AS BIGINT) AS v_sum,
+        CAST(v_sum2 AS BIGINT) AS v_sum2, CAST(v_min AS INT) AS v_min,
+        CAST(v_max AS INT) AS v_max,
+        (CAST(v_sum AS DOUBLE) / CAST(n_px AS DOUBLE)) AS mean
+      FROM agg""")),
+
     // §2.1 windowed read (IRasterIO analog): slice checksum re-derived in
     // SQL over the window's local coordinates
     ("q76_windowed_read", (s: SparkSession, dir: String) => {
