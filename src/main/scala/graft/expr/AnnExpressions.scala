@@ -301,3 +301,45 @@ case class KmeansAssign(child: Expression, model: KmeansModel)
   override protected def withNewChildInternal(c: Expression): KmeansAssign =
     copy(child = c)
 }
+
+/** nearest_site_strict(px, py) over a driver-collected site array
+  * (broadcast into codegen like the GCP fits): true iff the probe's
+  * int64 argmin site is UNIQUE — i.e. its second-nearest distance is
+  * strictly greater. Replaces the 45M-row crossJoin + per-probe window
+  * the Voronoi strictness filter first shipped with: one O(|sites|)
+  * register loop per probe, map-only, no shuffle. Sites are capped by
+  * the caller (the same guarded-collect contract as pipJoinIndexed).
+  */
+object SiteKernels {
+  /** packed = [sx0, sy0, sx1, sy1, …] to keep the reference object flat. */
+  def strictNearest(packed: Array[Long], px: Long, py: Long): Boolean = {
+    var best = Long.MaxValue
+    var second = Long.MaxValue
+    var i = 0
+    while (i < packed.length) {
+      val dx = px - packed(i)
+      val dy = py - packed(i + 1)
+      val d2 = dx * dx + dy * dy
+      if (d2 < best) { second = best; best = d2 }
+      else if (d2 < second) { second = d2 }
+      i += 2
+    }
+    second > best
+  }
+}
+
+case class NearestSiteStrict(left: Expression, right: Expression, packedSites: Array[Long])
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(LongType, LongType)
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_site_strict"
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    SiteKernels.strictNearest(packedSites, x.asInstanceOf[Long], y.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("packedSites", packedSites, "long[]")
+    defineCodeGen(ctx, ev, (x, y) => s"graft.expr.SiteKernels.strictNearest($ref, $x, $y)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): NearestSiteStrict =
+    copy(left = l, right = r)
+}

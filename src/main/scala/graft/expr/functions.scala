@@ -209,6 +209,14 @@ object functions {
   def raster_moments(bytes: Column, fmt: Column, w: Column, h: Column): Column =
     toCol(RasterMoments(Seq(toExpr(bytes), toExpr(fmt), toExpr(w), toExpr(h))))
 
+  def nearest_site_strict(px: Column, py: Column, packedSites: Array[Long]): Column =
+    toCol(NearestSiteStrict(toExpr(px), toExpr(py), packedSites))
+
+  def raster_scale(bytes: Column, fmt: Column, w: Column, h: Column,
+                   srcMin: Column, srcMax: Column, dstMin: Column, dstMax: Column, exponent: Column): Column =
+    toCol(RasterScale(Seq(toExpr(bytes), toExpr(fmt), toExpr(w), toExpr(h),
+      toExpr(srcMin), toExpr(srcMax), toExpr(dstMin), toExpr(dstMax), toExpr(exponent))))
+
   def raster_chips(bytes: Column, fmt: Column, meta9: Column, chip: Column, stride: Column): Column =
     toCol(RasterChips(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(chip), toExpr(stride))))
 

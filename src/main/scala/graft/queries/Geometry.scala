@@ -402,25 +402,21 @@ object Geometry {
       val wkbs = graft.core.Voronoi.cells(
         siteRows.map(_._2), siteRows.map(_._3), -180.0, -85.0, 180.0, 85.0)
       val cellsDf = siteRows.map(_._1).zip(wkbs).toSeq.toDF("site_id", "wkb")
-      val probes = Fixtures.pointsFromOrders(s, dir)
-      val assigned = graft.ops.SpatialJoin.pipJoinIndexed(probes, cellsDf)
-      // exact-integer strict-margin filter (milli-degrees; mirrors oracle)
-      val sdf = broadcast(siteRows.map { case (id, _, _) =>
-        (id, ((id * 31) % 360 - 180) * 1000 + 250, ((id * 17) % 160 - 80) * 1000 + 250)
-      }.toSeq.toDF("sid", "sx", "sy"))
-      val d = probes.select(col("point_id"),
-          ((col("point_id") * 9973) % 360000 - 180000).as("px"),
-          ((col("point_id") * 7919) % 170000 - 85000).as("py"))
-        .crossJoin(sdf)
-        .withColumn("d2", (col("px") - col("sx")) * (col("px") - col("sx"))
-          + (col("py") - col("sy")) * (col("py") - col("sy")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("point_id").orderBy(col("d2"), col("sid"))
-      val strict = d.withColumn("rn", row_number().over(w))
-        .withColumn("d2n", lead(col("d2"), 1).over(w))
-        .filter(col("rn") === 1 && col("d2n") > col("d2"))
-        .select(col("point_id"))
-      assigned.join(strict, "point_id").select(col("point_id"), col("site_id"))
+      // exact-integer strict-margin filter (milli-degrees; mirrors oracle):
+      // the site set is already a guarded driver collect, so the
+      // second-nearest-strictly-greater test is one codegen'd O(|sites|)
+      // register loop per probe — map-only, BEFORE the PIP join. (The
+      // first version shipped this as a 45M-row crossJoin + per-probe
+      // window: a full shuffle+sort for a probe-local predicate.)
+      val packed = siteRows.flatMap { case (id, _, _) =>
+        Array(((id * 31) % 360 - 180) * 1000 + 250, ((id * 17) % 160 - 80) * 1000 + 250)
+      }
+      val strictProbes = Fixtures.pointsFromOrders(s, dir)
+        .filter(nearest_site_strict(
+          (col("point_id") * 9973) % 360000 - 180000,
+          (col("point_id") * 7919) % 170000 - 85000, packed))
+      graft.ops.SpatialJoin.pipJoinIndexed(strictProbes, cellsDf)
+        .select(col("point_id"), col("site_id"))
     }, Some("""
       WITH sites AS (SELECT s_suppkey AS sid,
               ((((s_suppkey * 31) % 360) - 180) * 1000 + 250) AS sx,

@@ -1967,6 +1967,38 @@ object Geospatial {
       SELECT r.key AS key, r.rw, r.cks_resized, r.sum_resized, c.cks_crop
       FROM rza r JOIN cra c ON r.key = c.key""")),
 
+    // §2.1 band rescale (gdal_translate -scale / -exponent analog): a
+    // linear [32,224]→[10,200] stretch with clip counts and a power-law
+    // e=2 [0,255]→[0,100] stretch, each plane value-checked by its GDAL
+    // checksum + exact sum. Integer endpoints make every output value
+    // exact round-half-up int64 arithmetic, re-derived verbatim in SQL.
+    ("q151_scale_stretch", (s: SparkSession, dir: String) => {
+      Fixtures.imagesFromParts(s, dir)
+        .filter(col("w") <= 64 && col("fmt") =!= "jpeg")
+        .withColumn("lin", raster_scale(col("bytes"), col("fmt"), col("w"), col("h"),
+          lit(32), lit(224), lit(10), lit(200), lit(1)))
+        .withColumn("pw", raster_scale(col("bytes"), col("fmt"), col("w"), col("h"),
+          lit(0), lit(255), lit(0), lit(100), lit(2)))
+        .select(col("key"),
+          col("lin.cks_scaled").as("cks_lin"), col("lin.sum_scaled").as("sum_lin"),
+          col("lin.n_clip_lo").as("n_lo"), col("lin.n_clip_hi").as("n_hi"),
+          col("pw.cks_scaled").as("cks_pw"), col("pw.sum_scaled").as("sum_pw"))
+    }, Some(s"""
+      WITH $PixCte,
+      sc AS (
+        SELECT key, sz, px, py, v,
+          10 + ((LEAST(GREATEST(v - 32, 0), 192) * 190 * 2 + 192) // (2 * 192)) AS ol,
+          ((CAST(v AS BIGINT) * v * 100 * 2 + 65025) // (2 * 65025)) AS op
+        FROM pv)
+      SELECT key,
+        CAST(sum(ol % ([7,11,13,17,19,23,29,31,37,41,43])[(((py * sz) + px) % 11) + 1]) % 65536 AS INT) AS cks_lin,
+        CAST(sum(ol) AS BIGINT) AS sum_lin,
+        CAST(sum(CASE WHEN v < 32 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        CAST(sum(CASE WHEN v > 224 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+        CAST(sum(op % ([7,11,13,17,19,23,29,31,37,41,43])[(((py * sz) + px) % 11) + 1]) % 65536 AS INT) AS cks_pw,
+        CAST(sum(op) AS BIGINT) AS sum_pw
+      FROM sc GROUP BY key""")),
+
     // §2.11 corpus normalization statistics: the dataset mean/std job a
     // training pipeline runs once before input scaling — per-image exact
     // int64 moments from ONE decode, reduced by a plain two-phase Spark
