@@ -86,4 +86,27 @@ object Sampling {
       .withColumn("rk", row_number().over(w).cast("int"))
       .filter(col("rk") <= k)
   }
+
+  /** Leakage-safe train/val split: assign each row to a split by a
+    * deterministic hash of its duplicate-CLUSTER id, never its own id.
+    * Splitting by row id leaks near-duplicates across the boundary (a
+    * val image whose twin sits in train inflates every eval number);
+    * splitting on the connected-component label from
+    * [[graft.ops.Components.connectedComponents]] keeps each near-dup
+    * cluster atomic, so no Hamming-/Jaccard-linked pair can straddle the
+    * cut by construction.
+    *
+    * The hash is plain modular arithmetic on the component label
+    * (`(component·1000003 + salt) mod 1000 < valPermille`), exact in
+    * int64 and bit-mirrorable in SQL; component labels are min-reachable
+    * ids, so the assignment is stable under repartitioning, retries and
+    * resume. Scale shape: a codegen'd map over the (id, component)
+    * frame — no shuffle, no state. */
+  def leakageSplit(assign: DataFrame, componentCol: String = "component",
+                   valPermille: Long = 100L, salt: Long = 0L): DataFrame = {
+    require(valPermille >= 0 && valPermille <= 1000, "valPermille in [0, 1000]")
+    assign.withColumn("split",
+      when(pmod(col(componentCol) * lit(1000003L) + lit(salt), lit(1000L)) < valPermille,
+        lit("val")).otherwise(lit("train")))
+  }
 }

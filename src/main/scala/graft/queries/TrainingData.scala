@@ -904,6 +904,63 @@ object TrainingData {
         SELECT e.b, r.lbl FROM reach r JOIN hedges e ON e.a = r.id WHERE r.lbl < e.b)
       SELECT id, min(lbl) AS component FROM reach GROUP BY id""")),
 
+    // Leakage-safe train/val split: the q114 duplicate clusters feed
+    // Sampling.leakageSplit — split assignment hashes the COMPONENT
+    // label, so every near-dup cluster lands whole on one side of the
+    // cut and no Hamming-linked pair can straddle it. The query emits
+    // the per-split census PLUS the cross-split leak count computed
+    // in-plan over the rep near-dup pairs (structurally 0; the oracle
+    // re-derives components by recursive min-label reach and confirms
+    // the same invariant independently). Scale shape: the split is a
+    // codegen'd map over (id, component); the census is one two-phase
+    // hash-agg; the leak check joins the SMALL rep-pair frame twice
+    // against the persisted split frame.
+    ("q152_leakage_split", (s: SparkSession, dir: String) => {
+      val imgs = graft.gen.Fixtures.imagesFromParts(s, dir)
+      val repMap = imgs.groupBy(col("phash")).agg(min(col("key")).as("rep"))
+      val pairs = Dedup.hammingNearDup(repMap, "phash", "rep", maxHamming = 3, nChunks = 4)
+      val comp = graft.ops.Components.connectedComponents(
+        pairs, "id_a", "id_b", repMap.select(col("rep").as("id")))
+      val assign = imgs.select(col("key"), col("phash"))
+        .join(repMap, Seq("phash"))
+        .join(comp, col("rep") === col("id"))
+        .select(col("key").as("id"), col("component"))
+      val split = graft.pipeline.Caches.persist(
+        graft.ops.Sampling.leakageSplit(assign, valPermille = 100L, salt = 17L))
+      val leaks = split.select(col("id").as("la"), col("split").as("sa"))
+        .join(pairs.select(col("id_a"), col("id_b")), col("la") === col("id_a"))
+        .join(split.select(col("id").as("lb"), col("split").as("sb")), col("lb") === col("id_b"))
+        .filter(col("sa") =!= col("sb"))
+        .agg(count(lit(1)).as("leaked_pairs"))
+      split.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_ids"), countDistinct(col("component")).as("n_components"))
+        .crossJoin(broadcast(leaks))
+        .select(col("split"), col("n_ids"), col("n_components"), col("leaked_pairs"))
+    }, Some(s"""
+      WITH RECURSIVE $phashPairCtes,
+      $phashFullPairCtes,
+      hedges AS (
+        SELECT id_a AS a, id_b AS b FROM fpairs
+        UNION ALL
+        SELECT id_b AS a, id_a AS b FROM fpairs),
+      reach(id, lbl) AS (
+        SELECT key, key FROM phimg
+        UNION
+        SELECT e.b, r.lbl FROM reach r JOIN hedges e ON e.a = r.id WHERE r.lbl < e.b),
+      compo AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+      sp AS (SELECT id, component,
+               CASE WHEN ((component * 1000003 + 17) % 1000) < 100
+                    THEN 'val' ELSE 'train' END AS split
+             FROM compo),
+      leaks AS (SELECT count(*) AS lk
+                FROM (SELECT id_a, id_b FROM hpairs WHERE hamming <= 3) p
+                JOIN sp a ON a.id = p.id_a JOIN sp b ON b.id = p.id_b
+                WHERE a.split <> b.split)
+      SELECT split, CAST(count(*) AS BIGINT) AS n_ids,
+        CAST(count(DISTINCT component) AS BIGINT) AS n_components,
+        (SELECT CAST(lk AS BIGINT) FROM leaks) AS leaked_pairs
+      FROM sp GROUP BY split""")),
+
     // BM25 top-k retrieval (exact-rational idf flavor — see Relevance):
     // per-doc tf/dl are codegen'd projections, corpus stats one broadcast
     // aggregate row, top-k a TakeOrdered. The oracle mirrors every double

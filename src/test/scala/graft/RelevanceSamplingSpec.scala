@@ -130,4 +130,30 @@ class RelevanceSamplingSpec extends AnyFunSuite {
     val tiny = spark.range(0, 10).select(col("id"), lit("only").as("grp"))
     assert(Sampling.temperatureMix(tiny, "id", "grp", total = 100L).count() == 10L)
   }
+
+  test("leakageSplit is component-atomic, deterministic, and leak-free") {
+    // 200 ids in 60 components of mixed sizes (component = id - id%k style)
+    val assign = spark.range(0, 200).select(col("id"),
+      (col("id") - pmod(col("id"), (pmod(col("id"), lit(5L)) + 1L))).as("component"))
+    val out = Sampling.leakageSplit(assign, valPermille = 300L, salt = 7L)
+    // component-atomic: no component appears under both splits
+    assert(out.groupBy("component").agg(countDistinct("split").as("k"))
+      .filter(col("k") > 1).count() == 0L)
+    // both splits non-empty at 30% val over 60+ components
+    val sizes = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(sizes.keySet == Set("train", "val") && sizes.values.forall(_ > 0))
+    // deterministic under repartitioning
+    val again = Sampling.leakageSplit(assign.repartition(13), valPermille = 300L, salt = 7L)
+      .select("id", "split").as[(Long, String)].collect().toSet
+    assert(again == out.select("id", "split").as[(Long, String)].collect().toSet)
+    // within-component edges (the only edges a dedup graph emits after
+    // components) never cross the cut
+    val edges = assign.select(col("id").as("a"), col("component").as("c"))
+      .join(assign.select(col("id").as("b"), col("component").as("c")), "c")
+      .filter(col("a") < col("b"))
+    val leak = edges.join(out.select(col("id").as("a"), col("split").as("sa")), "a")
+      .join(out.select(col("id").as("b"), col("split").as("sb")), "b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(leak == 0L)
+  }
 }
