@@ -26,6 +26,43 @@ object TrainingData {
   /** 2^64 as a decimal literal. */
   private val U64 = "18446744073709551616"
 
+  /** Shared oracle CTE chain re-deriving the IVF top-k search (q99's
+    * exact int64 algebra: centroid self-norms, reduced quantized L2,
+    * argmin assignment, nprobe-nearest probe cells, exact re-rank
+    * scores). Ends at `scored` (q_id, c_id, score); q99 ranks it to
+    * rank ≤ 5, q153 intersects it with the brute top-k for recall. */
+  private lazy val ivfScoredCtes: String = s"""qn AS (
+        SELECT CAST(n_nationkey AS INT) AS cent_id,
+          (SELECT CAST(sum(CAST(round((
+             (CAST((n_nationkey*31 + (i-1)*17) % 64 - 32 AS DOUBLE)/32)
+             * (CAST((n_nationkey*31 + (i-1)*17) % 64 - 32 AS DOUBLE)/32)) * ${Ann.Scale}) AS BIGINT)) AS BIGINT)
+           FROM unnest(generate_series(1, 64)) AS t(i)) AS qnc
+        FROM nation),
+      dist AS (
+        SELECT e.vec_id, q.cent_id,
+          q.qnc - 2 * (SELECT CAST(sum(CAST(round((CAST(e.embedding[i] AS DOUBLE)
+                         * (CAST((q.cent_id*31 + (i-1)*17) % 64 - 32 AS DOUBLE)/32)) * ${Ann.Scale}) AS BIGINT)) AS BIGINT)
+                       FROM unnest(generate_series(1, 64)) AS t(i)) AS d
+        FROM embeddings e, qn q),
+      acell AS (
+        SELECT vec_id AS c_id, cent_id AS cell FROM (
+          SELECT vec_id, cent_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
+          FROM dist) WHERE rn = 1),
+      qcell AS (
+        SELECT vec_id AS q_id, cent_id AS cell FROM (
+          SELECT vec_id, cent_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
+          FROM dist WHERE vec_id < 10) WHERE rn <= 3),
+      scored AS (
+        SELECT qc.q_id, a.c_id,
+          (SELECT CAST(sum(CAST(round((CAST(q.embedding[i] AS DOUBLE)
+                     * CAST(c.embedding[i] AS DOUBLE)) * ${Ann.Scale}) AS BIGINT)) AS BIGINT)
+           FROM unnest(generate_series(1, 64)) AS t(i)) AS score
+        FROM qcell qc JOIN acell a ON a.cell = qc.cell
+        JOIN embeddings q ON q.vec_id = qc.q_id
+        JOIN embeddings c ON c.vec_id = a.c_id)"""
+
   /** Shared oracle CTE chain replaying the q130 k-means trajectory
     * (k=4, iters=2, d=64, min-id seeding) exactly: px = quantized
     * components, c0 = seed centroids, d/a/u/c 1–2 = per-round reduced
@@ -624,41 +661,59 @@ object TrainingData {
       val cands = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
       Ann.ivfTopK(queries, cands, graft.gen.Fixtures.centroidsFromNation(s, dir), nprobe = 3, k = 5)
     }, Some(s"""
-      WITH qn AS (
-        SELECT CAST(n_nationkey AS INT) AS cent_id,
-          (SELECT CAST(sum(CAST(round((
-             (CAST((n_nationkey*31 + (i-1)*17) % 64 - 32 AS DOUBLE)/32)
-             * (CAST((n_nationkey*31 + (i-1)*17) % 64 - 32 AS DOUBLE)/32)) * ${Ann.Scale}) AS BIGINT)) AS BIGINT)
-           FROM unnest(generate_series(1, 64)) AS t(i)) AS qnc
-        FROM nation),
-      dist AS (
-        SELECT e.vec_id, q.cent_id,
-          q.qnc - 2 * (SELECT CAST(sum(CAST(round((CAST(e.embedding[i] AS DOUBLE)
-                         * (CAST((q.cent_id*31 + (i-1)*17) % 64 - 32 AS DOUBLE)/32)) * ${Ann.Scale}) AS BIGINT)) AS BIGINT)
-                       FROM unnest(generate_series(1, 64)) AS t(i)) AS d
-        FROM embeddings e, qn q),
-      acell AS (
-        SELECT vec_id AS c_id, cent_id AS cell FROM (
-          SELECT vec_id, cent_id,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
-          FROM dist) WHERE rn = 1),
-      qcell AS (
-        SELECT vec_id AS q_id, cent_id AS cell FROM (
-          SELECT vec_id, cent_id,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
-          FROM dist WHERE vec_id < 10) WHERE rn <= 3),
-      scored AS (
-        SELECT qc.q_id, a.c_id,
-          (SELECT CAST(sum(CAST(round((CAST(q.embedding[i] AS DOUBLE)
-                     * CAST(c.embedding[i] AS DOUBLE)) * ${Ann.Scale}) AS BIGINT)) AS BIGINT)
-           FROM unnest(generate_series(1, 64)) AS t(i)) AS score
-        FROM qcell qc JOIN acell a ON a.cell = qc.cell
-        JOIN embeddings q ON q.vec_id = qc.q_id
-        JOIN embeddings c ON c.vec_id = a.c_id)
+      WITH $ivfScoredCtes
       SELECT q_id, c_id, score, rank FROM (
         SELECT q_id, c_id, score,
                CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS INT) AS rank
         FROM scored) WHERE rank <= 5""")),
+
+    // ANN recall monitoring: recall@5 of the IVF search (q99's exact
+    // configuration) against the brute-force exact top-k (q44) — the
+    // eval a production pipeline runs whenever the quantizer retrains
+    // or nprobe changes. All-integer: hits = |IVF∩brute| per query,
+    // recall_pct = hits·20 (k=5). Scale shape: both sides reduce to
+    // k rows/query BEFORE the intersection join, so the recall eval
+    // costs two top-k searches + a join on 10·k rows regardless of
+    // corpus size; sampling the query set is the production knob.
+    ("q153_ann_recall", (s: SparkSession, dir: String) => {
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val cands = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val brute = Ann.bruteTopK(queries, cands, k = 5).select(col("q_id"), col("c_id"))
+      val ivf = Ann.ivfTopK(queries, cands,
+        graft.gen.Fixtures.centroidsFromNation(s, dir), nprobe = 3, k = 5)
+        .select(col("q_id"), col("c_id"))
+      val hits = brute.join(ivf, Seq("q_id", "c_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+      queries.select(col("q_id")).join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+          lit(5).as("k"), (coalesce(col("hits"), lit(0L)) * 20).cast("int").as("recall_pct"))
+    }, Some(s"""
+      WITH $ivfScoredCtes,
+      ivf AS (
+        SELECT q_id, c_id FROM (
+          SELECT q_id, c_id,
+                 row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank
+          FROM scored) WHERE rank <= 5),
+      bscored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+               (SELECT CAST(sum(CAST(round((CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)) * ${Ann.Scale}) AS BIGINT)) AS BIGINT)
+                FROM unnest(generate_series(1, 64)) AS t(i)) AS score
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < 10),
+      brute AS (
+        SELECT q_id, c_id FROM (
+          SELECT q_id, c_id,
+                 row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank
+          FROM bscored) WHERE rank <= 5),
+      h AS (SELECT b.q_id, count(*) AS hits
+            FROM brute b JOIN ivf v ON v.q_id = b.q_id AND v.c_id = b.c_id
+            GROUP BY b.q_id)
+      SELECT e.vec_id AS q_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+        CAST(5 AS INT) AS k, CAST(coalesce(h.hits, 0) * 20 AS INT) AS recall_pct
+      FROM embeddings e LEFT JOIN h ON h.q_id = e.vec_id
+      WHERE e.vec_id < 10""")),
 
     // IVF-PQ approximate top-k (the IndexIVFPQ search shape): coarse
     // argmin assignment (q99's exact int64 algebra), residual product-

@@ -31,7 +31,8 @@ object PlanAudit {
       "q137_raster_compare", "q138_xyz_extract", "q139_dsir_topk", "q140_voronoi_assign",
       "q141_label_outliers", "q142_image_chips",
       "q143_gcp_refine", "q144_shard_pack", "q145_image_quality", "q146_caption_align",
-      "q147_bpe_tokens", "q148_augment", "q152_leakage_split")
+      "q147_bpe_tokens", "q148_augment", "q152_leakage_split",
+      "q153_ann_recall")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       val df = graft.SparkEntry.queries(n)(spark, sf)
