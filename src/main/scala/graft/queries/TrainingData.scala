@@ -973,7 +973,11 @@ object TrainingData {
     ("q152_leakage_split", (s: SparkSession, dir: String) => {
       val imgs = graft.gen.Fixtures.imagesFromParts(s, dir)
       val repMap = imgs.groupBy(col("phash")).agg(min(col("key")).as("rep"))
-      val pairs = Dedup.hammingNearDup(repMap, "phash", "rep", maxHamming = 3, nChunks = 4)
+      // persisted: consumed by BOTH the components build (which eagerly
+      // checkpoints its own edge copy) and the leak-count join — without
+      // the persist the banded self-join runs twice
+      val pairs = graft.pipeline.Caches.persist(
+        Dedup.hammingNearDup(repMap, "phash", "rep", maxHamming = 3, nChunks = 4))
       val comp = graft.ops.Components.connectedComponents(
         pairs, "id_a", "id_b", repMap.select(col("rep").as("id")))
       val assign = imgs.select(col("key"), col("phash"))
