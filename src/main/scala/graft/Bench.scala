@@ -44,7 +44,8 @@ object Bench {
     "q137_raster_compare", "q138_xyz_extract", "q139_dsir_topk", "q140_voronoi_assign", "q141_label_outliers", "q142_image_chips",
     "q143_gcp_refine", "q144_shard_pack", "q145_image_quality", "q146_caption_align",
     "q147_bpe_tokens", "q148_augment", "q149_resize_crop", "q150_norm_stats",
-    "q151_scale_stretch", "q152_leakage_split", "q153_ann_recall")
+    "q151_scale_stretch", "q152_leakage_split", "q153_ann_recall",
+    "q154_epoch_shuffle")
 
   def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()

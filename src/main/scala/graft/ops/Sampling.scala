@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.text.textfunctions.sample_bucket
+import graft.text.textfunctions.{sample_bucket, smix64}
 
 /** Deterministic sampling for training-data mixture construction.
   *
@@ -85,6 +85,37 @@ object Sampling {
     df.withColumn("bucket", sample_bucket(col(idCol)))
       .withColumn("rk", row_number().over(w).cast("int"))
       .filter(col("rk") <= k)
+  }
+
+  /** Epoch-reproducible training shuffle: for each epoch, every row gets
+    * a pseudorandom (shard, pos) from the splitmix64 mix of
+    * `id + epoch·golden` — a fresh deterministic permutation per epoch,
+    * reproducible across runs, retries, repartitioning and engines (the
+    * property a partition-index-seeded `orderBy(rand())` lacks, and the
+    * reason a resumed training job can re-derive exactly which sample it
+    * stopped at). `shards` must be a power of two so the unsigned
+    * residue equals the signed `pmod` (2^64 ≡ 0 mod 2^k) and the SQL
+    * mirror is exact.
+    *
+    * Scale shape: key and shard are codegen'd maps; the only wide op is
+    * ONE Exchange on (epoch, shard) feeding the per-shard rank window —
+    * the global sort a naive shuffle would pay never appears, and shard
+    * count bounds every sort's width (the WebDataset recipe: shuffle
+    * shard order cheaply, sort within shards in parallel). */
+  def epochShuffle(df: DataFrame, idCol: String, epochs: Int, shards: Int): DataFrame = {
+    require(epochs >= 1, "epochs >= 1")
+    require(shards >= 1 && (shards & (shards - 1)) == 0, "shards must be a power of two")
+    val withE = df.select(col(idCol))
+      .withColumn("epoch", explode(array((0 until epochs).map(e => lit(e)): _*)))
+    val keyed = withE.withColumn("skey",
+      smix64(col(idCol) + col("epoch").cast("long") * lit(0x9E3779B9L)))
+    // unsigned order of the raw hash == signed order of (hash ^ MinValue)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("skey").bitwiseXOR(lit(Long.MinValue)), col(idCol))
+    keyed.withColumn("shard", pmod(col("skey"), lit(shards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("int"))
+      .select(col(idCol), col("epoch"), col("shard"), col("pos"))
   }
 
   /** Leakage-safe train/val split: assign each row to a split by a

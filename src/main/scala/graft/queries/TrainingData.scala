@@ -715,6 +715,29 @@ object TrainingData {
       FROM embeddings e LEFT JOIN h ON h.q_id = e.vec_id
       WHERE e.vec_id < 10""")),
 
+    // Epoch-reproducible training shuffle: per epoch a fresh
+    // deterministic permutation into power-of-two shards with in-shard
+    // positions — the data-order stage of a resumable training loader
+    // (re-derive exactly which sample a killed job stopped at). Key =
+    // splitmix64(id + epoch·golden); shard = unsigned residue (= signed
+    // pmod because shards | 2^64); order = UNSIGNED hash order (Spark
+    // compares the sign-flipped key; the oracle's UBIGINT orders
+    // natively). One Exchange on (epoch, shard); no global sort.
+    ("q154_epoch_shuffle", (s: SparkSession, dir: String) => {
+      val pts = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey").as("id"))
+      graft.ops.Sampling.epochShuffle(pts, "id", epochs = 2, shards = 8)
+    }, Some(s"""
+      WITH es AS (
+        SELECT o_orderkey AS id, e FROM orders, unnest([0, 1]) AS t(e)),
+      esrc AS (
+        SELECT id, e, CAST(id + e * 2654435769 AS BIGINT) AS seed FROM es),
+      ${smixCtes("esrc", "seed", "id, e")}
+      SELECT id, CAST(e AS INT) AS epoch,
+        CAST(h % 8 AS INT) AS shard,
+        CAST(row_number() OVER (PARTITION BY e, h % 8 ORDER BY h, id) AS INT) AS pos
+      FROM smh""")),
+
     // IVF-PQ approximate top-k (the IndexIVFPQ search shape): coarse
     // argmin assignment (q99's exact int64 algebra), residual product-
     // quantization into 8 sub-codes by a codegen'd per-row expression,

@@ -37,6 +37,20 @@ case class SampleBucket(child: Expression) extends UnaryExpression with Implicit
   override protected def withNewChildInternal(c: Expression): SampleBucket = copy(child = c)
 }
 
+/** smix64(seed) → the full splitmix64-mixed value (signed carrier of the
+  * unsigned hash; compare unsigned via `x ^ Long.MinValue`). The seeded
+  * generalization of [[SampleBucket]] for epoch-keyed shuffles. */
+case class Smix64(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(LongType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "smix64"
+  override protected def nullSafeEval(v: Any): Any = TextKernels.splitmix64(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.text.TextKernels.splitmix64($v)")
+  override protected def withNewChildInternal(c: Expression): Smix64 = copy(child = c)
+}
+
 /** minhash_sig(text, k, shingle) → array<long> signature. */
 case class MinHashSig(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with ImplicitCastInputTypes {
@@ -225,6 +239,7 @@ object TextExprHelpers {
 object textfunctions {
   def fnv64(c: Column): Column = toCol(Fnv64(toExpr(c)))
   def sample_bucket(c: Column): Column = toCol(SampleBucket(toExpr(c)))
+  def smix64(c: Column): Column = toCol(Smix64(toExpr(c)))
   def minhash_sig(text: Column, k: Int, shingle: Int): Column =
     toCol(MinHashSig(toExpr(text), Literal(k), Literal(shingle)))
   def simhash64(c: Column): Column = toCol(SimHash64(toExpr(c)))

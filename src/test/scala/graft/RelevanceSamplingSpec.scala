@@ -131,6 +131,34 @@ class RelevanceSamplingSpec extends AnyFunSuite {
     assert(Sampling.temperatureMix(tiny, "id", "grp", total = 100L).count() == 10L)
   }
 
+  test("epochShuffle: per-epoch permutations, contiguous shard positions, deterministic") {
+    val df = spark.range(0, 500).toDF("id")
+    val out = Sampling.epochShuffle(df, "id", epochs = 2, shards = 4).cache()
+    // every epoch covers all ids exactly once
+    assert(out.groupBy("epoch").count().as[(Int, Long)].collect().toMap ==
+      Map(0 -> 500L, 1 -> 500L))
+    // positions are 1..n within each (epoch, shard)
+    val bad = out.groupBy("epoch", "shard")
+      .agg(count(lit(1)).as("n"), max(col("pos")).as("mx"), min(col("pos")).as("mn"),
+        countDistinct(col("pos")).as("d"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1 || col("d") =!= col("n"))
+    assert(bad.count() == 0L)
+    // epochs produce DIFFERENT orders: some id changes (shard, pos)
+    val changed = out.filter(col("epoch") === 0).as("a")
+      .join(out.filter(col("epoch") === 1).as("b"), col("a.id") === col("b.id"))
+      .filter(col("a.shard") =!= col("b.shard") || col("a.pos") =!= col("b.pos"))
+    assert(changed.count() > 400L)
+    // deterministic under repartitioning
+    val again = Sampling.epochShuffle(df.repartition(11), "id", epochs = 2, shards = 4)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(again == out.as[(Long, Int, Int, Int)].collect().toSet)
+    out.unpersist()
+    // non-power-of-two shard counts are rejected (unsigned-residue contract)
+    intercept[IllegalArgumentException] {
+      Sampling.epochShuffle(df, "id", epochs = 1, shards = 6)
+    }
+  }
+
   test("leakageSplit is component-atomic, deterministic, and leak-free") {
     // 200 ids in 60 components of mixed sizes (component = id - id%k style)
     val assign = spark.range(0, 200).select(col("id"),
