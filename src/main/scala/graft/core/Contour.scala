@@ -213,6 +213,202 @@ object Contour {
     }
   }
 
+  /** One level interval's MERGED ring output (the reference's actual
+    * polygon layer): shells (positive signed area) with nested holes
+    * (negative), obtained from the convex pieces of `bands` by exact
+    * directed-edge cancellation. ringAreaQ is the signed shoelace sum
+    * over all rings in areaQ units (2^-23 cell²) and equals the
+    * triangle-sum interval area exactly — the q155 oracle invariant. */
+  final case class RingBand(iv: Int, lvlLo: Double, lvlHi: Double,
+                            nShells: Int, nHoles: Int, ringAreaQ: Long, wkb: Array[Byte])
+
+  /** Iso-polygon rings between consecutive levels (reference:
+    * alg/contour.cpp:569 polygonize branch + the ring merging of
+    * alg/marching_squares/polygon_ring_appender.h — behavior only).
+    *
+    * All piece vertices live on the exact 1/2048-cell integer lattice
+    * (corner vertices are multiples of 2048; 1/1024-quantized crossings
+    * land on even lattice points on corner-corner edges and integer
+    * points on corner-center edges), so borders shared by two pieces of
+    * the same interval produce exactly opposite directed edges, which
+    * cancel; the survivors are the region boundary. Face tracing with a
+    * max-CCW-turn rule at pinch vertices (saddle points) splits the
+    * boundary into simple rings; raw-shoelace sign classifies shell vs
+    * hole (pieces are positively oriented), and each hole nests into the
+    * smallest shell containing one of its edge midpoints (exact integer
+    * even-odd PIP — a hole-edge midpoint cannot lie ON a shell edge,
+    * since any geometric overlap between lattice edges of one interval
+    * is an exact directed pair and was cancelled). */
+  def ringBands(band: Array[Int], w: Int, h: Int, gt: Array[Double],
+                levels: Seq[Double], emitWkb: Boolean): Seq[RingBand] = {
+    val ls = levels.sorted.toArray
+    val nIv = ls.length + 1
+    @inline def v(x: Int, y: Int): Double = band(y * w + x).toDouble
+    @inline def ux(p: Long): Long = p >> 32
+    @inline def uy(p: Long): Long = p & 0xffffffffL
+    val px = new Array[Double](12); val py = new Array[Double](12)
+    (0 until nIv).map { iv =>
+      val lo = if (iv == 0) Double.NegativeInfinity else ls(iv - 1)
+      val hi = if (iv == nIv - 1) Double.PositiveInfinity else ls(iv)
+      // directed-edge multimap with exact cancellation: adding a→b first
+      // looks for a live b→a and annihilates the pair instead
+      val outAdj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+      @inline def pack(x: Long, y: Long): Long = (x << 32) | y
+      def addEdge(a: Long, b: Long): Unit = {
+        val rev = outAdj.getOrElse(b, null)
+        if (rev != null) {
+          val i = rev.indexOf(a)
+          if (i >= 0) { rev.remove(i); return }
+        }
+        outAdj.getOrElseUpdate(a, mutable.ArrayBuffer.empty) += b
+      }
+      var cy = 0
+      while (cy < h - 1) {
+        var cx = 0
+        while (cx < w - 1) {
+          val tl = v(cx, cy); val tr = v(cx + 1, cy)
+          val bl = v(cx, cy + 1); val br = v(cx + 1, cy + 1)
+          val c4 = (tl + tr + br + bl) / 4.0
+          val tvals = Array(tl, tr, br, bl)
+          val txs = Array(0L, 2048L, 2048L, 0L)
+          val tys = Array(0L, 0L, 2048L, 2048L)
+          var t = 0
+          while (t < 4) {
+            val va = tvals(t); val vb = tvals((t + 1) % 4)
+            val aLo = if (iv == 0) FullTriQ else triAreaGeq(va, vb, c4, lo)
+            val aHi = if (iv == nIv - 1) 0L else triAreaGeq(va, vb, c4, hi)
+            if (aLo - aHi > 0L) {
+              val n = walkBand(va, vb, c4, txs(t), tys(t), txs((t + 1) % 4), tys((t + 1) % 4),
+                lo, hi, px, py)
+              if (n >= 3) {
+                val g = new Array[Long](n)
+                var i = 0
+                while (i < n) {
+                  g(i) = pack(cx.toLong * 2048L + math.round(px(i)),
+                    cy.toLong * 2048L + math.round(py(i)))
+                  i += 1
+                }
+                i = 0
+                while (i < n) { addEdge(g(i), g((i + 1) % n)); i += 1 }
+              }
+            }
+            t += 1
+          }
+          cx += 1
+        }
+        cy += 1
+      }
+      // flatten the surviving edges and face-trace them into rings
+      val eFrom = mutable.ArrayBuffer.empty[Long]
+      val eTo = mutable.ArrayBuffer.empty[Long]
+      outAdj.foreach { case (a, bs) => bs.foreach { b => eFrom += a; eTo += b } }
+      val outIdx = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Int]]
+      eFrom.indices.foreach(i => outIdx.getOrElseUpdate(eFrom(i), mutable.ArrayBuffer.empty) += i)
+      val used = new Array[Boolean](eFrom.length)
+      val rings = mutable.ArrayBuffer.empty[Array[Long]]
+      var e0 = 0
+      while (e0 < eFrom.length) {
+        if (!used(e0)) {
+          val verts = mutable.ArrayBuffer.empty[Long]
+          var cur = e0
+          var closed = false
+          while (!closed) {
+            used(cur) = true
+            val a = eFrom(cur); val b = eTo(cur)
+            verts += a
+            val dx = ux(b) - ux(a); val dy = uy(b) - uy(a)
+            // successor = max CCW turn from the incoming direction: class
+            // U-turn(3) > left(2) > straight(1) > right(0); within the
+            // left/right half-planes the CCW-most candidate wins (exact
+            // long cross products; coords < 2^18 so products fit)
+            var best = -1; var bKls = -1; var bCx = 0L; var bCy = 0L
+            outIdx(b).foreach { ci =>
+              val c = eTo(ci)
+              val cxv = ux(c) - ux(b); val cyv = uy(c) - uy(b)
+              val cr = dx * cyv - dy * cxv; val dt = dx * cxv + dy * cyv
+              val kls = if (cr == 0L && dt < 0L) 3 else if (cr > 0L) 2
+                        else if (cr == 0L) 1 else 0
+              val take =
+                if (best < 0) true
+                else if (kls != bKls) kls > bKls
+                else if (kls == 2 || kls == 0) (bCx * cyv - bCy * cxv) > 0L
+                else false
+              if (take) { best = ci; bKls = kls; bCx = cxv; bCy = cyv }
+            }
+            require(best >= 0, "contour ring trace: dangling edge")
+            if (best == e0) closed = true
+            else {
+              require(!used(best), "contour ring trace: revisited edge (inconsistent pinch)")
+              cur = best
+            }
+          }
+          rings += verts.toArray
+        }
+        e0 += 1
+      }
+      // raw shoelace per ring — signed area in areaQ units exactly
+      val areas = rings.map { vs =>
+        var s = 0L; var i = 0; val n = vs.length
+        while (i < n) {
+          val a = vs(i); val b = vs((i + 1) % n)
+          s += ux(a) * uy(b) - ux(b) * uy(a)
+          i += 1
+        }
+        s
+      }
+      val shellIdx = rings.indices.filter(areas(_) > 0L)
+      val holeIdx = rings.indices.filter(areas(_) < 0L)
+      val wkb =
+        if (!emitWkb || shellIdx.isEmpty) null
+        else {
+          // hole → smallest containing shell by exact even-odd PIP on the
+          // ×2 lattice (rep point = first-edge midpoint)
+          def contains(ring: Array[Long], px2: Long, py2: Long): Boolean = {
+            var inside = false; var i = 0; val n = ring.length
+            while (i < n) {
+              val x1 = 2L * ux(ring(i)); val y1 = 2L * uy(ring(i))
+              val j = (i + 1) % n
+              val x2 = 2L * ux(ring(j)); val y2 = 2L * uy(ring(j))
+              if ((y1 > py2) != (y2 > py2)) {
+                val num = (x1 - px2) * (y2 - y1) + (py2 - y1) * (x2 - x1)
+                if ((num > 0L) == (y2 > y1)) inside = !inside
+              }
+              i += 1
+            }
+            inside
+          }
+          val bySize = shellIdx.sortBy(areas(_))
+          val holesOf = mutable.HashMap.empty[Int, mutable.ArrayBuffer[Int]]
+          holeIdx.foreach { hIx =>
+            val r = rings(hIx)
+            val mx = ux(r(0)) + ux(r(1 % r.length))
+            val my = uy(r(0)) + uy(r(1 % r.length))
+            bySize.find(sIx => contains(rings(sIx), mx, my))
+              .foreach(sIx => holesOf.getOrElseUpdate(sIx, mutable.ArrayBuffer.empty) += hIx)
+          }
+          def toGeo(vs: Array[Long]): Array[Double] = {
+            val n = vs.length
+            val out = new Array[Double]((n + 1) * 2)
+            var i = 0
+            while (i <= n) {
+              val p = vs(i % n)
+              val pxx = 0.5 + ux(p) / 2048.0
+              val pyy = 0.5 + uy(p) / 2048.0
+              out(2 * i) = GeoTransform.applyX(gt, pxx, pyy)
+              out(2 * i + 1) = GeoTransform.applyY(gt, pxx, pyy)
+              i += 1
+            }
+            out
+          }
+          Wkb.writeMultiPolygon(shellIdx.toArray.map { sIx =>
+            (toGeo(rings(sIx)) +: holesOf.getOrElse(sIx, mutable.ArrayBuffer.empty)
+              .toArray.map(hIx => toGeo(rings(hIx)))).toArray
+          })
+        }
+      RingBand(iv, lo, hi, shellIdx.length, holeIdx.length, areas.sum, wkb)
+    }
+  }
+
   /** Walk one triangle's boundary collecting the convex band polygon
     * {lo <= v < hi} (vertices in band + quantized level crossings, in
     * boundary order); writes lattice coords into (outX, outY), returns

@@ -289,6 +289,49 @@ case class ContourPolygons(children: Seq[Expression]) extends Expression with Ex
     copy(children = c)
 }
 
+/** contour_rings(bytes, fmt, meta9, levels, emit_wkb) →
+  * array<struct<iv:int, lvl_lo:double, lvl_hi:double, n_shells:int,
+  * n_holes:int, ring_area_q:bigint, wkb:binary>> — per-image MERGED
+  * iso-polygon rings per interval (the reference's actual polygon layer:
+  * alg/contour.cpp:569 + alg/marching_squares/polygon_ring_appender.h
+  * ring merging — behavior only). Shells carry nested holes in the
+  * multipolygon WKB; ring_area_q (signed shoelace sum, 2^-23 cell²)
+  * equals the interval's triangle-sum area exactly (Contour.ringBands). */
+case class ContourRings(children: Seq[Expression]) extends Expression with ExpectsInputTypes with CodegenFallback {
+  require(children.length == 5, "contour_rings(bytes, fmt, meta9, levels, emit_wkb)")
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(BinaryType, StringType, ArrayType(DoubleType), ArrayType(DoubleType), BooleanType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("iv", IntegerType, nullable = false),
+    StructField("lvl_lo", DoubleType, nullable = false),
+    StructField("lvl_hi", DoubleType, nullable = false),
+    StructField("n_shells", IntegerType, nullable = false),
+    StructField("n_holes", IntegerType, nullable = false),
+    StructField("ring_area_q", LongType, nullable = false),
+    StructField("wkb", BinaryType, nullable = true))), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "contour_rings"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    if (vals.exists(_ == null)) return null
+    val meta = vals(2).asInstanceOf[ArrayData].toDoubleArray()
+    val w = meta(0).toInt; val h = meta(1).toInt
+    val gt = java.util.Arrays.copyOfRange(meta, 3, 9)
+    val levels = vals(3).asInstanceOf[ArrayData].toDoubleArray()
+    val emitWkb = vals(4).asInstanceOf[Boolean]
+    val r = ImageCodec.decode(vals(0).asInstanceOf[Array[Byte]], vals(1).toString, w, h)
+    val bands = Contour.ringBands(r.bands(0), w, h, gt, levels.toSeq, emitWkb)
+    new GenericArrayData(bands.map { b =>
+      org.apache.spark.sql.catalyst.InternalRow(
+        b.iv, b.lvlLo, b.lvlHi, b.nShells, b.nHoles, b.ringAreaQ, b.wkb)
+    }.toArray[Any])
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): ContourRings =
+    copy(children = c)
+}
+
 /** sample_at(bytes, fmt, meta9, lon, lat) → int: band-0 value at a geo
   * point via inverse geotransform + nearest-neighbor kernel (the
   * GDALInterpolateAtPoint surface, alg/gdal_interpolateatpoint.cpp:415

@@ -252,6 +252,9 @@ object functions {
   def contour_polygons(bytes: Column, fmt: Column, meta9: Column, levels: Column, emitWkb: Column): Column =
     toCol(ContourPolygons(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(levels), toExpr(emitWkb))))
 
+  def contour_rings(bytes: Column, fmt: Column, meta9: Column, levels: Column, emitWkb: Column): Column =
+    toCol(ContourRings(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(levels), toExpr(emitWkb))))
+
   // ---- geometry measures + overlay kernels (§2.7 / §2.3) ----
   def st_area(wkb: Column): Column = toCol(StArea(toExpr(wkb)))
   def st_length(wkb: Column): Column = toCol(StLength(toExpr(wkb)))
@@ -401,6 +404,8 @@ object GraftExtensions {
       (e: Seq[Expression]) => ContourLines(e))),
     "contour_polygons" -> ((info("contour_polygons", "contour_polygons(bytes, fmt, meta9, levels, emit_wkb) - iso-polygons between levels"),
       (e: Seq[Expression]) => ContourPolygons(e))),
+    "contour_rings" -> ((info("contour_rings", "contour_rings(bytes, fmt, meta9, levels, emit_wkb) - merged iso-polygon rings (shells + nested holes)"),
+      (e: Seq[Expression]) => ContourRings(e))),
     "st_area" -> ((info("st_area", "st_area(wkb) - shoelace area, holes subtract"),
       (e: Seq[Expression]) => StArea(e(0)))),
     "st_length" -> ((info("st_length", "st_length(wkb) - perimeter/length"),

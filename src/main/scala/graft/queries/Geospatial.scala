@@ -1447,6 +1447,73 @@ object Geospatial {
       SELECT iv, n_images, n_pieces, area_q FROM agg, imgs"""
     }),
 
+    // §2.8 contour polygon RING layer (alg/marching_squares/
+    // polygon_ring_appender.h ring merging): shells + nested holes per
+    // interval from exact directed-edge cancellation over the q39 convex
+    // pieces. Oracled on the ring-path invariant: the signed shoelace sum
+    // over all traced rings equals the triangle-sum interval area in
+    // exact int64 areaQ units (cancellation preserves shoelace sums), so
+    // the SQL mirror is the q39 area derivation — any cancellation,
+    // pinch-tracing, or chaining bug breaks the equality. Shell/hole
+    // counts and WKB nesting are pinned by ContourSpec closed-form
+    // fixtures (flat → 1 shell; cone → annulus 1+1; checkerboard pinch).
+    ("q155_contour_rings", (s: SparkSession, dir: String) => {
+      Fixtures.imagesFromParts(s, dir)
+        .filter(col("w") <= 64 && col("fmt") =!= "jpeg")
+        .withColumn("b", explode(contour_rings(col("bytes"), col("fmt"), Tiling.meta9,
+          array(lit(64.0), lit(128.0), lit(192.0)), lit(false))))
+        .groupBy(col("b.iv").as("iv"))
+        .agg(count(lit(1)).as("n_images"),
+          sum(col("b.ring_area_q")).as("area_rings_q"))
+    }, Some {
+      def fq(x: String, y: String, l: Int) =
+        s"CAST(round((CAST(1024 AS DOUBLE) * (CAST($l AS DOUBLE) - ($x))) / (($y) - ($x))) AS BIGINT)"
+      def aq(l: Int): String = {
+        def g(x: String) = s"(($x) >= CAST($l AS DOUBLE))"
+        s"""(CASE
+          WHEN ${g("va")} AND ${g("vb")} AND ${g("cc")} THEN 2097152
+          WHEN NOT ${g("va")} AND NOT ${g("vb")} AND NOT ${g("cc")} THEN 0
+          WHEN ${g("va")} AND NOT ${g("vb")} AND NOT ${g("cc")} THEN 2 * ${fq("va", "vb", l)} * ${fq("va", "cc", l)}
+          WHEN NOT ${g("va")} AND ${g("vb")} AND NOT ${g("cc")} THEN 2 * ${fq("vb", "va", l)} * ${fq("vb", "cc", l)}
+          WHEN NOT ${g("va")} AND NOT ${g("vb")} AND ${g("cc")} THEN 2 * ${fq("cc", "va", l)} * ${fq("cc", "vb", l)}
+          WHEN NOT ${g("va")} THEN 2097152 - 2 * ${fq("va", "vb", l)} * ${fq("va", "cc", l)}
+          WHEN NOT ${g("vb")} THEN 2097152 - 2 * ${fq("vb", "va", l)} * ${fq("vb", "cc", l)}
+          ELSE 2097152 - 2 * ${fq("cc", "va", l)} * ${fq("cc", "vb", l)} END)"""
+      }
+      def pv(dx: Int, dy: Int) =
+        s"(((px + $dx) * 7) + ((py + $dy) * 13) + (key * 31)) % 256"
+      s"""
+      WITH $PixCte,
+      cell AS (
+        SELECT key, sz, px, py,
+          ${pv(0, 0)} AS tl, ${pv(1, 0)} AS tr,
+          ${pv(1, 1)} AS br, ${pv(0, 1)} AS bl
+        FROM ppx WHERE px < sz - 1 AND py < sz - 1),
+      cellc AS (
+        SELECT *, CAST(tl + tr + br + bl AS DOUBLE) / CAST(4 AS DOUBLE) AS cc,
+          unnest([0, 1, 2, 3]) AS t
+        FROM cell),
+      tri AS (
+        SELECT key, cc,
+          CAST(CASE t WHEN 0 THEN tl WHEN 1 THEN tr WHEN 2 THEN br ELSE bl END AS DOUBLE) AS va,
+          CAST(CASE t WHEN 0 THEN tr WHEN 1 THEN br WHEN 2 THEN bl ELSE tl END AS DOUBLE) AS vb
+        FROM cellc),
+      aq AS (
+        SELECT key, ${aq(64)} AS a64, ${aq(128)} AS a128, ${aq(192)} AS a192,
+          unnest([0, 1, 2, 3]) AS iv
+        FROM tri),
+      ivd AS (
+        SELECT key, CAST(iv AS INT) AS iv,
+          CASE iv WHEN 0 THEN 2097152 - a64 WHEN 1 THEN a64 - a128
+                  WHEN 2 THEN a128 - a192 ELSE a192 END AS dq
+        FROM aq),
+      agg AS (
+        SELECT iv, CAST(sum(dq) AS BIGINT) AS area_rings_q
+        FROM ivd GROUP BY iv),
+      imgs AS (SELECT CAST(count(*) AS BIGINT) AS n_images FROM pimg)
+      SELECT iv, n_images, area_rings_q FROM agg, imgs"""
+    }),
+
     // §2.5 focal/DEM derivatives per image (hillshade/slope/roughness) —
     // ONE fused decode via focal_multi. Oracled: Horn gradients, slope
     // atan and the full hillshade shading equation are mirrored in SQL

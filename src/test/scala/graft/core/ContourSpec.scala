@@ -131,4 +131,69 @@ class ContourSpec extends AnyFunSuite {
     assert(bs(0).areaQ == 2L * Contour.FullTriQ)
     assert(bs(1).areaQ == 2L * Contour.FullTriQ)
   }
+
+  // ---- merged ring output (polygon_ring_appender semantics) ----
+
+  test("flat image merges to ONE shell covering the raster, no holes") {
+    val band = Array.fill(36)(100)
+    val rb = Contour.ringBands(band, 6, 6, idGt, Seq(64.0, 128.0), emitWkb = true)
+    assert(rb.map(r => (r.nShells, r.nHoles)) == Seq((0, 0), (1, 0), (0, 0)))
+    // 5x5 cells, 4 triangles each, fully in band
+    assert(rb(1).ringAreaQ == 25L * 4 * Contour.FullTriQ)
+    assert(rb(0).wkb == null && rb(2).wkb == null)
+    // shell area via the WKB measure (identity gt → cell units)
+    assert(math.abs(GeomOps.area(rb(1).wkb) - 25.0) < 1e-9)
+  }
+
+  test("cone: the below-level interval is an annulus (1 shell + 1 hole)") {
+    val w = 11; val h = 11
+    val band = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      math.max(0, 80 - 10 * math.max(math.abs(x - 5), math.abs(y - 5)))
+    }
+    val rb = Contour.ringBands(band, w, h, idGt, Seq(45.0), emitWkb = true)
+    val Seq(below, above) = rb
+    assert(above.nShells == 1 && above.nHoles == 0)
+    assert(below.nShells == 1 && below.nHoles == 1)
+    // areas complement exactly to the full raster
+    assert(below.ringAreaQ + above.ringAreaQ == 100L * 4 * Contour.FullTriQ)
+    // hole is nested in the WKB: measured area = shell − hole = signed sum
+    assert(math.abs(GeomOps.area(below.wkb) - below.ringAreaQ.toDouble / (1L << 23)) < 1e-9)
+    assert(math.abs(GeomOps.area(above.wkb) - above.ringAreaQ.toDouble / (1L << 23)) < 1e-9)
+  }
+
+  test("checkerboard (every cell a saddle pinch) traces without inconsistency") {
+    val w = 9; val h = 9
+    val band = Array.tabulate(w * h)(i => if ((i % w + i / w) % 2 == 0) 200 else 20)
+    val rb = Contour.ringBands(band, w, h, idGt, Seq(110.0), emitWkb = true)
+    val ref = Contour.bands(band, w, h, idGt, Seq(110.0), emitWkb = false)
+    assert(rb.map(_.ringAreaQ) == ref.map(_.areaQ))
+    assert(rb.forall(r => r.nShells > 0))
+  }
+
+  test("ring signed-area sums equal the triangle-sum interval areas on random rasters") {
+    val rnd = new scala.util.Random(42)
+    val levels = Seq(64.0, 128.0, 192.0)
+    (0 until 20).foreach { _ =>
+      val w = 4 + rnd.nextInt(13); val h = 4 + rnd.nextInt(13)
+      val band = Array.fill(w * h)(rnd.nextInt(256))
+      val rb = Contour.ringBands(band, w, h, idGt, levels, emitWkb = false)
+      val ref = Contour.bands(band, w, h, idGt, levels, emitWkb = false)
+      assert(rb.map(_.ringAreaQ) == ref.map(_.areaQ), s"w=$w h=$h")
+      // Euler sanity: a region with any area has at least one shell
+      rb.foreach(r => assert((r.ringAreaQ > 0) == (r.nShells > 0)))
+    }
+  }
+
+  test("ring WKB areas match the signed sums on random rasters (nesting exact)") {
+    val rnd = new scala.util.Random(7)
+    (0 until 8).foreach { _ =>
+      val w = 5 + rnd.nextInt(8); val h = 5 + rnd.nextInt(8)
+      val band = Array.fill(w * h)(rnd.nextInt(256))
+      Contour.ringBands(band, w, h, idGt, Seq(96.0, 160.0), emitWkb = true).foreach { r =>
+        if (r.wkb != null)
+          assert(math.abs(GeomOps.area(r.wkb) - r.ringAreaQ.toDouble / (1L << 23)) < 1e-9)
+      }
+    }
+  }
 }
