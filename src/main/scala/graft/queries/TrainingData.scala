@@ -1313,7 +1313,12 @@ object TrainingData {
     // recursive min-label propagation — every stage boundary is checked
     // by its own query, this checks their COMPOSITION.
     ("q118_dedup_pipeline", (s: SparkSession, dir: String) => {
-      val d = docs(s, dir)
+      // ONE corpus scan (the q105 discipline): the persisted (doc_id, text)
+      // frame feeds the signature/banding leg, BOTH verify re-attach
+      // sides, and the components node frame — at 100 TB each of those
+      // would otherwise be its own full-corpus read.
+      val d = graft.pipeline.Caches.persist(
+        docs(s, dir).select(col("doc_id"), col("text")))
       val cand = graft.pipeline.Caches.persist(
         Dedup.minhashCandidates(d, k = 64, bands = 16, shingle = 5)
           .select(col("id_a"), col("id_b")))
