@@ -961,7 +961,11 @@ object TrainingData {
     // rep-graph factorization is exact.
     ("q114_phash_clusters", (s: SparkSession, dir: String) => {
       val imgs = graft.gen.Fixtures.imagesFromParts(s, dir)
-      val repMap = imgs.groupBy(col("phash")).agg(min(col("key")).as("rep"))
+      // persisted: the rep-map groupBy feeds the pair build, the
+      // components node frame AND the expansion join — one corpus
+      // Exchange instead of three
+      val repMap = graft.pipeline.Caches.persist(
+        imgs.groupBy(col("phash")).agg(min(col("key")).as("rep")))
       val pairs = Dedup.hammingNearDup(repMap, "phash", "rep", maxHamming = 3, nChunks = 4)
       val comp = graft.ops.Components.connectedComponents(
         pairs, "id_a", "id_b", repMap.select(col("rep").as("id")))
@@ -995,7 +999,10 @@ object TrainingData {
     // against the persisted split frame.
     ("q152_leakage_split", (s: SparkSession, dir: String) => {
       val imgs = graft.gen.Fixtures.imagesFromParts(s, dir)
-      val repMap = imgs.groupBy(col("phash")).agg(min(col("key")).as("rep"))
+      // persisted: rep-map feeds the pair build, the components node
+      // frame and the assign join — one corpus Exchange instead of three
+      val repMap = graft.pipeline.Caches.persist(
+        imgs.groupBy(col("phash")).agg(min(col("key")).as("rep")))
       // persisted: consumed by BOTH the components build (which eagerly
       // checkpoints its own edge copy) and the leak-count join — without
       // the persist the banded self-join runs twice
