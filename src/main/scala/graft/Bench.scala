@@ -45,7 +45,8 @@ object Bench {
     "q143_gcp_refine", "q144_shard_pack", "q145_image_quality", "q146_caption_align",
     "q147_bpe_tokens", "q148_augment", "q149_resize_crop", "q150_norm_stats",
     "q151_scale_stretch", "q152_leakage_split", "q153_ann_recall",
-    "q154_epoch_shuffle", "q155_contour_rings")
+    "q154_epoch_shuffle", "q155_contour_rings", "q156_sequence_pack",
+    "q157_spatial_split")
 
   def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()

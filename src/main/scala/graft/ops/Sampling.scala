@@ -140,4 +140,49 @@ object Sampling {
       when(pmod(col(componentCol) * lit(1000003L) + lit(salt), lit(1000L)) < valPermille,
         lit("val")).otherwise(lit("train")))
   }
+
+  /** Spatially-buffered train/val split — the geographic-ML leakage
+    * guard: spatial autocorrelation makes a val sample trivially
+    * predictable from a train sample in the SAME or an ADJACENT cell, so
+    * the split must be by cell (never by row) AND train rows bordering
+    * val DATA must be excluded (the buffered spatial cross-validation
+    * of Roberts et al. 2017, "blocked CV").
+    *
+    * Assignment: each row's [[graft.core.CellIndex]] cell at `level`
+    * hashes to val/train on its UNPACKED (cx, cy) coordinates (products
+    * stay < 2^61 — int64-exact and overflow-safe in ANSI engines, unlike
+    * hashing the packed id). Rows in a train cell Chebyshev-adjacent
+    * (ring 1, lon wraps / lat clamps) to any val cell CONTAINING data
+    * become 'excluded' — data-aware: empty val cells spread no buffer.
+    *
+    * Scale shape: cell+hash are codegen'd per-row maps; the val-cell set
+    * is a distinct over val rows only (cells ≪ corpus), its 9× ring
+    * explode stays cell-sized, and the exclusion attaches through ONE
+    * equi-join on the cell key (AQE broadcasts it when small). The
+    * corpus is scanned once via the caller-visible persist. */
+  def spatialSplit(df: DataFrame, lonCol: String, latCol: String, level: Int,
+                   valPermille: Long = 100L, salt: Long = 0L): DataFrame = {
+    require(valPermille >= 0 && valPermille <= 1000, "valPermille in [0, 1000]")
+    require(level >= 1 && level <= CellIndexMaxLevel, s"level in [1, $CellIndexMaxLevel]")
+    val cellCol = graft.expr.functions.cell_of(col(lonCol), col(latCol), level)
+    val cx = shiftrightunsigned(col("cell"), 29).bitwiseAND(lit((1L << 29) - 1))
+    val cy = col("cell").bitwiseAND(lit((1L << 29) - 1))
+    val rows = graft.pipeline.Caches.persist(
+      df.withColumn("cell", cellCol)
+        .withColumn("split",
+          when(pmod(cx * lit(2654435761L) + cy * lit(40503L) + lit(salt), lit(1000L)) < valPermille,
+            lit("val")).otherwise(lit("train"))))
+    val bufferCells = rows.filter(col("split") === "val")
+      .select(col("cell")).distinct()
+      .select(explode(graft.expr.functions.cell_block(col("cell"), lit(1))).as("bcell"))
+      .distinct()
+    rows.join(bufferCells, col("cell") === col("bcell"), "left")
+      .withColumn("split",
+        when(col("split") === "val", lit("val"))
+          .when(col("bcell").isNotNull, lit("excluded"))
+          .otherwise(lit("train")))
+      .drop("bcell")
+  }
+
+  private val CellIndexMaxLevel = graft.core.CellIndex.MaxLevel
 }

@@ -69,4 +69,27 @@ object Sharding {
       .withColumn("shard_id", expr(s"cum_before div ${targetBytes}L").cast("long"))
       .drop("pack_bucket", "bucket_offset")
   }
+
+  /** Concat-and-chunk sequence packing (the GPT-pretraining layout): lay
+    * documents out in the global `orderCol` order, concatenate their
+    * token streams, and cut every `capacity` tokens — each document
+    * reports the fixed-length training sequences it lands in. Documents
+    * ARE split across sequence boundaries (that is the point of the
+    * layout: zero padding, total_bins = ceil(total_tokens/capacity)).
+    *
+    * Same two-phase distributed prefix scan as [[packShards]] (which
+    * supplies `cum_before`) — no global-order window ever runs.
+    * Zero-token documents are dropped: they occupy no position in the
+    * token stream. */
+  def packSequences(df: DataFrame, orderCol: String, nTokCol: String,
+                    capacity: Long, bucket: Column): DataFrame = {
+    require(capacity >= 1, "positive sequence capacity")
+    packShards(df.filter(col(nTokCol) > 0), orderCol, nTokCol, capacity, bucket)
+      .withColumnRenamed("cum_before", "tok_offset")
+      .withColumnRenamed("shard_id", "start_bin")
+      .withColumn("end_bin",
+        expr(s"(tok_offset + ${nTokCol} - 1) div ${capacity}L").cast("long"))
+      .withColumn("bins_spanned", (col("end_bin") - col("start_bin") + 1L).cast("int"))
+      .withColumn("start_off_in_bin", pmod(col("tok_offset"), lit(capacity)).cast("int"))
+  }
 }

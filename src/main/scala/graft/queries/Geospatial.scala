@@ -263,6 +263,43 @@ object Geospatial {
           CAST(least(greatest(floor(((90.0 - lat) / 180.0) * 4096.0), 0.0), 4095.0) AS BIGINT) AS cy
         FROM pts)""")),
 
+    // Spatially-BUFFERED train/val split (blocked spatial CV, Roberts et
+    // al. 2017): split by cell hash at level 6, then exclude train rows
+    // Chebyshev-adjacent to any val cell CONTAINING data (lon wraps, lat
+    // clamps — the CellIndex.block rule). Full per-row oracle: the SQL
+    // mirrors the cell arithmetic (q20), the overflow-safe (cx,cy) split
+    // hash, the data-aware val-cell set, and the ring-1 buffer join.
+    ("q157_spatial_split", (s: SparkSession, dir: String) => {
+      graft.ops.Sampling.spatialSplit(
+        Fixtures.pointsFromOrders(s, dir), "lon", "lat",
+        level = 6, valPermille = 100L, salt = 7L)
+        .select(col("point_id"), col("cell"), col("split"))
+    }, Some(s"""
+      WITH $PtsCte,
+      cc AS (
+        SELECT point_id,
+          CAST(least(greatest(floor(((lon + 180.0) / 360.0) * 64.0), 0.0), 63.0) AS BIGINT) AS cx,
+          CAST(least(greatest(floor(((90.0 - lat) / 180.0) * 64.0), 0.0), 63.0) AS BIGINT) AS cy
+        FROM pts),
+      sp AS (
+        SELECT point_id, cx, cy,
+          ((CAST(6 AS BIGINT) << 58) | (cx << 29) | cy) AS cell,
+          CASE WHEN ((cx * 2654435761 + cy * 40503 + 7) % 1000) < 100
+               THEN 'val' ELSE 'train' END AS s0
+        FROM cc),
+      vc AS (SELECT DISTINCT cx, cy FROM sp WHERE s0 = 'val'),
+      d AS (SELECT a.dx, b.dy
+            FROM (SELECT unnest([-1, 0, 1]) AS dx) a,
+                 (SELECT unnest([-1, 0, 1]) AS dy) b),
+      buf AS (
+        SELECT DISTINCT ((v.cx + d.dx + 64) % 64) AS bx, v.cy + d.dy AS by
+        FROM vc v, d WHERE v.cy + d.dy >= 0 AND v.cy + d.dy < 64)
+      SELECT sp.point_id, sp.cell,
+        CASE WHEN sp.s0 = 'val' THEN 'val'
+             WHEN b.bx IS NOT NULL THEN 'excluded'
+             ELSE 'train' END AS split
+      FROM sp LEFT JOIN buf b ON b.bx = sp.cx AND b.by = sp.cy""")),
+
     // §2.8 XYZ tile assignment + quadkey at z=8 (GetTileIndices + Bing digits)
     ("q21_tile_assign", (s: SparkSession, dir: String) => {
       Fixtures.pointsFromOrders(s, dir)

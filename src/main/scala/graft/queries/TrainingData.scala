@@ -1276,6 +1276,38 @@ object TrainingData {
                      CAST((o_orderkey * 31) % 997 + 100 AS BIGINT) AS nbytes
               FROM orders))""")),
 
+    // Concat-and-chunk sequence packing (GPT-pretraining layout): REAL
+    // whitespace token counts over documents, concatenated in doc_id
+    // order, cut every 2048 tokens; each doc reports its bin span. Engine
+    // path = the q144 two-phase distributed prefix scan (per-bucket
+    // subtotals → driver prefix → per-bucket window) — the oracle's
+    // global-order cumsum window is exactly what the engine must NOT run
+    // at 100 TB.
+    ("q156_sequence_pack", (s: SparkSession, dir: String) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), x => length(x) > 0))
+          .cast("long").as("n_tokens"))
+      graft.ops.Sharding.packSequences(d, "doc_id", "n_tokens", capacity = 2048L,
+        bucket = expr("doc_id div 256"))
+        .select(col("doc_id"), col("n_tokens"), col("tok_offset"), col("start_bin"),
+          col("end_bin"), col("bins_spanned"), col("start_off_in_bin"))
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id,
+          CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+          sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS off
+        FROM t WHERE n_tokens > 0)
+      SELECT doc_id, n_tokens,
+        CAST(off AS BIGINT) AS tok_offset,
+        CAST(off // 2048 AS BIGINT) AS start_bin,
+        CAST((off + n_tokens - 1) // 2048 AS BIGINT) AS end_bin,
+        CAST((off + n_tokens - 1) // 2048 - off // 2048 + 1 AS INT) AS bins_spanned,
+        CAST(off % 2048 AS INT) AS start_off_in_bin
+      FROM c""")),
+
     ("q136_aspect_batches", (s: SparkSession, dir: String) => {
       val m = s.read.parquet(s"$dir/part.parquet")
         .select(col("p_partkey").as("key"),

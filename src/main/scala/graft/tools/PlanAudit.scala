@@ -32,7 +32,8 @@ object PlanAudit {
       "q141_label_outliers", "q142_image_chips",
       "q143_gcp_refine", "q144_shard_pack", "q145_image_quality", "q146_caption_align",
       "q147_bpe_tokens", "q148_augment", "q152_leakage_split",
-      "q153_ann_recall", "q154_epoch_shuffle")
+      "q153_ann_recall", "q154_epoch_shuffle", "q155_contour_rings",
+      "q156_sequence_pack", "q157_spatial_split")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       val df = graft.SparkEntry.queries(n)(spark, sf)

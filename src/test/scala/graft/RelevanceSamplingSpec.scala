@@ -184,4 +184,33 @@ class RelevanceSamplingSpec extends AnyFunSuite {
       .filter(col("sa") =!= col("sb")).count()
     assert(leak == 0L)
   }
+
+  test("spatialSplit: buffered, cell-atomic, data-aware, partition-invariant") {
+    // deterministic lon/lat scatter dense enough for adjacency at level 5
+    val pts = spark.range(0, 3000).select(col("id"),
+      ((pmod(col("id") * 97L, lit(3600L))).cast("double") / 10.0 - 180.0).as("lon"),
+      ((pmod(col("id") * 61L, lit(1700L))).cast("double") / 10.0 - 85.0).as("lat"))
+    val out = Sampling.spatialSplit(pts, "lon", "lat", level = 5,
+      valPermille = 150L, salt = 3L)
+      .select(col("id"), col("cell"), col("split"))
+      .as[(Long, Long, String)].collect()
+    graft.pipeline.Caches.release()
+    assert(out.map(_._3).toSet == Set("train", "val", "excluded"))
+    // cell-atomic: one split per cell
+    assert(out.groupBy(_._2).forall(_._2.map(_._3).distinct.length == 1))
+    // buffered: no TRAIN cell is Chebyshev-adjacent to a val-DATA cell
+    val valCells = out.filter(_._3 == "val").map(_._2).distinct.toSet
+    val bufferZone = valCells.flatMap(c => graft.core.CellIndex.block(c, 1))
+    val trainCells = out.filter(_._3 == "train").map(_._2).distinct.toSet
+    assert(trainCells.intersect(bufferZone).isEmpty)
+    // excluded = exactly the train-hash cells inside the data buffer zone
+    val exCells = out.filter(_._3 == "excluded").map(_._2).distinct.toSet
+    assert(exCells.subsetOf(bufferZone) && exCells.intersect(valCells).isEmpty)
+    // deterministic under repartitioning
+    val again = Sampling.spatialSplit(pts.repartition(13), "lon", "lat", level = 5,
+      valPermille = 150L, salt = 3L)
+      .select(col("id"), col("split")).as[(Long, String)].collect().toSet
+    graft.pipeline.Caches.release()
+    assert(again == out.map(t => (t._1, t._3)).toSet)
+  }
 }

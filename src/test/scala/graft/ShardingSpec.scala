@@ -52,4 +52,35 @@ class ShardingSpec extends AnyFunSuite {
     val one = run("0")
     assert(fine == coarse && fine == one)
   }
+
+  test("packSequences: bins tile the token stream with zero padding") {
+    val cap = 100L
+    val rows = (0 until 400).map(i => (i.toLong, (i * 37L) % 250 + 1))
+    val got = Sharding.packSequences(rows.toDF("id", "ntok"), "id", "ntok", cap,
+        expr("id div 32"))
+      .select(col("id"), col("ntok"), col("tok_offset"), col("start_bin"),
+        col("end_bin"), col("bins_spanned"), col("start_off_in_bin"))
+      .as[(Long, Long, Long, Long, Long, Int, Int)].collect().sortBy(_._1)
+    // offsets are the exclusive prefix scan; spans follow from them
+    var cum = 0L
+    got.foreach { case (id, n, off, sb, eb, span, inBin) =>
+      assert(off == cum, s"id=$id")
+      assert(sb == off / cap && eb == (off + n - 1) / cap)
+      assert(span == (eb - sb + 1) && inBin == (off % cap))
+      cum += n
+    }
+    // every bin before the last is fully covered (the zero-padding claim)
+    val total = cum
+    val lastBin = (total - 1) / cap
+    assert(got.map(_._5).max == lastBin)
+    // docs spanning >1 bin exist in this fixture (capacity < max ntok)
+    assert(got.exists(_._6 > 1))
+  }
+
+  test("packSequences drops zero-token docs and keeps the stream contiguous") {
+    val rows = Seq((1L, 5L), (2L, 0L), (3L, 7L)).toDF("id", "ntok")
+    val got = Sharding.packSequences(rows, "id", "ntok", 8L, expr("0"))
+      .select(col("id"), col("tok_offset")).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 3L -> 5L))
+  }
 }
