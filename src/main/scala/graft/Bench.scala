@@ -75,12 +75,18 @@ object Bench {
     val nImages = images.count()
     val regions = regionsDf(spark)
     val t0 = System.nanoTime()
+    // stats + footprint + the region PIP probe all ride ONE codegen span
+    // over the persisted corpus: the region layer is dim-sized, so the
+    // join is a broadcast STR-tree probe (envMatchIndexed) — the former
+    // envJoin + dropDuplicates shape shuffled image BYTES through a
+    // cell-explode Exchange and TWO dedup Exchanges; now zero shuffle
+    // before the single tile-key Exchange in baseTiles
     val joined = images
       .withColumn("stats", image_stats(col("bytes"), col("fmt"), col("w"), col("h")))
       .withColumn("env", footprint(col("gt"), col("w"), col("h"), col("srid")))
       .filter(col("stats")(0) >= 1)
-      .transform(df => graft.ops.SpatialJoin.envJoin(df, regions, "key", "region_id", level = 5))
-      .dropDuplicates("key") // an image may hit several regions; render once
+      .transform(df => graft.ops.SpatialJoin.envMatchIndexed(df, regions))
+      .filter(col("n_regions") >= 1) // render each matched image once
     val tiles = graft.ops.Tiling.baseTiles(joined, z = 6, kernel = "near")
       .withColumn("cks", planes_checksums(col("buf")))
       .select(col("tile"), col("n_images"), col("cks"))

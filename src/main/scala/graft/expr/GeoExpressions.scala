@@ -71,6 +71,48 @@ case class StIntersectsEnv(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Driver-built broadcast region index for envelope probes: packed
+  * STR-tree over the polygon envelopes, exact polygon×box refine per
+  * candidate (the pipJoinIndexed local-index plan for envelope inputs).
+  * The tree is @transient-lazy so only the WKB payload rides the task
+  * closure; each executor rebuilds it once. */
+final case class EnvIndex(wkbs: Array[Array[Byte]]) extends Serializable {
+  @transient private lazy val tree =
+    graft.core.StrTree.build(wkbs.map(graft.core.Wkb.envelope))
+  def count(env: ArrayData): Int = {
+    val minx = env.getDouble(0); val miny = env.getDouble(1)
+    val maxx = env.getDouble(2); val maxy = env.getDouble(3)
+    val cand = tree.query(minx, miny, maxx, maxy)
+    var n = 0
+    var i = 0
+    while (i < cand.length) {
+      if (graft.core.Pip.polygonIntersectsBox(wkbs(cand(i)), minx, miny, maxx, maxy)) n += 1
+      i += 1
+    }
+    n
+  }
+}
+
+/** env_match_count(env4) → int: #polygons of a driver-built [[EnvIndex]]
+  * the envelope intersects — the zero-shuffle spatial-join probe for
+  * dim-sized polygon layers (broadcast object via addReferenceObj, the
+  * GCP-transformer pattern). */
+case class EnvMatchCount(child: Expression, index: EnvIndex)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "env_match_count"
+  override protected def nullSafeEval(env: Any): Any =
+    index.count(env.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("envIndex", index, classOf[EnvIndex].getName)
+    defineCodeGen(ctx, ev, e => s"$ref.count($e)")
+  }
+  override protected def withNewChildInternal(c: Expression): EnvMatchCount =
+    copy(child = c)
+}
+
 /** cells_covering(env4, finest, maxCells) → array<long> adaptive-level cover. */
 case class CellsCovering(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with ImplicitCastInputTypes {

@@ -64,6 +64,9 @@ object functions {
   def st_intersects_env(wkb: Column, env: Column): Column =
     toCol(StIntersectsEnv(toExpr(wkb), toExpr(env)))
 
+  def env_match_count(env: Column, idx: EnvIndex): Column =
+    toCol(EnvMatchCount(toExpr(env), idx))
+
   def cells_covering(env: Column, finest: Int, maxCells: Int): Column =
     toCol(CellsCovering(toExpr(env),
       org.apache.spark.sql.catalyst.expressions.Literal(finest),

@@ -109,6 +109,24 @@ object SpatialJoin {
     }(enc)
   }
 
+  /** Broadcast-indexed envelope match: each left row gains `n_regions` =
+    * #polygons its envelope intersects, via a codegen'd probe of a
+    * driver-built STR-tree over the polygon layer ([[graft.expr.EnvIndex]]
+    * — pipJoinIndexed's envelope×polygon sibling). ZERO shuffle on the
+    * left side and no dedup pass: the semi-join filter is
+    * `n_regions >= 1`. Use for dim-sized polygon layers; the fail-fast
+    * cap names [[envJoin]] (cell-keyed shuffle join) as the alternative
+    * when the polygon side is corpus-sized. */
+  def envMatchIndexed(lefts: DataFrame, polys: DataFrame, wkbCol: String = "wkb",
+                      envCol: String = "env", maxPolys: Int = 1000000): DataFrame = {
+    val polyRows = polys.select(col(wkbCol)).limit(maxPolys + 1).collect()
+    require(polyRows.length <= maxPolys,
+      s"envMatchIndexed: polygon side exceeds maxPolys=$maxPolys rows; " +
+        "use SpatialJoin.envJoin (cell-keyed shuffle join) for large polygon layers")
+    val idx = graft.expr.EnvIndex(polyRows.map(_.getAs[Array[Byte]](0)))
+    lefts.withColumn("n_regions", graft.expr.functions.env_match_count(col(envCol), idx))
+  }
+
   /** Spatial semi-join: rows of `lefts` whose point falls in ANY polygon
     * (Clip §2.3); anti = rows in none (Erase §2.3). */
   def pipSemi(points: DataFrame, polys: DataFrame, level: Int = 7,

@@ -122,6 +122,21 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(brute.nonEmpty)
   }
 
+  test("envMatchIndexed counts equal the envJoin per-key match counts") {
+    val images = Fixtures.imagesFromParts(spark, TestSpark.Sf).filter(col("srid") === 4326)
+      .withColumn("env", footprint(col("gt"), col("w"), col("h"), col("srid")))
+      .select("key", "env")
+    val polys = Fixtures.regionBoxes(spark, TestSpark.Sf)
+    val viaJoin = SpatialJoin.envJoin(images, polys, "key", "region_id", level = 5)
+      .groupBy("key").count().as[(Long, Long)].collect().toMap
+    val viaProbe = SpatialJoin.envMatchIndexed(images, polys)
+      .select(col("key"), col("n_regions").cast("long"))
+      .as[(Long, Long)].collect()
+    // probe emits EVERY left row once; zero-match rows are the semi-join complement
+    assert(viaProbe.map(_._1).distinct.length == viaProbe.length)
+    assert(viaProbe.filter(_._2 > 0).map(identity).toMap == viaJoin)
+  }
+
   test("salted PIP join equals the unsalted join exactly") {
     val pts = Fixtures.pointsFromOrders(spark, TestSpark.Sf).select("point_id", "lon", "lat")
     val polys = Fixtures.regionBoxes(spark, TestSpark.Sf)
