@@ -246,62 +246,89 @@ object Contour {
     @inline def v(x: Int, y: Int): Double = band(y * w + x).toDouble
     @inline def ux(p: Long): Long = p >> 32
     @inline def uy(p: Long): Long = p & 0xffffffffL
+    @inline def pack(x: Long, y: Long): Long = (x << 32) | y
     val px = new Array[Double](12); val py = new Array[Double](12)
-    (0 until nIv).map { iv =>
-      val lo = if (iv == 0) Double.NegativeInfinity else ls(iv - 1)
-      val hi = if (iv == nIv - 1) Double.PositiveInfinity else ls(iv)
-      // directed-edge multimap with exact cancellation: adding a→b first
-      // looks for a live b→a and annihilates the pair instead
-      val outAdj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
-      @inline def pack(x: Long, y: Long): Long = (x << 32) | y
-      def addEdge(a: Long, b: Long): Unit = {
-        val rev = outAdj.getOrElse(b, null)
-        if (rev != null) {
-          val i = rev.indexOf(a)
-          if (i >= 0) { rev.remove(i); return }
-        }
-        outAdj.getOrElseUpdate(a, mutable.ArrayBuffer.empty) += b
-      }
-      var cy = 0
-      while (cy < h - 1) {
-        var cx = 0
-        while (cx < w - 1) {
-          val tl = v(cx, cy); val tr = v(cx + 1, cy)
-          val bl = v(cx, cy + 1); val br = v(cx + 1, cy + 1)
-          val c4 = (tl + tr + br + bl) / 4.0
-          val tvals = Array(tl, tr, br, bl)
-          val txs = Array(0L, 2048L, 2048L, 0L)
-          val tys = Array(0L, 0L, 2048L, 2048L)
+    val g = new Array[Long](12)
+    // one sweep over all cells; per interval an open-addressed primitive
+    // edge set does the exact directed-pair cancellation (the boxed-map
+    // formulation was ~80× slower and dominated the corpus query)
+    val edgeSets = Array.fill(nIv)(new EdgeSet)
+    val levelAreas = new Array[Long](ls.length)
+    val tvals = new Array[Double](4)
+    val txs = Array(0L, 2048L, 2048L, 0L)
+    val tys = Array(0L, 0L, 2048L, 2048L)
+    var cy = 0
+    while (cy < h - 1) {
+      var cx = 0
+      while (cx < w - 1) {
+        val tl = v(cx, cy); val tr = v(cx + 1, cy)
+        val bl = v(cx, cy + 1); val br = v(cx + 1, cy + 1)
+        val c4 = (tl + tr + br + bl) / 4.0
+        tvals(0) = tl; tvals(1) = tr; tvals(2) = br; tvals(3) = bl
+        // cell fast path: all four values (hence c4 and every interior
+        // point) inside ONE interval → all 4 triangles are full pieces
+        // and the 8 center spokes cancel within the cell — emit only the
+        // 4 outer directed edges
+        val vmin = math.min(math.min(tl, tr), math.min(bl, br))
+        val vmax = math.max(math.max(tl, tr), math.max(bl, br))
+        var iv0 = 0
+        while (iv0 < ls.length && ls(iv0) <= vmin) iv0 += 1
+        val cellLo = if (iv0 == 0) Double.NegativeInfinity else ls(iv0 - 1)
+        val cellHi = if (iv0 == nIv - 1) Double.PositiveInfinity else ls(iv0)
+        if (vmin >= cellLo && vmax < cellHi) {
+          val es = edgeSets(iv0)
+          val x0 = cx.toLong * 2048L; val y0 = cy.toLong * 2048L
           var t = 0
           while (t < 4) {
-            val va = tvals(t); val vb = tvals((t + 1) % 4)
-            val aLo = if (iv == 0) FullTriQ else triAreaGeq(va, vb, c4, lo)
-            val aHi = if (iv == nIv - 1) 0L else triAreaGeq(va, vb, c4, hi)
+            es.addOrCancel(pack(x0 + txs(t), y0 + tys(t)),
+              pack(x0 + txs((t + 1) % 4), y0 + tys((t + 1) % 4)))
+            t += 1
+          }
+        } else {
+        var t = 0
+        while (t < 4) {
+          val va = tvals(t); val vb = tvals((t + 1) % 4)
+          // each level's {v >= L} area computed ONCE per triangle
+          var li = 0
+          while (li < ls.length) { levelAreas(li) = triAreaGeq(va, vb, c4, ls(li)); li += 1 }
+          var iv = 0
+          while (iv < nIv) {
+            val aLo = if (iv == 0) FullTriQ else levelAreas(iv - 1)
+            val aHi = if (iv == nIv - 1) 0L else levelAreas(iv)
             if (aLo - aHi > 0L) {
+              val lo = if (iv == 0) Double.NegativeInfinity else ls(iv - 1)
+              val hi = if (iv == nIv - 1) Double.PositiveInfinity else ls(iv)
               val n = walkBand(va, vb, c4, txs(t), tys(t), txs((t + 1) % 4), tys((t + 1) % 4),
                 lo, hi, px, py)
               if (n >= 3) {
-                val g = new Array[Long](n)
                 var i = 0
                 while (i < n) {
                   g(i) = pack(cx.toLong * 2048L + math.round(px(i)),
                     cy.toLong * 2048L + math.round(py(i)))
                   i += 1
                 }
+                val es = edgeSets(iv)
                 i = 0
-                while (i < n) { addEdge(g(i), g((i + 1) % n)); i += 1 }
+                while (i < n) { es.addOrCancel(g(i), g((i + 1) % n)); i += 1 }
               }
             }
-            t += 1
+            iv += 1
           }
-          cx += 1
+          t += 1
         }
-        cy += 1
+        }
+        cx += 1
       }
-      // flatten the surviving edges and face-trace them into rings
+      cy += 1
+    }
+    (0 until nIv).map { iv =>
+      val lo = if (iv == 0) Double.NegativeInfinity else ls(iv - 1)
+      val hi = if (iv == nIv - 1) Double.PositiveInfinity else ls(iv)
+      // flatten the surviving edges (boundary-sized, tiny vs the input)
+      // and face-trace them into rings
       val eFrom = mutable.ArrayBuffer.empty[Long]
       val eTo = mutable.ArrayBuffer.empty[Long]
-      outAdj.foreach { case (a, bs) => bs.foreach { b => eFrom += a; eTo += b } }
+      edgeSets(iv).foreach { (a, b) => eFrom += a; eTo += b }
       val outIdx = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Int]]
       eFrom.indices.foreach(i => outIdx.getOrElseUpdate(eFrom(i), mutable.ArrayBuffer.empty) += i)
       val used = new Array[Boolean](eFrom.length)
@@ -406,6 +433,67 @@ object Contour {
           })
         }
       RingBand(iv, lo, hi, shellIdx.length, holeIdx.length, areas.sum, wkb)
+    }
+  }
+
+  /** Open-addressed primitive set of DIRECTED lattice edges with
+    * exact-pair cancellation: `addOrCancel(a, b)` removes a live (b, a)
+    * instead of inserting — shared piece borders annihilate, leaving the
+    * region boundary. Linear probing with tombstones; no boxing (the hot
+    * path of the corpus-scale ring query). Duplicate same-direction
+    * edges cannot occur (two pieces with the region on the same side of
+    * one segment would overlap), so insert never probes for equality. */
+  private final class EdgeSet {
+    private var cap = 1 << 12
+    private var mask = cap - 1
+    private var aK = new Array[Long](cap)
+    private var bK = new Array[Long](cap)
+    private var state = new Array[Byte](cap) // 0 empty, 1 live, 2 tombstone
+    private var live = 0
+    private var fill = 0
+
+    @inline private def slotOf(a: Long, b: Long): Int = {
+      var h = a * 0x9E3779B97F4A7C15L + b
+      h ^= h >>> 32; h *= 0xff51afd7ed558ccdL; h ^= h >>> 32
+      (h & mask).toInt
+    }
+
+    def addOrCancel(a: Long, b: Long): Unit = {
+      // probe for the reverse edge first (tombstones are skipped, the
+      // probe chain ends at the first EMPTY slot)
+      var i = slotOf(b, a)
+      while (state(i) != 0) {
+        if (state(i) == 1 && aK(i) == b && bK(i) == a) {
+          state(i) = 2; live -= 1; return
+        }
+        i = (i + 1) & mask
+      }
+      if ((fill + 1) * 2 > cap) grow()
+      i = slotOf(a, b)
+      while (state(i) == 1) i = (i + 1) & mask
+      if (state(i) == 0) fill += 1
+      aK(i) = a; bK(i) = b; state(i) = 1; live += 1
+    }
+
+    private def grow(): Unit = {
+      val oa = aK; val ob = bK; val os = state; val oc = cap
+      cap <<= 1; mask = cap - 1
+      aK = new Array[Long](cap); bK = new Array[Long](cap); state = new Array[Byte](cap)
+      fill = 0; live = 0
+      var i = 0
+      while (i < oc) {
+        if (os(i) == 1) {
+          var j = slotOf(oa(i), ob(i))
+          while (state(j) == 1) j = (j + 1) & mask
+          aK(j) = oa(i); bK(j) = ob(i); state(j) = 1; fill += 1; live += 1
+        }
+        i += 1
+      }
+    }
+
+    def foreach(f: (Long, Long) => Unit): Unit = {
+      var i = 0
+      while (i < cap) { if (state(i) == 1) f(aK(i), bK(i)); i += 1 }
     }
   }
 
