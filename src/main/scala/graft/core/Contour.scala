@@ -520,12 +520,22 @@ object Contour {
       val i0 = e; val i1 = (e + 1) % 3
       val v0 = vs(i0); val v1 = vs(i1)
       if (v0 >= lo && v0 < hi) push(xs(i0), ys(i0))
-      // crossings of lo/hi on this edge, ordered by fraction from i0
+      // crossings of lo/hi on this edge, ordered by fraction from i0.
+      // VALUE-CANONICAL quantization: the crossing is always rounded from
+      // the smaller-value endpoint, so the two triangles sharing an edge
+      // place it on the SAME lattice point even at exact .5 rounding ties
+      // (round(x) vs 1024-round(1024-x) differ only at ties; value order
+      // is frame-independent where edge direction is not). Without this,
+      // a tie-prone level (e.g. n + (2k+1)/2048) breaks directed-edge
+      // cancellation in ringBands. Non-tie inputs are bit-identical to
+      // the direction-computed form the closed-form areas mirror.
       var f1 = -1L; var f2 = -1L; var first = true
       @inline def cross(level: Double): Unit = {
         if (level.isInfinite) ()
         else if ((v0 >= level) != (v1 >= level)) {
-          val f = crossFq(v0, v1, level)
+          val f =
+            if (v0 < v1) crossFq(v0, v1, level)
+            else 1024L - crossFq(v1, v0, level)
           if (first) { f1 = f; first = false } else f2 = f
         }
       }

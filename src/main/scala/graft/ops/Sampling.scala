@@ -149,11 +149,15 @@ object Sampling {
     * of Roberts et al. 2017, "blocked CV").
     *
     * Assignment: each row's [[graft.core.CellIndex]] cell at `level`
-    * hashes to val/train on its UNPACKED (cx, cy) coordinates (products
-    * stay < 2^61 — int64-exact and overflow-safe in ANSI engines, unlike
-    * hashing the packed id). Rows in a train cell Chebyshev-adjacent
-    * (ring 1, lon wraps / lat clamps) to any val cell CONTAINING data
-    * become 'excluded' — data-aware: empty val cells spread no buffer.
+    * hashes to val/train through splitmix64 of the packed cell id plus
+    * the salt (the q154/sample_bucket mixer, bit-mirrored in SQL via the
+    * proven HUGEINT limb CTEs). An affine hash here would be
+    * lattice-structured — val cells would recur along fixed (dx, dy)
+    * directions instead of the random block assignment blocked CV
+    * assumes — so a full avalanche mix is load-bearing, not cosmetic.
+    * Rows in a train cell Chebyshev-adjacent (ring 1, lon wraps / lat
+    * clamps) to any val cell CONTAINING data become 'excluded' —
+    * data-aware: empty val cells spread no buffer.
     *
     * Scale shape: cell+hash are codegen'd per-row maps; the val-cell set
     * is a distinct over val rows only (cells ≪ corpus), its 9× ring
@@ -165,12 +169,10 @@ object Sampling {
     require(valPermille >= 0 && valPermille <= 1000, "valPermille in [0, 1000]")
     require(level >= 1 && level <= CellIndexMaxLevel, s"level in [1, $CellIndexMaxLevel]")
     val cellCol = graft.expr.functions.cell_of(col(lonCol), col(latCol), level)
-    val cx = shiftrightunsigned(col("cell"), 29).bitwiseAND(lit((1L << 29) - 1))
-    val cy = col("cell").bitwiseAND(lit((1L << 29) - 1))
     val rows = graft.pipeline.Caches.persist(
       df.withColumn("cell", cellCol)
         .withColumn("split",
-          when(pmod(cx * lit(2654435761L) + cy * lit(40503L) + lit(salt), lit(1000L)) < valPermille,
+          when(pmod(sample_bucket(col("cell") + lit(salt)), lit(1000L)) < valPermille,
             lit("val")).otherwise(lit("train"))))
     val bufferCells = rows.filter(col("split") === "val")
       .select(col("cell")).distinct()

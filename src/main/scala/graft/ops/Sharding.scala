@@ -83,7 +83,10 @@ object Sharding {
     * token stream. */
   def packSequences(df: DataFrame, orderCol: String, nTokCol: String,
                     capacity: Long, bucket: Column): DataFrame = {
-    require(capacity >= 1, "positive sequence capacity")
+    // start_off_in_bin (< capacity) and bins_spanned are emitted as int;
+    // capacities beyond Int.MaxValue would silently wrap them negative
+    require(capacity >= 1 && capacity <= Int.MaxValue,
+      s"sequence capacity in [1, ${Int.MaxValue}] (got $capacity)")
     packShards(df.filter(col(nTokCol) > 0), orderCol, nTokCol, capacity, bucket)
       .withColumnRenamed("cum_before", "tok_offset")
       .withColumnRenamed("shard_id", "start_bin")

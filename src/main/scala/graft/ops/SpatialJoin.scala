@@ -119,12 +119,19 @@ object SpatialJoin {
     * when the polygon side is corpus-sized. */
   def envMatchIndexed(lefts: DataFrame, polys: DataFrame, wkbCol: String = "wkb",
                       envCol: String = "env", maxPolys: Int = 1000000): DataFrame = {
-    val polyRows = polys.select(col(wkbCol)).limit(maxPolys + 1).collect()
+    // null geometries match nothing (envJoin's null-intolerant filter
+    // semantics), and an empty layer yields n_regions = 0 everywhere
+    // rather than an executor-side empty-STR-tree failure
+    val polyRows = polys.select(col(wkbCol)).filter(col(wkbCol).isNotNull)
+      .limit(maxPolys + 1).collect()
     require(polyRows.length <= maxPolys,
       s"envMatchIndexed: polygon side exceeds maxPolys=$maxPolys rows; " +
         "use SpatialJoin.envJoin (cell-keyed shuffle join) for large polygon layers")
-    val idx = graft.expr.EnvIndex(polyRows.map(_.getAs[Array[Byte]](0)))
-    lefts.withColumn("n_regions", graft.expr.functions.env_match_count(col(envCol), idx))
+    if (polyRows.isEmpty) lefts.withColumn("n_regions", lit(0))
+    else {
+      val idx = graft.expr.EnvIndex(polyRows.map(_.getAs[Array[Byte]](0)))
+      lefts.withColumn("n_regions", graft.expr.functions.env_match_count(col(envCol), idx))
+    }
   }
 
   /** Spatial semi-join: rows of `lefts` whose point falls in ANY polygon

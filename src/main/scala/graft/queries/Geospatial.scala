@@ -264,11 +264,14 @@ object Geospatial {
         FROM pts)""")),
 
     // Spatially-BUFFERED train/val split (blocked spatial CV, Roberts et
-    // al. 2017): split by cell hash at level 6, then exclude train rows
+    // al. 2017): split by splitmix64(cell + salt) at level 6 — the
+    // avalanche mix is load-bearing (an affine cell hash recurs along
+    // fixed lattice directions) — then exclude train rows
     // Chebyshev-adjacent to any val cell CONTAINING data (lon wraps, lat
     // clamps — the CellIndex.block rule). Full per-row oracle: the SQL
-    // mirrors the cell arithmetic (q20), the overflow-safe (cx,cy) split
-    // hash, the data-aware val-cell set, and the ring-1 buffer join.
+    // mirrors the cell arithmetic (q20), the splitmix64 HUGEINT limb
+    // chain (the q154 machinery), the data-aware val-cell set, and the
+    // ring-1 buffer join.
     ("q157_spatial_split", (s: SparkSession, dir: String) => {
       graft.ops.Sampling.spatialSplit(
         Fixtures.pointsFromOrders(s, dir), "lon", "lat",
@@ -281,12 +284,16 @@ object Geospatial {
           CAST(least(greatest(floor(((lon + 180.0) / 360.0) * 64.0), 0.0), 63.0) AS BIGINT) AS cx,
           CAST(least(greatest(floor(((90.0 - lat) / 180.0) * 64.0), 0.0), 63.0) AS BIGINT) AS cy
         FROM pts),
-      sp AS (
+      cc2 AS (
         SELECT point_id, cx, cy,
           ((CAST(6 AS BIGINT) << 58) | (cx << 29) | cy) AS cell,
-          CASE WHEN ((cx * 2654435761 + cy * 40503 + 7) % 1000) < 100
-               THEN 'val' ELSE 'train' END AS s0
+          ((CAST(6 AS BIGINT) << 58) | (cx << 29) | cy) + 7 AS sid
         FROM cc),
+      ${TrainingData.smixCtes("cc2", "sid", "point_id, cx, cy, cell")},
+      sp AS (
+        SELECT point_id, cx, cy, cell,
+          CASE WHEN (bucket % 1000) < 100 THEN 'val' ELSE 'train' END AS s0
+        FROM smb),
       vc AS (SELECT DISTINCT cx, cy FROM sp WHERE s0 = 'val'),
       d AS (SELECT a.dx, b.dy
             FROM (SELECT unnest([-1, 0, 1]) AS dx) a,

@@ -24,7 +24,7 @@ object TrainingData {
   // q46/q47/q48/q52 oracles.
 
   /** 2^64 as a decimal literal. */
-  private val U64 = "18446744073709551616"
+  private[queries] val U64 = "18446744073709551616"
 
   /** Shared oracle CTE chain re-deriving the IVF top-k search (q99's
     * exact int64 algebra: centroid self-norms, reduced quantized L2,
@@ -1552,7 +1552,7 @@ object TrainingData {
   /** One limb-split (32×32-bit) multiply of UBIGINT column `y` by the
     * constant clo + chi·2³², reduced mod 2⁶⁴ — the q46 overflow-safe
     * pattern (DuckDB HUGEINT holds every intermediate exactly). */
-  private def limbMulSql(y: String, clo: Long, chi: Long): String =
+  private[queries] def limbMulSql(y: String, clo: Long, chi: Long): String =
     s"""CAST((($clo * (CAST($y AS HUGEINT) % 4294967296)
          + (($clo * (CAST($y AS HUGEINT) // 4294967296)
              + $chi * (CAST($y AS HUGEINT) % 4294967296)) % 4294967296) * 4294967296)
@@ -1563,7 +1563,7 @@ object TrainingData {
   /** splitmix64 sampling-bucket mirror over any source: `src` must expose
     * an id column `idCol` plus the carried columns `carry` (comma-joined,
     * may be empty); ends at CTE `smb(idCol, carry…, bucket)`. */
-  private def smixCtes(src: String, idCol: String, carry: String): String = {
+  private[queries] def smixCtes(src: String, idCol: String, carry: String): String = {
     val c = if (carry.isEmpty) "" else s"$carry,"
     s"""
       sm0 AS (

@@ -137,6 +137,19 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(viaProbe.filter(_._2 > 0).map(identity).toMap == viaJoin)
   }
 
+  test("envMatchIndexed: empty and null-geometry polygon layers match nothing") {
+    val images = Fixtures.imagesFromParts(spark, TestSpark.Sf).filter(col("srid") === 4326)
+      .withColumn("env", footprint(col("gt"), col("w"), col("h"), col("srid")))
+      .select("key", "env").limit(20)
+    val empty = Fixtures.regionBoxes(spark, TestSpark.Sf).filter(col("region_id") < 0)
+    assert(SpatialJoin.envMatchIndexed(images, empty)
+      .filter(col("n_regions") =!= 0).count() == 0L)
+    val withNull = Fixtures.regionBoxes(spark, TestSpark.Sf).limit(1)
+      .select(col("region_id"), lit(null).cast("binary").as("wkb"))
+    assert(SpatialJoin.envMatchIndexed(images, withNull)
+      .filter(col("n_regions") =!= 0).count() == 0L)
+  }
+
   test("salted PIP join equals the unsalted join exactly") {
     val pts = Fixtures.pointsFromOrders(spark, TestSpark.Sf).select("point_id", "lon", "lat")
     val polys = Fixtures.regionBoxes(spark, TestSpark.Sf)

@@ -185,6 +185,28 @@ class ContourSpec extends AnyFunSuite {
     }
   }
 
+  test("tie-prone non-integer levels still cancel exactly (value-canonical crossings)") {
+    // L = 100 + 1/2048: 1024*(L-100)/(101-100) = 0.5 — an exact rounding
+    // tie on every 100↔101 edge; direction-computed crossings would land
+    // one lattice unit apart on the two sides and never cancel
+    val tieLevel = 100.0 + 1.0 / 2048.0
+    val rnd = new scala.util.Random(11)
+    (0 until 10).foreach { _ =>
+      val w = 5 + rnd.nextInt(8); val h = 5 + rnd.nextInt(8)
+      val band = Array.fill(w * h)(100 + rnd.nextInt(2)) // values ∈ {100, 101}
+      val rb = Contour.ringBands(band, w, h, idGt, Seq(tieLevel), emitWkb = true)
+      // traces without dangling-edge/revisit failures and rings close:
+      // WKB area == signed shoelace sum per interval
+      rb.foreach { r =>
+        if (r.wkb != null)
+          assert(math.abs(GeomOps.area(r.wkb) - r.ringAreaQ.toDouble / (1L << 23)) < 1e-9)
+        assert((r.ringAreaQ > 0) == (r.nShells > 0))
+      }
+      // both intervals partition the raster area exactly
+      assert(rb.map(_.ringAreaQ).sum == (w - 1).toLong * (h - 1) * 4 * Contour.FullTriQ)
+    }
+  }
+
   test("ring WKB areas match the signed sums on random rasters (nesting exact)") {
     val rnd = new scala.util.Random(7)
     (0 until 8).foreach { _ =>
