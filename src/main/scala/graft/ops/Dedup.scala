@@ -327,4 +327,26 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .drop("__ta", "__tb", "__ov")
   }
+
+  /** [[jaccardVerify]] over PRECOMPUTED shingle-hash sets: `shingled` =
+    * (idCol, `sh`: sorted distinct char-shingle hashes, from
+    * `char_shingles`). Identical accept decisions (the string path
+    * compares the same FNV64 sets), but each document is shingled ONCE
+    * instead of once per candidate pair — the right trade when candidate
+    * multiplicity is high (a near-dup-heavy corpus re-shingles every
+    * popular doc per pair). Cost: the attach joins carry the hash
+    * arrays (~8 bytes/char vs 1 for text); choose by multiplicity. */
+  def jaccardVerifyHashed(pairs: DataFrame, shingled: DataFrame, minJaccard: Double = 0.0,
+                          idCol: String = "doc_id"): DataFrame = {
+    val d = shingled.select(col(idCol), col("sh"))
+    pairs
+      .join(d.select(col(idCol).as("id_a"), col("sh").as("__sa")), Seq("id_a"))
+      .join(d.select(col(idCol).as("id_b"), col("sh").as("__sb")), Seq("id_b"))
+      .withColumn("__ov", sorted_overlap(col("__sa"), col("__sb")))
+      .withColumn("inter", col("__ov")(0))
+      .withColumn("uni", col("__ov")(1))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .drop("__sa", "__sb", "__ov")
+  }
 }

@@ -1361,7 +1361,12 @@ object TrainingData {
       val cand = graft.pipeline.Caches.persist(
         Dedup.minhashCandidates(d, k = 64, bands = 16, shingle = 5)
           .select(col("id_a"), col("id_b")))
-      val verified = Dedup.jaccardVerify(cand, d, shingle = 3, minJaccard = 0.5)
+      // verify over PRECOMPUTED shingle sets: candidate multiplicity is
+      // ~50 pairs/doc here, so the string path re-shingles every doc
+      // ~100× — the hashed variant shingles once (same accept decisions)
+      val shingled = graft.pipeline.Caches.persist(
+        d.select(col("doc_id"), graft.text.textfunctions.char_shingles(col("text"), 3).as("sh")))
+      val verified = Dedup.jaccardVerifyHashed(cand, shingled, minJaccard = 0.5)
         .select(col("id_a"), col("id_b"))
       val comp = graft.ops.Components.connectedComponents(
         verified, "id_a", "id_b", d.select(col("doc_id").as("id")), "id")

@@ -137,6 +137,42 @@ case class ShingleOverlap(first: Expression, second: Expression, third: Expressi
     copy(first = f, second = s, third = t)
 }
 
+/** char_shingles(text, n) → array<long>: sorted distinct FNV64 hashes of
+  * the n-char shingles (the shingle_overlap set, materialized once per
+  * document instead of once per candidate pair). */
+case class CharShingles(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_shingles"
+  override protected def nullSafeEval(s: Any, n: Any): Any =
+    new GenericArrayData(TextKernels.charShingleHashes(s.toString, n.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, n) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.text.TextKernels.charShingleHashes($s.toString(), $n))")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CharShingles =
+    copy(left = l, right = r)
+}
+
+/** sorted_overlap(a, b) → array<int>[intersection, union] of two SORTED
+  * distinct long arrays (one linear merge — the shingle_overlap math
+  * over precomputed char_shingles sets). */
+case class SortedOverlap(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_overlap"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextExprHelpers.sortedOverlap(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.text.TextExprHelpers.sortedOverlap($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedOverlap =
+    copy(left = l, right = r)
+}
+
 /** rademacher_sig(embedding array<float|double>, nBits, seed) → long. */
 case class RademacherSig(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with ImplicitCastInputTypes {
@@ -233,6 +269,18 @@ object TextExprHelpers {
     val (i, u) = TextKernels.shingleOverlap(a, b, n)
     new GenericArrayData(Array(i, u))
   }
+
+  def sortedOverlap(a: ArrayData, b: ArrayData): ArrayData = {
+    val la = a.numElements(); val lb = b.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < la && j < lb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    new GenericArrayData(Array(inter, la + lb - inter))
+  }
 }
 
 /** Column facade. */
@@ -249,6 +297,10 @@ object textfunctions {
   def lang_id(c: Column): Column = toCol(LangId(toExpr(c)))
   def shingle_overlap(a: Column, b: Column, n: Int): Column =
     toCol(ShingleOverlap(toExpr(a), toExpr(b), Literal(n)))
+  def char_shingles(text: Column, n: Int): Column =
+    toCol(CharShingles(toExpr(text), Literal(n)))
+  def sorted_overlap(a: Column, b: Column): Column =
+    toCol(SortedOverlap(toExpr(a), toExpr(b)))
   def rademacher_sig(v: Column, nBits: Int, seed: Long): Column =
     toCol(RademacherSig(toExpr(v), Literal(nBits), Literal(seed)))
   def word_ngrams(text: Column, n: Int): Column =

@@ -66,6 +66,24 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(res((1L, 4L)) < 0.2)
   }
 
+  test("hashed jaccard verify equals the string path bit-for-bit") {
+    // real corpus slice: every candidate pair from the LSH generator
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select($"doc_id", $"text").limit(400)
+    val pairs = Dedup.minhashCandidates(docs, k = 64, bands = 16, shingle = 5)
+      .select($"id_a", $"id_b")
+    val viaText = Dedup.jaccardVerify(pairs, docs, shingle = 3)
+      .select($"id_a", $"id_b", $"inter", $"uni").as[(Long, Long, Int, Int)]
+      .collect().toSet
+    val shingled = docs.select($"doc_id",
+      graft.text.textfunctions.char_shingles($"text", 3).as("sh"))
+    val viaHash = Dedup.jaccardVerifyHashed(pairs, shingled)
+      .select($"id_a", $"id_b", $"inter", $"uni").as[(Long, Long, Int, Int)]
+      .collect().toSet
+    graft.pipeline.Caches.release()
+    assert(viaText.nonEmpty && viaText == viaHash)
+  }
+
   test("brute-force ANN topk: rank 1 is the vector itself") {
     val e = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
     val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
