@@ -241,6 +241,13 @@ object Contour {
     * is an exact directed pair and was cancelled). */
   def ringBands(band: Array[Int], w: Int, h: Int, gt: Array[Double],
                 levels: Seq[Double], emitWkb: Boolean): Seq[RingBand] = {
+    // exactness bound, fail-fast (cf. packSequences' capacity cap): the
+    // trace's long cross products and the shoelace/PIP arithmetic assume
+    // lattice coords < 2^18, i.e. (dim-1)·2048 < 262144 → dims ≤ 129.
+    // Tile larger rasters (the corpus path does) before calling.
+    require(w >= 2 && h >= 2 && (w - 1).toLong * 2048L < (1L << 18)
+      && (h - 1).toLong * 2048L < (1L << 18),
+      s"ringBands: raster dims ${w}x$h exceed the 129-px exact-lattice bound — tile first")
     val ls = levels.sorted.toArray
     val nIv = ls.length + 1
     @inline def v(x: Int, y: Int): Double = band(y * w + x).toDouble
@@ -410,8 +417,12 @@ object Contour {
             val r = rings(hIx)
             val mx = ux(r(0)) + ux(r(1 % r.length))
             val my = uy(r(0)) + uy(r(1 % r.length))
-            bySize.find(sIx => contains(rings(sIx), mx, my))
-              .foreach(sIx => holesOf.getOrElseUpdate(sIx, mutable.ArrayBuffer.empty) += hIx)
+            val shell = bySize.find(sIx => contains(rings(sIx), mx, my))
+            // a hole with no containing shell is a nesting bug — fail
+            // loudly (like the dangling/revisited-edge requires) instead
+            // of silently emitting WKB whose area diverges from areaQ
+            require(shell.isDefined, "contour ring nesting: orphan hole")
+            holesOf.getOrElseUpdate(shell.get, mutable.ArrayBuffer.empty) += hIx
           }
           def toGeo(vs: Array[Long]): Array[Double] = {
             val n = vs.length

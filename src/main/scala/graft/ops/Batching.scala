@@ -50,21 +50,29 @@ object Batching {
 
   /** Assign full fixed-size batches per bucket: deterministic
     * (sample_bucket(id), id) order, batch_id = (rk−1) div batchSize,
-    * the incomplete tail batch dropped. Output adds bucket/rk/batch_id. */
+    * the incomplete tail batch dropped. Output adds bucket/rk/batch_id.
+    *
+    * Rank comes from [[graft.ops.Sharding.groupedRank]]'s two-phase
+    * prefix, never a whole-bucket window: |buckets| ≈ 5 means a naive
+    * `Window.partitionBy(bucket)` sorts ~corpus/5 rows in ONE task each
+    * (and a trailing `count().over(bucket)` would add a second full-group
+    * pass). The prefix spreads each bucket across the sub-buckets, and
+    * the tail-drop total `grp_n` falls out of the same small count frame
+    * — no second corpus pass. */
   def packBatches(df: DataFrame, idCol: String, wCol: String, hCol: String,
                   batchSize: Int,
-                  buckets: Seq[(Int, Int)] = DefaultBuckets): DataFrame = {
+                  buckets: Seq[(Int, Int)] = DefaultBuckets,
+                  subBuckets: Int = 256): DataFrame = {
     require(batchSize >= 1, "positive batch size")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("bucket"))
-      .orderBy(col("sbucket"), col(idCol))
-    df.withColumn("bucket", aspectBucket(col(wCol), col(hCol), buckets))
-      .withColumn("sbucket", graft.text.textfunctions.sample_bucket(col(idCol)))
-      .withColumn("rk", row_number().over(w).cast("int"))
-      .withColumn("n_in_bucket", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))).cast("int"))
-      .filter(col("rk") <= expr(s"(n_in_bucket div $batchSize) * $batchSize"))
+    val ranked = Sharding.groupedRank(
+      df.withColumn("bucket", aspectBucket(col(wCol), col(hCol), buckets))
+        .withColumn("sbucket", graft.text.textfunctions.sample_bucket(col(idCol))),
+      Seq("bucket"), hashCol = "sbucket", orderCol = idCol,
+      subBuckets = subBuckets, withGroupTotal = true)
+    ranked
+      .filter(col("rk") <= expr(s"(grp_n div $batchSize) * $batchSize"))
       .withColumn("batch_id", expr(s"(rk - 1) div $batchSize").cast("int"))
-      .drop("sbucket", "n_in_bucket")
+      .withColumn("rk", col("rk").cast("int"))
+      .drop("sbucket", "grp_n")
   }
 }

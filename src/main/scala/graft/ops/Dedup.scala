@@ -290,26 +290,35 @@ object Dedup {
     * Returns per-doc (doc_id, total_segs, kept_segs).
     *
     * Shape at scale: segmentation is a codegen'd builtin-HOF map (split/
-    * transform/slice — no UDF); the only wide op is the per-segment
-    * first-occurrence window. The shuffle key here is the segment text
-    * itself (exact semantics, SQL-mirrorable); at 100 TB swap the
-    * partition key to xxhash64(seg) and keep the text only for the
-    * in-partition compare — same plan shape, 8-byte shuffle keys. */
+    * transform/slice — no UDF). The first-occurrence decision is a
+    * `groupBy(seg).agg(min(struct(doc_id, seg_no)))` — NEVER a
+    * `Window.partitionBy(seg)`: a mass-duplicated span (boilerplate,
+    * exactly what this operator targets) would put every copy of the hot
+    * segment into ONE task's window sort, while partial (map-side)
+    * aggregation reduces each task's copies of the hot segment to a
+    * single row BEFORE the exchange. The winners frame is one row per
+    * DISTINCT segment; per-doc kept counts then shuffle by doc id only.
+    * At 100 TB swap the agg key to xxhash64(seg) and keep the text only
+    * for collision checks — same plan shape, 8-byte shuffle keys. */
   def segmentDedup(docs: DataFrame, w: Int,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val segs = docs
+    val segs = graft.pipeline.Caches.persist(docs
       .filter(length(col(textCol)) > 0)
       .select(col(idCol),
         expr(s"transform(sequence(0, int(ceil(size(split($textCol, ' ')) / ${w}.0)) - 1), " +
           s"i -> array_join(slice(split($textCol, ' '), i * $w + 1, $w), ' '))").as("__segs"))
-      .select(col(idCol), posexplode(col("__segs")).as(Seq("seg_no", "seg")))
-    val win = Window.partitionBy(col("seg")).orderBy(col(idCol), col("seg_no"))
-    segs
-      .withColumn("__rn", row_number().over(win))
+      .select(col(idCol), posexplode(col("__segs")).as(Seq("seg_no", "seg"))))
+    val totals = segs.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("total_segs"))
+    // min(struct) == the (doc_id, seg_no)-lexicographic first occurrence:
+    // identical to rn=1 under ORDER BY (doc_id, seg_no), but skew-immune.
+    val kept = segs.groupBy(col("seg"))
+      .agg(min(struct(col(idCol), col("seg_no"))).as("__first"))
+      .select(col(s"__first.$idCol").as(idCol))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).cast("int").as("total_segs"),
-        sum(when(col("__rn") === 1, 1).otherwise(0)).cast("int").as("kept_segs"))
+      .agg(count(lit(1)).cast("int").as("kept_segs"))
+    totals.join(kept, Seq(idCol), "left")
+      .withColumn("kept_segs", coalesce(col("kept_segs"), lit(0)).cast("int"))
   }
 
   /** Exact n-gram Jaccard on candidate pairs (verification stage after any

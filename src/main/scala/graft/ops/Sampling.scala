@@ -54,11 +54,16 @@ object Sampling {
     * [[stratifiedTopK]].
     *
     * Scale shape: the counts/quota frame is one two-phase hash-agg down
-    * to |strata| rows (broadcast back onto the corpus); the only wide op
-    * on the corpus is the per-stratum rank window — one Exchange keyed
-    * by stratum. A quota above |stratum| keeps the whole stratum. */
+    * to |strata| rows (broadcast back onto the corpus); rank WITHIN a
+    * stratum comes from [[graft.ops.Sharding.groupedRank]]'s two-phase
+    * prefix, NOT a per-stratum window — the quota here is a COLUMN, so
+    * Spark's WindowGroupLimit map-side pruning can never apply, and a
+    * dominant stratum (one web domain at 40% of a real corpus) would
+    * otherwise sort through one task. With the prefix, the hot stratum's
+    * sort spreads across the sub-buckets. A quota above |stratum| keeps
+    * the whole stratum. */
   def temperatureMix(df: DataFrame, idCol: String, stratumCol: String,
-                     total: Long): DataFrame = {
+                     total: Long, subBuckets: Int = 256): DataFrame = {
     require(total >= 0, "non-negative target total")
     val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_docs"))
       .withColumn("s_q", floor(sqrt(col("n_docs").cast("double")) * (1L << 20)).cast("long"))
@@ -66,13 +71,14 @@ object Sampling {
     val quotas = counts.crossJoin(tot)
       .withColumn("quota", expr(s"($total * s_q) div s_tot"))
       .select(col(stratumCol), col("quota"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(stratumCol))
-      .orderBy(col("bucket"), col(idCol))
-    df.withColumn("bucket", sample_bucket(col(idCol)))
+    val ranked = Sharding.groupedRank(
+      df.withColumn("bucket", sample_bucket(col(idCol))),
+      Seq(stratumCol), hashCol = "bucket", orderCol = idCol, subBuckets = subBuckets)
+    val outCols = (df.columns :+ "bucket" :+ "quota").map(col) :+ col("rk").cast("int").as("rk")
+    ranked
       .join(broadcast(quotas), Seq(stratumCol))
-      .withColumn("rk", row_number().over(w).cast("int"))
       .filter(col("rk") <= col("quota"))
+      .select(outCols: _*)
   }
 
   /** EXACTLY min(k, |stratum|) rows per stratum, chosen deterministically

@@ -70,6 +70,49 @@ object Sharding {
       .drop("pack_bucket", "bucket_offset")
   }
 
+  /** Global 1-based rank of each row WITHIN its group, in ascending
+    * (`hashCol`, `orderCol`) order, without ever sorting a whole group in
+    * one task — the window-shaped sibling of [[packShards]]'s two-phase
+    * prefix. Rows sub-bucket by `hashCol div step` (monotone in the order
+    * key, so cross-sub-bucket order is total); a per-(group, sub-bucket)
+    * count aggregate (map-side combined, |groups|·`subBuckets` rows max)
+    * yields exclusive offsets via a window over that SMALL frame; each
+    * row's rank = its sub-bucket's offset + its rank inside the
+    * per-(group, sub-bucket) window. A group holding 50% of the corpus
+    * therefore sorts across `subBuckets` tasks instead of one. Optionally
+    * also attaches the group total (from the same small frame — no extra
+    * corpus pass). `hashCol` must be non-negative and < `hashRange`.
+    *
+    * Adds: `rk` (long, 1-based global in-group rank) and, when
+    * `withGroupTotal`, `grp_n` (long). */
+  def groupedRank(df: DataFrame, groupCols: Seq[String], hashCol: String,
+                  orderCol: String, subBuckets: Int = 256,
+                  hashRange: Long = 1000000L,
+                  withGroupTotal: Boolean = false): DataFrame = {
+    require(subBuckets >= 1, "positive sub-bucket count")
+    val step = (hashRange + subBuckets - 1) / subBuckets
+    val g = groupCols.map(col)
+    val bucketed = df.withColumn("__sb", (col(hashCol).cast("long") / step).cast("int"))
+
+    // small frame: per-(group, sub-bucket) counts -> exclusive offsets
+    val offW = Window.partitionBy(g: _*).orderBy(col("__sb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val grpW = Window.partitionBy(g: _*)
+    var offs = bucketed.groupBy((g :+ col("__sb")): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(offW), lit(0L)))
+    if (withGroupTotal) offs = offs.withColumn("grp_n", sum(col("__n")).over(grpW))
+    offs = offs.drop("__n")
+
+    // per-(group, sub-bucket) local rank + broadcast offset
+    val rkW = Window.partitionBy((g :+ col("__sb")): _*)
+      .orderBy(col(hashCol), col(orderCol))
+    bucketed
+      .join(broadcast(offs), groupCols :+ "__sb")
+      .withColumn("rk", col("__off") + row_number().over(rkW).cast("long"))
+      .drop("__sb", "__off")
+  }
+
   /** Concat-and-chunk sequence packing (the GPT-pretraining layout): lay
     * documents out in the global `orderCol` order, concatenate their
     * token streams, and cut every `capacity` tokens — each document
@@ -90,8 +133,11 @@ object Sharding {
     packShards(df.filter(col(nTokCol) > 0), orderCol, nTokCol, capacity, bucket)
       .withColumnRenamed("cum_before", "tok_offset")
       .withColumnRenamed("shard_id", "start_bin")
-      .withColumn("end_bin",
-        expr(s"(tok_offset + ${nTokCol} - 1) div ${capacity}L").cast("long"))
+      // Column arithmetic via a fixed-name temp: interpolating nTokCol
+      // raw into expr() would mis-parse names needing backtick quoting
+      .withColumn("__last_tok", col("tok_offset") + col(nTokCol).cast("long") - 1L)
+      .withColumn("end_bin", expr(s"__last_tok div ${capacity}L").cast("long"))
+      .drop("__last_tok")
       .withColumn("bins_spanned", (col("end_bin") - col("start_bin") + 1L).cast("int"))
       .withColumn("start_off_in_bin", pmod(col("tok_offset"), lit(capacity)).cast("int"))
   }
