@@ -240,7 +240,74 @@ object Contour {
     * since any geometric overlap between lattice edges of one interval
     * is an exact directed pair and was cancelled). */
   def ringBands(band: Array[Int], w: Int, h: Int, gt: Array[Double],
-                levels: Seq[Double], emitWkb: Boolean): Seq[RingBand] = {
+                levels: Seq[Double], emitWkb: Boolean): Seq[RingBand] =
+    traceLayers(band, w, h, levels).map { ir =>
+      val wkb =
+        if (!emitWkb || ir.shellIdx.isEmpty) null
+        else Wkb.writeMultiPolygon(ir.shellIdx.map { sIx =>
+          (toGeoRing(ir.rings(sIx), gt) +:
+            ir.holesOf.getOrElse(sIx, Array.empty[Int]).map(h => toGeoRing(ir.rings(h), gt))).toArray
+        })
+      RingBand(ir.iv, ir.lo, ir.hi, ir.shellIdx.length,
+        ir.holesOf.valuesIterator.map(_.length).sum, ir.areas.sum, wkb)
+    }
+
+  /** One reference-layout polygon FEATURE: a shell with its nested holes
+    * (alg/marching_squares/polygon_ring_appender.h emits one feature per
+    * polygon, not one merged multipolygon per interval). featAreaQ is the
+    * feature's signed shoelace sum — shell (positive) plus its holes
+    * (negative) — in areaQ units; Σ featAreaQ over an interval's features
+    * equals the interval's [[RingBand.ringAreaQ]]. */
+  final case class RingFeature(iv: Int, lvlLo: Double, lvlHi: Double,
+                               nHoles: Int, featAreaQ: Long, wkb: Array[Byte])
+
+  /** Per-feature rows of the ring layer: one row per shell, holes nested
+    * — the reference's actual contour-polygon feature layout. Same exact
+    * construction as [[ringBands]] (shared trace); the split to features
+    * uses the hole→smallest-containing-shell nesting. */
+  def ringFeatures(band: Array[Int], w: Int, h: Int, gt: Array[Double],
+                   levels: Seq[Double], emitWkb: Boolean): Seq[RingFeature] =
+    traceLayers(band, w, h, levels).flatMap { ir =>
+      ir.shellIdx.map { sIx =>
+        val holes = ir.holesOf.getOrElse(sIx, Array.empty[Int])
+        val area = ir.areas(sIx) + holes.map(ir.areas(_)).sum
+        val wkb =
+          if (!emitWkb) null
+          else Wkb.writeMultiPolygon(Array(
+            (toGeoRing(ir.rings(sIx), gt) +: holes.map(h => toGeoRing(ir.rings(h), gt))).toArray))
+        RingFeature(ir.iv, ir.lo, ir.hi, holes.length, area, wkb)
+      }
+    }
+
+  @inline private def ux(p: Long): Long = p >> 32
+  @inline private def uy(p: Long): Long = p & 0xffffffffL
+
+  /** Lattice ring → closed geo-coordinate ring through the geotransform
+    * (pixel centers sit at +0.5). */
+  private def toGeoRing(vs: Array[Long], gt: Array[Double]): Array[Double] = {
+    val n = vs.length
+    val out = new Array[Double]((n + 1) * 2)
+    var i = 0
+    while (i <= n) {
+      val p = vs(i % n)
+      val pxx = 0.5 + ux(p) / 2048.0
+      val pyy = 0.5 + uy(p) / 2048.0
+      out(2 * i) = GeoTransform.applyX(gt, pxx, pyy)
+      out(2 * i + 1) = GeoTransform.applyY(gt, pxx, pyy)
+      i += 1
+    }
+    out
+  }
+
+  /** One traced interval: simple rings on the integer lattice, signed
+    * shoelace areas, shells (area > 0) in ascending-area order irrelevant
+    * — `shellIdx` preserves trace order — and hole→shell nesting. */
+  private final case class IntervalRings(iv: Int, lo: Double, hi: Double,
+                                         rings: Array[Array[Long]], areas: Array[Long],
+                                         shellIdx: Array[Int], holesOf: Map[Int, Array[Int]])
+
+  private def traceLayers(band: Array[Int], w: Int, h: Int,
+                          levels: Seq[Double]): Seq[IntervalRings] = {
     // exactness bound, fail-fast (cf. packSequences' capacity cap): the
     // trace's long cross products and the shoelace/PIP arithmetic assume
     // lattice coords < 2^18, i.e. (dim-1)·2048 < 262144 → dims ≤ 129.
@@ -251,8 +318,6 @@ object Contour {
     val ls = levels.sorted.toArray
     val nIv = ls.length + 1
     @inline def v(x: Int, y: Int): Double = band(y * w + x).toDouble
-    @inline def ux(p: Long): Long = p >> 32
-    @inline def uy(p: Long): Long = p & 0xffffffffL
     @inline def pack(x: Long, y: Long): Long = (x << 32) | y
     val px = new Array[Double](12); val py = new Array[Double](12)
     val g = new Array[Long](12)
@@ -390,60 +455,41 @@ object Contour {
         }
         s
       }
-      val shellIdx = rings.indices.filter(areas(_) > 0L)
+      val shellIdx = rings.indices.filter(areas(_) > 0L).toArray
       val holeIdx = rings.indices.filter(areas(_) < 0L)
-      val wkb =
-        if (!emitWkb || shellIdx.isEmpty) null
-        else {
-          // hole → smallest containing shell by exact even-odd PIP on the
-          // ×2 lattice (rep point = first-edge midpoint)
-          def contains(ring: Array[Long], px2: Long, py2: Long): Boolean = {
-            var inside = false; var i = 0; val n = ring.length
-            while (i < n) {
-              val x1 = 2L * ux(ring(i)); val y1 = 2L * uy(ring(i))
-              val j = (i + 1) % n
-              val x2 = 2L * ux(ring(j)); val y2 = 2L * uy(ring(j))
-              if ((y1 > py2) != (y2 > py2)) {
-                val num = (x1 - px2) * (y2 - y1) + (py2 - y1) * (x2 - x1)
-                if ((num > 0L) == (y2 > y1)) inside = !inside
-              }
-              i += 1
-            }
-            inside
+      // hole → smallest containing shell by exact even-odd PIP on the
+      // ×2 lattice (rep point = first-edge midpoint); always computed —
+      // the feature split needs nesting even without WKB, and the edge
+      // frame is boundary-sized (tiny vs the raster)
+      def contains(ring: Array[Long], px2: Long, py2: Long): Boolean = {
+        var inside = false; var i = 0; val n = ring.length
+        while (i < n) {
+          val x1 = 2L * ux(ring(i)); val y1 = 2L * uy(ring(i))
+          val j = (i + 1) % n
+          val x2 = 2L * ux(ring(j)); val y2 = 2L * uy(ring(j))
+          if ((y1 > py2) != (y2 > py2)) {
+            val num = (x1 - px2) * (y2 - y1) + (py2 - y1) * (x2 - x1)
+            if ((num > 0L) == (y2 > y1)) inside = !inside
           }
-          val bySize = shellIdx.sortBy(areas(_))
-          val holesOf = mutable.HashMap.empty[Int, mutable.ArrayBuffer[Int]]
-          holeIdx.foreach { hIx =>
-            val r = rings(hIx)
-            val mx = ux(r(0)) + ux(r(1 % r.length))
-            val my = uy(r(0)) + uy(r(1 % r.length))
-            val shell = bySize.find(sIx => contains(rings(sIx), mx, my))
-            // a hole with no containing shell is a nesting bug — fail
-            // loudly (like the dangling/revisited-edge requires) instead
-            // of silently emitting WKB whose area diverges from areaQ
-            require(shell.isDefined, "contour ring nesting: orphan hole")
-            holesOf.getOrElseUpdate(shell.get, mutable.ArrayBuffer.empty) += hIx
-          }
-          def toGeo(vs: Array[Long]): Array[Double] = {
-            val n = vs.length
-            val out = new Array[Double]((n + 1) * 2)
-            var i = 0
-            while (i <= n) {
-              val p = vs(i % n)
-              val pxx = 0.5 + ux(p) / 2048.0
-              val pyy = 0.5 + uy(p) / 2048.0
-              out(2 * i) = GeoTransform.applyX(gt, pxx, pyy)
-              out(2 * i + 1) = GeoTransform.applyY(gt, pxx, pyy)
-              i += 1
-            }
-            out
-          }
-          Wkb.writeMultiPolygon(shellIdx.toArray.map { sIx =>
-            (toGeo(rings(sIx)) +: holesOf.getOrElse(sIx, mutable.ArrayBuffer.empty)
-              .toArray.map(hIx => toGeo(rings(hIx)))).toArray
-          })
+          i += 1
         }
-      RingBand(iv, lo, hi, shellIdx.length, holeIdx.length, areas.sum, wkb)
+        inside
+      }
+      val bySize = shellIdx.sortBy(areas(_))
+      val holesOf = mutable.HashMap.empty[Int, mutable.ArrayBuffer[Int]]
+      holeIdx.foreach { hIx =>
+        val r = rings(hIx)
+        val mx = ux(r(0)) + ux(r(1 % r.length))
+        val my = uy(r(0)) + uy(r(1 % r.length))
+        val shell = bySize.find(sIx => contains(rings(sIx), mx, my))
+        // a hole with no containing shell is a nesting bug — fail
+        // loudly (like the dangling/revisited-edge requires) instead
+        // of silently emitting WKB whose area diverges from areaQ
+        require(shell.isDefined, "contour ring nesting: orphan hole")
+        holesOf.getOrElseUpdate(shell.get, mutable.ArrayBuffer.empty) += hIx
+      }
+      IntervalRings(iv, lo, hi, rings.toArray, areas.toArray, shellIdx,
+        holesOf.view.mapValues(_.toArray).toMap)
     }
   }
 

@@ -503,6 +503,121 @@ object GeomOps {
     }
   }
 
+  /** SimplifyPreserveTopology (ogrgeometry.cpp:6856 — GEOS
+    * TopologyPreservingSimplifier semantics, behavior only): per-ring
+    * Douglas–Peucker exactly as [[simplify]], then dropped vertices are
+    * RESTORED — largest current chord deviation first — until the
+    * polygon is topologically sound: every ring keeps ≥ 3 distinct
+    * vertices with nonzero area, and no self-intersection or cross-ring
+    * conflict exists ([[MakeValid.isValidRings]]). Plain DP collapses a
+    * sliver ring to its chord and can fold a concave ring into a bowtie
+    * at coarse tolerances; this variant never does — the guarantee the
+    * reference's *PreserveTopology entry point gives production ETL.
+    * Points/LineStrings fall through to plain DP (no ring topology; DP
+    * always keeps the endpoints). */
+  def simplifyTopo(wkb: Array[Byte], tolerance: Double): Array[Byte] = {
+    val g = Wkb.read(wkb)
+    g.geomType match {
+      case Wkb.PointType | Wkb.LineStringType => simplify(wkb, tolerance)
+      case Wkb.PolygonType =>
+        Wkb.writePolygon(topoRings(g.polygons(0).rings, tolerance))
+      case Wkb.MultiPolygonType =>
+        Wkb.writeMultiPolygon(g.polygons.map(p => topoRings(p.rings, tolerance)))
+      case other => throw new IllegalArgumentException(s"unsupported type $other")
+    }
+  }
+
+  /** One polygon's rings through DP + the topology-restoring loop. */
+  private def topoRings(rings: Array[Array[Double]], tol: Double): Array[Array[Double]] = {
+    val keeps = rings.map(r => dpKeepClosed(r, tol))
+    def assemble(ri: Int): Array[Double] = {
+      val r = rings(ri); val k = keeps(ri)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var i = 0
+      while (i < k.length) {
+        if (k(i)) { out += r(2 * i) += r(2 * i + 1) }
+        i += 1
+      }
+      out.toArray
+    }
+    @inline def shoelace(ring: Array[Double]): Double = {
+      var s = 0.0; var i = 0; val n = ring.length / 2
+      while (i < n) {
+        val j = (i + 1) % n
+        s += ring(2 * i) * ring(2 * j + 1) - ring(2 * j) * ring(2 * i + 1)
+        i += 1
+      }
+      s
+    }
+    var guard = rings.map(_.length / 2).sum
+    while (guard >= 0) {
+      val cand = rings.indices.map(assemble).toArray
+      val ok = cand.forall(c => c.length >= 8 && shoelace(c) != 0.0) &&
+        MakeValid.isValidRings(cand.toSeq)
+      if (ok) return cand
+      // restore the dropped vertex farthest from its current kept chord
+      var bestR = -1; var bestI = -1; var bestD = -1.0
+      var ri = 0
+      while (ri < rings.length) {
+        val r = rings(ri); val k = keeps(ri); val n = k.length
+        var lo = 0
+        var i = 1
+        while (i < n) {
+          if (k(i)) lo = i
+          else {
+            var hi = i + 1
+            while (hi < n && !k(hi)) hi += 1
+            val d2 = pointSegD2(r(2 * i), r(2 * i + 1),
+              r(2 * lo), r(2 * lo + 1), r(2 * hi), r(2 * hi + 1))
+            if (d2 > bestD) { bestD = d2; bestR = ri; bestI = i }
+          }
+          i += 1
+        }
+        ri += 1
+      }
+      require(bestR >= 0, "simplifyTopo: no vertex left to restore on an invalid input")
+      keeps(bestR)(bestI) = true
+      guard -= 1
+    }
+    throw new IllegalStateException("simplifyTopo: restore loop did not converge")
+  }
+
+  /** The [[simplify]] closed-ring DP keep mask (start/end, the farthest
+    * anchor, and every vertex whose recursive chord deviation exceeds
+    * the tolerance). */
+  private def dpKeepClosed(path: Array[Double], tolerance: Double): Array[Boolean] = {
+    val n = path.length / 2
+    val keep = new Array[Boolean](n)
+    if (n <= 4) { java.util.Arrays.fill(keep, true); return keep }
+    keep(0) = true; keep(n - 1) = true
+    def rec(i0: Int, i1: Int): Unit = {
+      if (i1 - i0 < 2) return
+      var worst = -1.0
+      var wIdx = -1
+      var i = i0 + 1
+      while (i < i1) {
+        val d2 = pointSegD2(path(2 * i), path(2 * i + 1),
+          path(2 * i0), path(2 * i0 + 1), path(2 * i1), path(2 * i1 + 1))
+        if (d2 > worst) { worst = d2; wIdx = i }
+        i += 1
+      }
+      if (worst > tolerance * tolerance) {
+        keep(wIdx) = true
+        rec(i0, wIdx); rec(wIdx, i1)
+      }
+    }
+    var far = 1; var fd = -1.0
+    var i = 1
+    while (i < n - 1) {
+      val dx = path(2 * i) - path(0); val dy = path(2 * i + 1) - path(1)
+      if (dx * dx + dy * dy > fd) { fd = dx * dx + dy * dy; far = i }
+      i += 1
+    }
+    keep(far) = true
+    rec(0, far); rec(far, n - 1)
+    keep
+  }
+
   /** explode_collections (gdalalg_vector_explode_collections): one WKB
     * per part; single geometries pass through as one element. */
   def dump(wkb: Array[Byte]): Array[Array[Byte]] = {

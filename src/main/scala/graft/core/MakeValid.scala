@@ -55,9 +55,14 @@ object MakeValid {
     * with no consecutive duplicate vertices, no proper segment crossing
     * and no vertex strictly interior to another segment — within a part
     * AND between parts (OGC parts may touch only at points). */
-  def isValidPolygonal(g: Wkb.Geom): Boolean = {
+  def isValidPolygonal(g: Wkb.Geom): Boolean =
+    isValidRings(g.polygons.iterator.flatMap(_.rings).toSeq)
+
+  /** [[isValidPolygonal]] over raw coordinate rings (the simplifyTopo
+    * restore loop validates candidate rings without serializing WKB). */
+  def isValidRings(ringSeq: Seq[Array[Double]]): Boolean = {
     val segs = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double, Double)]
-    g.polygons.foreach(_.rings.foreach { ring =>
+    ringSeq.foreach { ring =>
       if (ring.length < 8) return false // < 3 distinct vertices + closure
       if (ring(0) != ring(ring.length - 2) || ring(1) != ring(ring.length - 1)) return false
       var i = 0
@@ -66,7 +71,7 @@ object MakeValid {
         segs += ((ring(i), ring(i + 1), ring(i + 2), ring(i + 3)))
         i += 2
       }
-    })
+    }
     var i = 0
     while (i < segs.length) {
       var j = i + 1

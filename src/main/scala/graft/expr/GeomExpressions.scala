@@ -423,6 +423,23 @@ case class StSimplify(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** st_simplify_topo(wkb, tolerance) → topology-preserving simplified WKB
+  * (OGRGeometry::SimplifyPreserveTopology, ogrgeometry.cpp:6856): DP
+  * plus vertex restoration so no ring collapses or self-intersects. */
+case class StSimplifyTopo(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_simplify_topo"
+  override protected def nullSafeEval(wkb: Any, t: Any): Any =
+    GeomOps.simplifyTopo(wkb.asInstanceOf[Array[Byte]], t.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, t) => s"graft.core.GeomOps.simplifyTopo($w, $t)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StSimplifyTopo =
+    copy(left = l, right = r)
+}
+
 /** st_dump(wkb) → array<binary> of the parts (explode_collections). */
 case class StDump(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(BinaryType)

@@ -76,6 +76,42 @@ case class GcpToGt(children: Seq[Expression])
     copy(children = c)
 }
 
+/** tps_to_gt(pxs, pys, gxs, gys) → 6-element affine geotransform derived
+  * from a PER-ROW thin-plate-spline fit over the row's control points
+  * (GDALCreateGenImgProjTransformer2's TPS branch,
+  * alg/gdaltransformer.cpp:2497, driven into the warp path): the TPS is
+  * fitted exactly through the GCPs (thinplatespline.cpp solve), then the
+  * affine map is read off by evaluating it at (0,0), (1,0), (0,1). On
+  * affine-consistent GCPs the interpolating TPS has zero RBF weights, so
+  * the derived gt IS the affine map to solver precision — which is what
+  * makes the q31 tile-structure oracle applicable end-to-end (q159).
+  * NULL on degenerate control points (singular system / n < 3). */
+case class TpsToGt(children: Seq[Expression])
+    extends Expression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(children.length == 4, "tps_to_gt(pxs, pys, gxs, gys)")
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq.fill(4)(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "tps_to_gt"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    if (vals.exists(_ == null)) return null
+    val arrs = vals.map(_.asInstanceOf[ArrayData].toDoubleArray())
+    if (arrs.exists(_.length != arrs.head.length)) return null
+    try {
+      val tps = Tps.fit(arrs(0), arrs(1), arrs(2), arrs(3))
+      val (x00, y00) = tps(0.0, 0.0)
+      val (x10, y10) = tps(1.0, 0.0)
+      val (x01, y01) = tps(0.0, 1.0)
+      new GenericArrayData(Array(x00, x10 - x00, x01 - x00, y00, y10 - y00, y01 - y00))
+    } catch { case _: IllegalArgumentException => null }
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): TpsToGt =
+    copy(children = c)
+}
+
 /** gcp_poly_transform(x, y) with a driver-fitted polynomial → [tx, ty]. */
 case class GcpPolyEval(left: Expression, right: Expression, fit: GcpPoly.Fit)
     extends BinaryExpression with ImplicitCastInputTypes {

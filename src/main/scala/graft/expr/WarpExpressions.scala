@@ -332,6 +332,48 @@ case class ContourRings(children: Seq[Expression]) extends Expression with Expec
     copy(children = c)
 }
 
+/** contour_ring_feats(bytes, fmt, meta9, levels, emit_wkb) →
+  * array<struct<iv:int, lvl_lo:double, lvl_hi:double, n_holes:int,
+  * feat_area_q:bigint, wkb:binary>> — the reference's per-FEATURE contour
+  * polygon layout (alg/marching_squares/polygon_ring_appender.h emits one
+  * feature per polygon): ONE entry per shell, its holes nested in the
+  * entry's own polygon WKB. feat_area_q = shell shoelace + its holes'
+  * (negative) shoelace; summed over an interval it equals contour_rings'
+  * ring_area_q exactly. */
+case class ContourRingFeats(children: Seq[Expression]) extends Expression with ExpectsInputTypes with CodegenFallback {
+  require(children.length == 5, "contour_ring_feats(bytes, fmt, meta9, levels, emit_wkb)")
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(BinaryType, StringType, ArrayType(DoubleType), ArrayType(DoubleType), BooleanType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("iv", IntegerType, nullable = false),
+    StructField("lvl_lo", DoubleType, nullable = false),
+    StructField("lvl_hi", DoubleType, nullable = false),
+    StructField("n_holes", IntegerType, nullable = false),
+    StructField("feat_area_q", LongType, nullable = false),
+    StructField("wkb", BinaryType, nullable = true))), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "contour_ring_feats"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    if (vals.exists(_ == null)) return null
+    val meta = vals(2).asInstanceOf[ArrayData].toDoubleArray()
+    val w = meta(0).toInt; val h = meta(1).toInt
+    val gt = java.util.Arrays.copyOfRange(meta, 3, 9)
+    val levels = vals(3).asInstanceOf[ArrayData].toDoubleArray()
+    val emitWkb = vals(4).asInstanceOf[Boolean]
+    val r = ImageCodec.decode(vals(0).asInstanceOf[Array[Byte]], vals(1).toString, w, h)
+    val feats = Contour.ringFeatures(r.bands(0), w, h, gt, levels.toSeq, emitWkb)
+    new GenericArrayData(feats.map { f =>
+      org.apache.spark.sql.catalyst.InternalRow(
+        f.iv, f.lvlLo, f.lvlHi, f.nHoles, f.featAreaQ, f.wkb)
+    }.toArray[Any])
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): ContourRingFeats =
+    copy(children = c)
+}
+
 /** sample_at(bytes, fmt, meta9, lon, lat) → int: band-0 value at a geo
   * point via inverse geotransform + nearest-neighbor kernel (the
   * GDALInterpolateAtPoint surface, alg/gdal_interpolateatpoint.cpp:415

@@ -149,6 +149,9 @@ object functions {
   def gcp_to_gt(pxs: Column, pys: Column, gxs: Column, gys: Column): Column =
     toCol(GcpToGt(Seq(toExpr(pxs), toExpr(pys), toExpr(gxs), toExpr(gys))))
 
+  def tps_to_gt(pxs: Column, pys: Column, gxs: Column, gys: Column): Column =
+    toCol(TpsToGt(Seq(toExpr(pxs), toExpr(pys), toExpr(gxs), toExpr(gys))))
+
   def viewshed_vis(bytes: Column, fmt: Column, w: Column, h: Column,
                    ox: Column, oy: Column, obsH: Column, tgtH: Column): Column =
     toCol(ViewshedVis(Seq(toExpr(bytes), toExpr(fmt), toExpr(w), toExpr(h),
@@ -258,6 +261,9 @@ object functions {
   def contour_rings(bytes: Column, fmt: Column, meta9: Column, levels: Column, emitWkb: Column): Column =
     toCol(ContourRings(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(levels), toExpr(emitWkb))))
 
+  def contour_ring_feats(bytes: Column, fmt: Column, meta9: Column, levels: Column, emitWkb: Column): Column =
+    toCol(ContourRingFeats(Seq(toExpr(bytes), toExpr(fmt), toExpr(meta9), toExpr(levels), toExpr(emitWkb))))
+
   // ---- geometry measures + overlay kernels (§2.7 / §2.3) ----
   def st_area(wkb: Column): Column = toCol(StArea(toExpr(wkb)))
   def st_length(wkb: Column): Column = toCol(StLength(toExpr(wkb)))
@@ -300,6 +306,8 @@ object functions {
     toCol(StSegmentize(toExpr(wkb), toExpr(maxLen)))
   def st_simplify(wkb: Column, tolerance: Column): Column =
     toCol(StSimplify(toExpr(wkb), toExpr(tolerance)))
+  def st_simplify_topo(wkb: Column, tolerance: Column): Column =
+    toCol(StSimplifyTopo(toExpr(wkb), toExpr(tolerance)))
   def st_dump(wkb: Column): Column = toCol(StDump(toExpr(wkb)))
   def st_buffer(wkb: Column, distance: Column, quadsegs: Column): Column =
     toCol(StBuffer(toExpr(wkb), toExpr(distance), toExpr(quadsegs)))
@@ -409,6 +417,8 @@ object GraftExtensions {
       (e: Seq[Expression]) => ContourPolygons(e))),
     "contour_rings" -> ((info("contour_rings", "contour_rings(bytes, fmt, meta9, levels, emit_wkb) - merged iso-polygon rings (shells + nested holes)"),
       (e: Seq[Expression]) => ContourRings(e))),
+    "contour_ring_feats" -> ((info("contour_ring_feats", "contour_ring_feats(bytes, fmt, meta9, levels, emit_wkb) - one feature per shell with nested holes"),
+      (e: Seq[Expression]) => ContourRingFeats(e))),
     "st_area" -> ((info("st_area", "st_area(wkb) - shoelace area, holes subtract"),
       (e: Seq[Expression]) => StArea(e(0)))),
     "st_length" -> ((info("st_length", "st_length(wkb) - perimeter/length"),
@@ -489,6 +499,8 @@ object GraftExtensions {
       (e: Seq[Expression]) => StIsValid(e(0)))),
     "st_simplify" -> ((info("st_simplify", "st_simplify(wkb, tolerance) - Douglas-Peucker"),
       (e: Seq[Expression]) => StSimplify(e(0), e(1)))),
+    "st_simplify_topo" -> ((info("st_simplify_topo", "st_simplify_topo(wkb, tolerance) - DP that never collapses or crosses rings"),
+      (e: Seq[Expression]) => StSimplifyTopo(e(0), e(1)))),
     "st_dump" -> ((info("st_dump", "st_dump(wkb) - array of parts"),
       (e: Seq[Expression]) => StDump(e(0)))),
     "st_predicate" -> ((info("st_predicate", "st_predicate(op, a, b) - within/contains/overlaps/touches/crosses/equals"),

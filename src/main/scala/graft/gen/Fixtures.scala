@@ -333,6 +333,61 @@ object Fixtures {
       .toDF("dem_id", "bytes", "w", "h")
   }
 
+  /** 25 simplification subjects from nation keys (q160): even keys are
+    * SLIVER boxes (height 1/4 ≪ the tolerance 1) — plain Douglas–Peucker
+    * drops both mid corners and collapses the ring to its zero-area
+    * chord, so the topology-preserving variant must restore one corner
+    * (→ a w·h/2 triangle); odd keys are tall boxes (height 3 > tol),
+    * untouched by both. Widths are even integers and heights dyadic, so
+    * every expected vertex count and area is exact SQL arithmetic. */
+  def sliverBoxesFromNation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/nation.parquet").select(col("n_nationkey").cast("int")).as[Int]
+      .map { k =>
+        val x0 = (k * 7 % 50).toDouble; val y0 = (k * 11 % 40).toDouble
+        val w = (4 + (k % 5) * 2).toDouble
+        val h = if (k % 2 == 0) 0.25 else 3.0
+        (k.toLong, Wkb.writeBox(x0, y0, x0 + w, y0 + h))
+      }
+      .toDF("geom_id", "wkb")
+  }
+
+  /** 40×40 single-band "pit" rasters from nation keys for the per-RING
+    * contour feature oracle (q158): value 200 everywhere except
+    * nPits = 1 + k%3 disjoint low rectangles of value 40 (pit p spans
+    * x ∈ [4+12p, 4+12p+pw−1], y ∈ [y0, y0+ph−1], pw = 2+(k+p)%3,
+    * ph = 2+(2k+p)%3, y0 = 4+k%4). Pits sit ≥ 8 cells apart and ≥ 2
+    * from the border, so at level 110 each pit's below-region is an
+    * isolated simple ring whose boundary cells all have px ∈
+    * [12p+3, 12p+7] — a pit is identified in SQL by (px−3) div 12, and
+    * each per-ring area is the per-pit triangle-sum. The above-region is
+    * ONE shell (the raster frame) carrying exactly nPits holes. */
+  def pitRastersFromNation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/nation.parquet").select(col("n_nationkey").cast("int")).as[Int]
+      .map { k =>
+        val w = 40
+        val band = Array.fill(w * w)(200)
+        val nPits = 1 + k % 3
+        val y0 = 4 + k % 4
+        var p = 0
+        while (p < nPits) {
+          val x0 = 4 + 12 * p
+          val pw = 2 + (k + p) % 3
+          val ph = 2 + (2 * k + p) % 3
+          var y = y0
+          while (y < y0 + ph) {
+            var x = x0
+            while (x < x0 + pw) { band(y * w + x) = 40; x += 1 }
+            y += 1
+          }
+          p += 1
+        }
+        (k.toLong, ImageCodec.encodeRaw(Raster(w, w, Array(band))), w, w)
+      }
+      .toDF("key", "bytes", "w", "h")
+  }
+
   /** 25 IVF coarse-quantizer centroids from nation keys; component i of
     * centroid j is ((j·31 + i·17) mod 64 − 32)/32 — a dyadic rational
     * exact in BOTH float and double, so the quantized distance algebra is

@@ -204,6 +204,36 @@ object Geometry {
         ((${q("maxx")} - ${q("minx")}) * (${q("maxy")} - ${q("miny")})) * 2 AS simp_area2q
       FROM boxes""")),
 
+    // §2.8 SimplifyPreserveTopology (ogrgeometry.cpp:6856): the
+    // topology-preserving DP variant — on the sliver fixture (height
+    // 1/4 ≪ tolerance 1) plain st_simplify drops BOTH mid corners and
+    // collapses the ring to its zero-area chord (np=3, area 0); the topo
+    // variant restores one corner → a valid w·h/2 triangle (np=4, area
+    // w/8). Tall odd-key boxes (height 3 > tol) pass through unchanged
+    // on both paths. Vertex counts and areas are exact dyadic SQL
+    // arithmetic; the engine's validity predicate is pinned TRUE per row.
+    ("q160_simplify_topo", (s: SparkSession, dir: String) => {
+      Fixtures.sliverBoxesFromNation(s, dir)
+        .withColumn("topo", st_simplify_topo(col("wkb"), lit(1.0)))
+        .withColumn("plain", st_simplify(col("wkb"), lit(1.0)))
+        .select(col("geom_id"),
+          st_num_points(col("topo")).as("topo_np"),
+          st_area(col("topo")).as("topo_area"),
+          st_is_valid(col("topo")).as("topo_valid"),
+          st_num_points(col("plain")).as("plain_np"),
+          st_area(col("plain")).as("plain_area"))
+    }, Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS geom_id,
+        CAST(CASE WHEN n_nationkey % 2 = 0 THEN 4 ELSE 5 END AS INT) AS topo_np,
+        CASE WHEN n_nationkey % 2 = 0
+             THEN CAST(4 + (n_nationkey % 5) * 2 AS DOUBLE) / CAST(8 AS DOUBLE)
+             ELSE CAST(4 + (n_nationkey % 5) * 2 AS DOUBLE) * CAST(3 AS DOUBLE) END AS topo_area,
+        TRUE AS topo_valid,
+        CAST(CASE WHEN n_nationkey % 2 = 0 THEN 3 ELSE 5 END AS INT) AS plain_np,
+        CASE WHEN n_nationkey % 2 = 0 THEN CAST(0 AS DOUBLE)
+             ELSE CAST(4 + (n_nationkey % 5) * 2 AS DOUBLE) * CAST(3 AS DOUBLE) END AS plain_area
+      FROM nation""")),
+
     // §2.7 ConvexHull: hull of each horizontally-adjacent region-box pair
     // (same-row boxes ⇒ hull is their bounding rectangle, closed-form)
     ("q66_convexhull", (s: SparkSession, dir: String) => {

@@ -1135,6 +1135,36 @@ object Geospatial {
           (col("png").isNotNull && length(col("png")) > 0).as("has_png"))
     }, Some(tilePyramidStructureSql)),
 
+    // §2.8 TPS transformer → warp integration (the TPS branch of
+    // GDALCreateGenImgProjTransformer2, alg/gdaltransformer.cpp:2497,
+    // feeding gdalwarpoperation): per-row corner GCPs → interpolating
+    // thin-plate-spline fit (thinplatespline.cpp) → the TPS-derived
+    // geotransform drives the FULL warp + mosaic + overview pyramid
+    // end-to-end, exactly as q101 drives the polynomial GCP branch. The
+    // fixture GCPs are affine-exact, so the interpolating TPS has zero
+    // RBF weights (λ=0) and the derived gt reproduces the q31 tile
+    // structure (ids, quadkeys, fan-in counts) — same oracle.
+    ("q159_tps_warp_tiles", (s: SparkSession, dir: String) => {
+      def geoAt(px: org.apache.spark.sql.Column, py: org.apache.spark.sql.Column, xAxis: Boolean) =
+        if (xAxis) col("gt")(0) + px * col("gt")(1) + py * col("gt")(2)
+        else col("gt")(3) + px * col("gt")(4) + py * col("gt")(5)
+      val wD = col("w").cast("double"); val hD = col("h").cast("double")
+      val refit = Fixtures.imagesFromParts(s, dir).filter(col("key") % 10 === 0)
+        .withColumn("pxs", array(lit(0.0), wD, lit(0.0), wD))
+        .withColumn("pys", array(lit(0.0), lit(0.0), hD, hD))
+        .withColumn("gxs", array(
+          geoAt(lit(0.0), lit(0.0), xAxis = true), geoAt(wD, lit(0.0), xAxis = true),
+          geoAt(lit(0.0), hD, xAxis = true), geoAt(wD, hD, xAxis = true)))
+        .withColumn("gys", array(
+          geoAt(lit(0.0), lit(0.0), xAxis = false), geoAt(wD, lit(0.0), xAxis = false),
+          geoAt(lit(0.0), hD, xAxis = false), geoAt(wD, hD, xAxis = false)))
+        .withColumn("gt", tps_to_gt(col("pxs"), col("pys"), col("gxs"), col("gys")))
+        .drop("pxs", "pys", "gxs", "gys")
+      Tiling.rendered(Tiling.pyramid(refit, zmin = 2, zmax = 5))
+        .select(col("z"), col("x"), col("y"), col("qk"), col("n_images"),
+          (col("png").isNotNull && length(col("png")) > 0).as("has_png"))
+    }, Some(tilePyramidStructureSql)),
+
     // §2.9/§2.8 incremental tile ingest (batch surface of the streaming
     // front door, streaming/Streams.upsertTiles): the corpus arrives in
     // two waves, each upserted into a hive-partitioned parquet tile store
@@ -1556,6 +1586,85 @@ object Geospatial {
         FROM ivd GROUP BY iv),
       imgs AS (SELECT CAST(count(*) AS BIGINT) AS n_images FROM pimg)
       SELECT iv, n_images, area_rings_q FROM agg, imgs"""
+    }),
+
+    // §2.8 contour polygon FEATURE rows — the reference's actual output
+    // layout (one feature per polygon = shell + nested holes,
+    // alg/marching_squares/polygon_ring_appender.h): q155 refined to RING
+    // granularity. The pit fixture (Fixtures.pitRastersFromNation) makes
+    // every ring SQL-derivable: at level 110 each pit's below-region is
+    // an isolated ring whose signed area is the per-pit triangle-sum
+    // (cells of pit p all have px ∈ [12p+3, 12p+7], so (px−3)//12
+    // identifies the pit), and the above-region is ONE shell carrying
+    // exactly n_pits holes with area = raster total − Σ pits. Every
+    // per-ring area and hole count is value-checked, row by row.
+    ("q158_contour_ring_features", (s: SparkSession, dir: String) => {
+      Fixtures.pitRastersFromNation(s, dir)
+        .withColumn("f", explode(contour_ring_feats(col("bytes"), lit("raw"),
+          array(col("w").cast("double"), col("h").cast("double"), lit(0.0),
+            lit(0.0), lit(1.0), lit(0.0), lit(0.0), lit(0.0), lit(1.0)),
+          array(lit(110.0)), lit(false))))
+        .select(col("key"), col("f.iv").as("iv"), col("f.n_holes").as("n_holes"),
+          col("f.feat_area_q").as("feat_area_q"))
+    }, Some {
+      def fq(x: String, y: String, l: Int) =
+        s"CAST(round((CAST(1024 AS DOUBLE) * (CAST($l AS DOUBLE) - ($x))) / (($y) - ($x))) AS BIGINT)"
+      def aq(l: Int): String = {
+        def g(x: String) = s"(($x) >= CAST($l AS DOUBLE))"
+        s"""(CASE
+          WHEN ${g("va")} AND ${g("vb")} AND ${g("cc")} THEN 2097152
+          WHEN NOT ${g("va")} AND NOT ${g("vb")} AND NOT ${g("cc")} THEN 0
+          WHEN ${g("va")} AND NOT ${g("vb")} AND NOT ${g("cc")} THEN 2 * ${fq("va", "vb", l)} * ${fq("va", "cc", l)}
+          WHEN NOT ${g("va")} AND ${g("vb")} AND NOT ${g("cc")} THEN 2 * ${fq("vb", "va", l)} * ${fq("vb", "cc", l)}
+          WHEN NOT ${g("va")} AND NOT ${g("vb")} AND ${g("cc")} THEN 2 * ${fq("cc", "va", l)} * ${fq("cc", "vb", l)}
+          WHEN NOT ${g("va")} THEN 2097152 - 2 * ${fq("va", "vb", l)} * ${fq("va", "cc", l)}
+          WHEN NOT ${g("vb")} THEN 2097152 - 2 * ${fq("vb", "va", l)} * ${fq("vb", "cc", l)}
+          ELSE 2097152 - 2 * ${fq("cc", "va", l)} * ${fq("cc", "vb", l)} END)"""
+      }
+      // pixel value of the pit fixture at (xe, ye) — pure key arithmetic
+      def vAt(xe: String, ye: String) =
+        s"""(CASE WHEN ($xe) >= 4 AND (($xe) - 4) // 12 <= n_pits - 1
+              AND (($xe) - 4) % 12 < 2 + ((key + (($xe) - 4) // 12) % 3)
+              AND ($ye) >= y0 AND ($ye) < y0 + 2 + ((2 * key + (($xe) - 4) // 12) % 3)
+            THEN 40 ELSE 200 END)"""
+      s"""
+      WITH g1 AS (SELECT CAST(n_nationkey AS BIGINT) AS key,
+                         1 + (n_nationkey % 3) AS n_pits,
+                         4 + (n_nationkey % 4) AS y0,
+                         unnest(generate_series(0, 38)) AS py
+                  FROM nation),
+      g2 AS (SELECT key, n_pits, y0, py, unnest(generate_series(0, 38)) AS px FROM g1),
+      cell AS (
+        SELECT key, n_pits, px, py,
+          ${vAt("px", "py")} AS tl, ${vAt("px + 1", "py")} AS tr,
+          ${vAt("px + 1", "py + 1")} AS br, ${vAt("px", "py + 1")} AS bl
+        FROM g2),
+      cellc AS (
+        SELECT *, CAST(tl + tr + br + bl AS DOUBLE) / CAST(4 AS DOUBLE) AS cc,
+          unnest([0, 1, 2, 3]) AS t
+        FROM cell),
+      tri AS (
+        SELECT key, n_pits, px, cc,
+          CAST(CASE t WHEN 0 THEN tl WHEN 1 THEN tr WHEN 2 THEN br ELSE bl END AS DOUBLE) AS va,
+          CAST(CASE t WHEN 0 THEN tr WHEN 1 THEN br WHEN 2 THEN bl ELSE tl END AS DOUBLE) AS vb
+        FROM cellc),
+      belowtri AS (
+        SELECT key, n_pits, px, 2097152 - ${aq(110)} AS dq FROM tri),
+      pits AS (
+        SELECT key, (px - 3) // 12 AS pit, CAST(sum(dq) AS BIGINT) AS area
+        FROM belowtri WHERE dq > 0
+        GROUP BY key, pit),
+      below AS (
+        SELECT key, CAST(0 AS INT) AS iv, CAST(0 AS INT) AS n_holes,
+               area AS feat_area_q
+        FROM pits),
+      above AS (
+        SELECT b.key, CAST(1 AS INT) AS iv, CAST(max(b.n_pits) AS INT) AS n_holes,
+               CAST(CAST(39 * 39 * 4 AS BIGINT) * 2097152 - COALESCE(sum(CASE WHEN dq > 0 THEN dq ELSE 0 END), 0) AS BIGINT) AS feat_area_q
+        FROM belowtri b GROUP BY b.key)
+      SELECT key, iv, n_holes, feat_area_q FROM below
+      UNION ALL
+      SELECT key, iv, n_holes, feat_area_q FROM above"""
     }),
 
     // §2.5 focal/DEM derivatives per image (hillshade/slope/roughness) —

@@ -207,6 +207,35 @@ class ContourSpec extends AnyFunSuite {
     }
   }
 
+  test("ringFeatures: one feature per shell, hole partition + area sums match ringBands") {
+    val rnd = new scala.util.Random(23)
+    (0 until 10).foreach { _ =>
+      val w = 5 + rnd.nextInt(8); val h = 5 + rnd.nextInt(8)
+      val band = Array.fill(w * h)(rnd.nextInt(256))
+      val levels = Seq(96.0, 160.0)
+      val rb = Contour.ringBands(band, w, h, idGt, levels, emitWkb = true)
+      val rf = Contour.ringFeatures(band, w, h, idGt, levels, emitWkb = true)
+      rb.foreach { b =>
+        val feats = rf.filter(_.iv == b.iv)
+        assert(feats.length == b.nShells)
+        assert(feats.map(_.nHoles).sum == b.nHoles)
+        assert(feats.map(_.featAreaQ).sum == b.ringAreaQ)
+        // each feature's WKB measures its own signed area exactly
+        feats.foreach { f =>
+          assert(math.abs(GeomOps.area(f.wkb) - f.featAreaQ.toDouble / (1L << 23)) < 1e-9)
+        }
+      }
+    }
+    // cone: below-interval feature = annulus (1 shell, 1 hole)
+    val w = 11
+    val band = Array.tabulate(w * w) { i =>
+      val x = i % w; val y = i / w
+      math.max(0, 80 - 10 * math.max(math.abs(x - 5), math.abs(y - 5)))
+    }
+    val fs = Contour.ringFeatures(band, w, w, idGt, Seq(45.0), emitWkb = true)
+    assert(fs.map(f => (f.iv, f.nHoles)).sortBy(_._1) == Seq((0, 1), (1, 0)))
+  }
+
   test("ring WKB areas match the signed sums on random rasters (nesting exact)") {
     val rnd = new scala.util.Random(7)
     (0 until 8).foreach { _ =>

@@ -229,6 +229,33 @@ class GeomOpsSpec extends AnyFunSuite {
     assert(intersects(donut, Wkb.writeBox(8, 8, 30, 12))) // spans hole + ring
   }
 
+  test("simplifyTopo: never collapses rings, never lets rings cross") {
+    // sliver box (h = 0.25 << tol 1): plain DP drops both mid corners →
+    // zero-area chord; topo restores one → a valid w·h/2 triangle
+    val sliver = Wkb.writeBox(3, 7, 11, 7.25)
+    val plain = GeomOps.simplify(sliver, 1.0)
+    assert(GeomOps.numPoints(plain) == 3 && GeomOps.area(plain) == 0.0)
+    val topo = GeomOps.simplifyTopo(sliver, 1.0)
+    assert(GeomOps.numPoints(topo) == 4)
+    assert(math.abs(GeomOps.area(topo) - 8 * 0.25 / 2) < Eps)
+    assert(MakeValid.isValidPolygonal(Wkb.read(topo)))
+    // tall box: both paths pass it through unchanged
+    val tall = Wkb.writeBox(0, 0, 8, 3)
+    assert(GeomOps.simplifyTopo(tall, 1.0).sameElements(GeomOps.simplify(tall, 1.0)))
+    // cross-ring guard: dropping the shell's tent vertex (dev 0.4 < tol
+    // 0.5) would sink the shell top (y=8.4) below the hole top (y=8.45)
+    // — a proper ring crossing. Plain does it; topo must restore.
+    val tent = Wkb.writePolygon(Array(
+      Array(0.0, 0, 10, 0, 10, 8.4, 5, 8.8, 0, 8.4, 0, 0),
+      Array(2.0, 2, 8, 2, 8, 8.45, 2, 8.45, 2, 2)))
+    val pl2 = GeomOps.simplify(tent, 0.5)
+    assert(!MakeValid.isValidPolygonal(Wkb.read(pl2))) // plain DP breaks it
+    val tp2 = GeomOps.simplifyTopo(tent, 0.5)
+    assert(MakeValid.isValidPolygonal(Wkb.read(tp2)))
+    assert(GeomOps.numPoints(tp2) == GeomOps.numPoints(tent)) // tent restored
+    assert(math.abs(GeomOps.area(tp2) - GeomOps.area(tent)) < Eps)
+  }
+
   test("geometry ETL: swap_xy, segmentize, simplify, dump") {
     val box = Wkb.writeBox(1, 2, 11, 6)
     assert(Wkb.envelope(GeomOps.swapXY(box)) == ((2.0, 1.0, 6.0, 11.0)))
