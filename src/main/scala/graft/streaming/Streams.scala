@@ -80,10 +80,25 @@ object Streams {
       .start()
   }
 
-  /** Buckets per store: bounds the dynamic-overwrite rewrite unit. At a
-    * deeper zoom the bucket key would be a tile PREFIX (parent tile at a
-    * coarse zoom) so co-rewritten tiles stay spatially adjacent. */
-  val StorePfxBuckets = 64
+  /** Parent-tile depth of the store bucketing: the partition key is the
+    * tile's ANCESTOR at zoom z − StorePfxDepth, so one bucket holds at
+    * most 4^depth spatially-adjacent tiles. This keeps the
+    * dynamic-overwrite rewrite unit O(touched parent tiles) at ANY zoom
+    * — a deep-zoom batch touching one city rewrites that city's few
+    * parent partitions, never a fixed 1/64 hash slice of the whole store
+    * (the round-4 `pmod(tile, 64)` key scattered co-located tiles across
+    * hash buckets AND made every bucket grow with the store). */
+  val StorePfxDepth = 3
+
+  /** Packed ancestor tile id of `tile` at zoom z − min(depth, z) —
+    * the store partition key (TileMath.pack layout). */
+  def storePfx(tile: org.apache.spark.sql.Column, z: Int,
+               depth: Int = StorePfxDepth): org.apache.spark.sql.Column = {
+    val d = math.min(depth, z)
+    val px = shiftrightunsigned(tile, 29 + d).bitwiseAND(lit(0x1FFFFFFFL >> d))
+    val py = shiftrightunsigned(tile.bitwiseAND(lit(0x1FFFFFFFL)), d)
+    lit((z - d).toLong << 58) + px * lit(1L << 29) + py
+  }
 
   /** Merge one (batch) frame of images into the tile store at zoom z.
     * Reads ONLY the `pfx` partitions the batch touches (partition-pruned
@@ -104,24 +119,24 @@ object Streams {
       !n.startsWith("_") && !n.startsWith(".")
     }
     val freshRaw = graft.ops.Tiling.baseTiles(batch, z)
-      .withColumn("pfx", pmod(col("tile"), lit(StorePfxBuckets)).cast("int"))
+      .withColumn("pfx", storePfx(col("tile"), z))
     // when merging into an existing store the rendered batch is consumed
     // twice (touched-bucket probe + merge) — persist so the warp runs once
     val fresh = if (storeHasData)
       freshRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else freshRaw
     val merged = if (storeHasData) {
-      val touched = fresh.select("pfx").distinct().as[Int].collect() // ≤ StorePfxBuckets
-      val existing = spark.read.parquet(storeDir).where(col("pfx").isin(touched.map(Int.box): _*))
+      val touched = fresh.select("pfx").distinct().as[Long].collect() // touched parents only
+      val existing = spark.read.parquet(storeDir).where(col("pfx").isin(touched.map(Long.box): _*))
       existing.unionByName(fresh)
     } else fresh
     val mergedTiles = merged.select(col("pfx"), col("tile"), col("n_images"), col("buf"))
-      .as[(Int, Long, Long, Array[Byte])]
+      .as[(Long, Long, Long, Array[Byte])]
       .groupByKey(_._2)
       .mapGroups { (tile, rows) =>
         var buf: Array[Byte] = null
         var n = 0L
-        var pfx = 0
+        var pfx = 0L
         rows.foreach { case (p, _, cn, cbuf) =>
           pfx = p
           buf = if (buf == null) cbuf else graft.expr.MosaicAgg.merge(buf, cbuf)

@@ -149,6 +149,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, "incremental store == one-shot batch tiling, bit-for-bit")
   }
 
+  test("deep-zoom store bucketing: parent-tile partitions, rewrite unit = touched parents") {
+    import graft.gen.Fixtures
+    import graft.expr.functions.{tile_x, tile_y, tile_z}
+    val z = 10
+    val store = java.nio.file.Files.createTempDirectory("graft_deepzoom").toString
+    // small-footprint images (≈0.2° span) in two far-apart regions: the
+    // second wave must not rewrite the first wave's parent partitions
+    def img(key: Long, lon0: Double, lat0: Double) = {
+      val base = Fixtures.genImage(key)
+      base.copy(gt = Array(lon0, 0.2 / base.w, 0.0, lat0, 0.0, -0.2 / base.w), srid = 4326)
+    }
+    val wave1 = Seq(img(0L, -10.0, 45.0), img(2L, -9.7, 44.8)).toDF()
+    val wave2 = Seq(img(4L, 100.0, -20.0)).toDF()
+    Streams.upsertTiles(wave1, z, store)
+    def listing(): Map[String, Set[(String, Long)]] = {
+      val root = new java.io.File(store)
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("pfx="))
+        .map(d => d.getName ->
+          d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.length())).toSet).toMap
+    }
+    val after1 = listing()
+    assert(after1.nonEmpty)
+    Streams.upsertTiles(wave2, z, store)
+    val after2 = listing()
+    // wave-2 parents are disjoint from wave 1 (regions ~110° apart), so
+    // every wave-1 partition must be byte-identical — untouched by the
+    // dynamic overwrite. The rewrite unit is the touched parents only.
+    val touched2 = graft.ops.Tiling.baseTiles(wave2, z)
+      .select(Streams.storePfx(col("tile"), z)).distinct().as[Long].collect().toSet
+    assert(touched2.nonEmpty)
+    after1.keys.foreach { d =>
+      val pfxVal = d.stripPrefix("pfx=").toLong
+      assert(!touched2.contains(pfxVal), "test regions must map to disjoint parents")
+      assert(after2(d) == after1(d), s"untouched parent partition $d was rewritten")
+    }
+    // partition key IS the packed ancestor: every stored tile's parent at
+    // z-3 equals its pfx, and no bucket exceeds 4^3 children
+    val rows = spark.read.parquet(store)
+      .select(col("pfx"), col("tile"), tile_z(col("tile")).as("tz"),
+        tile_x(col("tile")).as("tx"), tile_y(col("tile")).as("ty"))
+      .as[(Long, Long, Int, Int, Int)].collect()
+    rows.foreach { case (pfx, _, tz, tx, ty) =>
+      assert(tz == z)
+      val want = ((z - 3).toLong << 58) | ((tx >> 3).toLong << 29) | (ty >> 3).toLong
+      assert(pfx == want)
+    }
+    assert(rows.groupBy(_._1).values.map(_.length).max <= 64)
+    // and the merged store equals the one-shot batch tiling bit-for-bit
+    val got = spark.read.parquet(store)
+      .select(col("tile"), col("n_images"), md5(col("buf")).as("h"))
+      .as[(Long, Long, String)].collect().toSet
+    val want = graft.ops.Tiling.baseTiles(wave1.unionByName(wave2), z)
+      .select(col("tile"), col("n_images"), md5(col("buf")).as("h"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == want)
+  }
+
   test("stateful sessionize final state equals the batch window computation") {
     val dir = eventsDir
     val stream = spark.readStream.schema(Streams.EventSchema)
