@@ -161,6 +161,44 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(plain.nonEmpty)
   }
 
+  test("salted PIP join at a 50%-hot cell: salt fans the hot cell out, result parity holds") {
+    // half the corpus lands in ONE level-7 cell (a dense metro), the rest
+    // spreads; one region covers the hot cluster
+    val n = 4000L
+    val pts = spark.range(n).select(col("id").as("point_id"),
+        when(col("id") % 2 === 0, lit(10.0) + (col("id") % 97).cast("double") / 10000.0)
+          .otherwise((col("id") * 37 % 340).cast("double") - 170.0 + 0.21).as("lon"),
+        when(col("id") % 2 === 0, lit(45.0) + (col("id") % 89).cast("double") / 10000.0)
+          .otherwise((col("id") * 53 % 150).cast("double") - 75.0 + 0.37).as("lat"))
+    val polys = Seq(
+      (1L, Wkb.writeBox(9.5, 44.5, 10.5, 45.5)),   // covers the hot cluster
+      (2L, Wkb.writeBox(-60.0, -30.0, 20.0, 50.0)), // wide box
+      (3L, Wkb.writeBox(100.0, 10.0, 120.0, 30.0))).toDF("region_id", "wkb")
+    val salt = 5
+    val salted = SpatialJoin.pipJoinSalted(pts, polys, salt = salt)
+      .select("point_id", "region_id")
+    salted.collect()
+    // plan audit: the shuffle/join key carries the salt column, so the
+    // hot cell's rows split across `salt` reducers instead of one
+    val plan = salted.queryExecution.executedPlan.toString
+    val saltKeyed = raw"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[__cell[^\]]*__salt".r
+    assert(saltKeyed.findFirstIn(plan).isDefined,
+      s"join key must include the salt:\n$plan")
+    // the hot cell's points actually occupy every salt bucket
+    val hotSalts = pts.filter(col("point_id") % 2 === 0)
+      .select(pmod(hash(col("lon"), col("lat")), lit(salt))).distinct().count()
+    assert(hotSalts == salt, "hot-cell points must fan across all salt buckets")
+    // exact parity with the unsalted join AND with brute force
+    val got = salted.as[(Long, Long)].collect().toSet
+    val plain = SpatialJoin.pipJoin(pts, polys).select("point_id", "region_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got == plain && got.nonEmpty)
+    val brute = pts.crossJoin(polys)
+      .filter(st_contains_point(col("wkb"), col("lon"), col("lat")))
+      .select("point_id", "region_id").as[(Long, Long)].collect().toSet
+    assert(got == brute)
+  }
+
   test("writeTiles lays out a hive-partitioned z/x/y tree") {
     val images = Fixtures.imagesFromParts(spark, TestSpark.Sf).filter(col("key") % 11 === 0)
     val dir = java.nio.file.Files.createTempDirectory("graft_tiles").toString
