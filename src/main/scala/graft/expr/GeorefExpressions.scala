@@ -112,6 +112,83 @@ case class TpsToGt(children: Seq[Expression])
     copy(children = c)
 }
 
+/** rpc_refit_gt(gt, w, h) → 6-element affine geotransform recovered by
+  * driving a PER-ROW RPC model through the reference's iterative inverse
+  * (the RPC branch of GDALCreateGenImgProjTransformer2,
+  * alg/gdaltransformer.cpp:2527, feeding gdalwarpoperation): the row's
+  * affine map is encoded as a rational-polynomial model (linear numerator
+  * terms over a constant denominator, normalized to the image footprint —
+  * the shape a vendor-delivered affine-consistent RPC takes), four corner
+  * GCPs are produced by RPCInverseTransformPoint's iterative scheme
+  * (alg/gdal_rpc.cpp:1130 — linear init from the center Jacobian, then
+  * back-projection correction to <0.1 px), and GDALGCPsToGeoTransform
+  * refits the affine. On an affine-exact model the center Jacobian is the
+  * exact map, so the inverse converges on the first check and the refit
+  * reproduces the input gt to solver precision — which is what makes the
+  * q31 tile-structure oracle applicable end-to-end (q161). NULL on a
+  * singular geotransform. */
+case class RpcRefitGt(children: Seq[Expression])
+    extends Expression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(children.length == 3, "rpc_refit_gt(gt, w, h)")
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(ArrayType(DoubleType), IntegerType, IntegerType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "rpc_refit_gt"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    if (vals.exists(_ == null)) return null
+    val gt = vals(0).asInstanceOf[ArrayData].toDoubleArray()
+    if (gt.length != 6) return null
+    val w = vals(1).asInstanceOf[Int].toDouble
+    val h = vals(2).asInstanceOf[Int].toDouble
+    val det = gt(1) * gt(5) - gt(2) * gt(4)
+    if (math.abs(det) < 1e-300 || w <= 0 || h <= 0) return null
+    // geo→pixel inverse affine (GDALInvGeoTransform)
+    val i1 = gt(5) / det; val i2 = -gt(2) / det
+    val i4 = -gt(4) / det; val i5 = gt(1) / det
+    val i0 = -(gt(0) * i1 + gt(3) * i2)
+    val i3 = -(gt(0) * i4 + gt(3) * i5)
+    // normalize to the footprint: offsets at the image center, scales at
+    // the half-extents (the RPC_* metadata convention, gdal_rpc.cpp)
+    val cx = gt(0) + gt(1) * w / 2 + gt(2) * h / 2
+    val cy = gt(3) + gt(4) * w / 2 + gt(5) * h / 2
+    val lonS = math.max(math.abs(gt(1)) * w / 2 + math.abs(gt(2)) * h / 2, 1e-12)
+    val latS = math.max(math.abs(gt(4)) * w / 2 + math.abs(gt(5)) * h / 2, 1e-12)
+    val sampS = math.max(w / 2, 1.0); val lineS = math.max(h / 2, 1.0)
+    def lin(c0: Double, cl: Double, cp: Double, off: Double, scale: Double): Array[Double] = {
+      val a = new Array[Double](20)
+      a(0) = (c0 + cl * cx + cp * cy - off) / scale
+      a(1) = cl * lonS / scale
+      a(2) = cp * latS / scale
+      a
+    }
+    val one = { val a = new Array[Double](20); a(0) = 1.0; a }
+    val model = Rpc(
+      lineOff = h / 2, sampOff = w / 2, latOff = cy, longOff = cx, heightOff = 0.0,
+      lineScale = lineS, sampScale = sampS, latScale = latS, longScale = lonS,
+      heightScale = 1.0,
+      lineNum = lin(i3, i4, i5, h / 2, lineS), lineDen = one,
+      sampNum = lin(i0, i1, i2, w / 2, sampS), sampDen = one)
+    val pxs = Array(0.0, w, 0.0, w)
+    val pys = Array(0.0, 0.0, h, h)
+    val gxs = new Array[Double](4); val gys = new Array[Double](4)
+    try {
+      var k = 0
+      while (k < 4) {
+        val (lon, lat) = Rpc.inverse(model, pxs(k), pys(k), 0.0)
+        gxs(k) = lon; gys(k) = lat
+        k += 1
+      }
+      GcpPoly.gcpsToGeoTransform(pxs, pys, gxs, gys)
+        .map(new GenericArrayData(_)).orNull
+    } catch { case _: IllegalArgumentException => null }
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): RpcRefitGt =
+    copy(children = c)
+}
+
 /** gcp_poly_transform(x, y) with a driver-fitted polynomial → [tx, ty]. */
 case class GcpPolyEval(left: Expression, right: Expression, fit: GcpPoly.Fit)
     extends BinaryExpression with ImplicitCastInputTypes {

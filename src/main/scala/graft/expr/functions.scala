@@ -152,6 +152,9 @@ object functions {
   def tps_to_gt(pxs: Column, pys: Column, gxs: Column, gys: Column): Column =
     toCol(TpsToGt(Seq(toExpr(pxs), toExpr(pys), toExpr(gxs), toExpr(gys))))
 
+  def rpc_refit_gt(gt: Column, w: Column, h: Column): Column =
+    toCol(RpcRefitGt(Seq(toExpr(gt), toExpr(w), toExpr(h))))
+
   def viewshed_vis(bytes: Column, fmt: Column, w: Column, h: Column,
                    ox: Column, oy: Column, obsH: Column, tgtH: Column): Column =
     toCol(ViewshedVis(Seq(toExpr(bytes), toExpr(fmt), toExpr(w), toExpr(h),

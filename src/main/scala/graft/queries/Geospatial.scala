@@ -1165,6 +1165,25 @@ object Geospatial {
           (col("png").isNotNull && length(col("png")) > 0).as("has_png"))
     }, Some(tilePyramidStructureSql)),
 
+    // §2.8 RPC transformer → warp integration (the RPC branch of
+    // GDALCreateGenImgProjTransformer2, alg/gdaltransformer.cpp:2527,
+    // feeding gdalwarpoperation): each row's georeferencing arrives as a
+    // rational-polynomial model, corner GCPs are recovered through the
+    // reference's ITERATIVE inverse (alg/gdal_rpc.cpp:1130), the affine
+    // is refit from them, and the result drives the FULL warp + mosaic +
+    // overview pyramid — closing the last of the three
+    // GenImgProjTransformer branches (q101 polynomial GCP, q159 TPS).
+    // The fixture models are affine-exact, so the center-Jacobian init
+    // converges on the first back-projection check and the refit gt
+    // reproduces the q31 tile structure — same oracle.
+    ("q161_rpc_warp_tiles", (s: SparkSession, dir: String) => {
+      val refit = Fixtures.imagesFromParts(s, dir).filter(col("key") % 10 === 0)
+        .withColumn("gt", rpc_refit_gt(col("gt"), col("w"), col("h")))
+      Tiling.rendered(Tiling.pyramid(refit, zmin = 2, zmax = 5))
+        .select(col("z"), col("x"), col("y"), col("qk"), col("n_images"),
+          (col("png").isNotNull && length(col("png")) > 0).as("has_png"))
+    }, Some(tilePyramidStructureSql)),
+
     // §2.9/§2.8 incremental tile ingest (batch surface of the streaming
     // front door, streaming/Streams.upsertTiles): the corpus arrives in
     // two waves, each upserted into a hive-partitioned parquet tile store

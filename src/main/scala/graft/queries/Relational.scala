@@ -173,6 +173,32 @@ object Relational {
       SELECT 'anti' AS tag, count(*) AS n FROM customer WHERE NOT EXISTS
         (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")),
 
+    // §2.3 OGR SQL first-match join semantics (ogr_gensql.cpp:1334,1542):
+    // the reference's index nested-loop keeps only the FIRST matching
+    // secondary feature per primary row (lowest FID in iteration order),
+    // with joined fields NULL when nothing matches. Spark-first shape:
+    // reduce the secondary to one row per key with groupBy + min(struct)
+    // — partial (map-side) aggregation absorbs hot keys, so a skewed join
+    // key never funnels one task — then a plain LEFT equi-join. This
+    // closes the multiplicity deviation noted in SURVEY §2.3 (q07/q08
+    // keep standard SQL semantics; this entry reproduces the reference's).
+    ("q162_join_first_match", (s: SparkSession, dir: String) => {
+      val c = t(s, dir, "customer")
+      val fm = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(min(struct(col("o_orderkey").as("ok"), cents("o_totalprice").as("pc"))).as("fm"))
+      c.join(fm, c("c_custkey") === fm("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("fm")("ok").as("first_orderkey"),
+          (col("fm")("pc") / lit(100.0)).as("first_price"))
+    }, Some("""
+      WITH fm AS (SELECT o_custkey, min(o_orderkey) AS first_orderkey FROM orders GROUP BY o_custkey)
+      SELECT c.c_custkey, c.c_mktsegment, fm.first_orderkey,
+             cast(round(o.o_totalprice*100) AS BIGINT) / 100.0 AS first_price
+      FROM customer c
+      LEFT JOIN fm ON c.c_custkey = fm.o_custkey
+      LEFT JOIN orders o ON o.o_custkey = fm.o_custkey AND o.o_orderkey = fm.first_orderkey""")),
+
     // §2.5 window top-k per group (the kNN top-k pattern, gdalgrid.cpp:309-331)
     ("q10_window_topk", (s: SparkSession, dir: String) => {
       val w = Window.partitionBy(col("o_custkey"))

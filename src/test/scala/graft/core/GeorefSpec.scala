@@ -159,6 +159,34 @@ class GeorefSpec extends AnyFunSuite {
     assert(pB == pC)
   }
 
+  // q161 path: the affine encoded as a rational-polynomial model, corners
+  // recovered via Rpc.inverse's iterative scheme, affine refit from them
+  private def rpcRefit(gt: Array[Double], w: Int, h: Int): Option[Array[Double]] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val e = graft.expr.RpcRefitGt(Seq(
+      Literal.create(gt, ArrayType(DoubleType)), Literal(w), Literal(h)))
+    Option(e.eval(null)).map(_.asInstanceOf[ArrayData].toDoubleArray())
+  }
+
+  test("rpc_refit_gt reproduces an affine geotransform through the iterative RPC inverse") {
+    val cases = Seq(
+      (Array(12.5, 0.03, 0.0, -7.25, 0.0, -0.05), 256, 192),     // north-up
+      (Array(12.5, 0.03, 0.004, -7.25, -0.002, -0.05), 256, 192), // sheared
+      (Array(-179.0, 0.25, 0.0, 80.0, 0.0, -0.125), 64, 64))      // coarse global
+    for ((gt, w, h) <- cases) {
+      val out = rpcRefit(gt, w, h).getOrElse(fail(s"refit returned null for ${gt.toSeq}"))
+      for (i <- 0 until 6)
+        assert(math.abs(out(i) - gt(i)) <= 1e-9 * math.max(1.0, math.abs(gt(i))),
+          s"gt($i): ${out(i)} vs ${gt(i)}")
+    }
+  }
+
+  test("rpc_refit_gt is NULL on a singular geotransform") {
+    assert(rpcRefit(Array(0.0, 1.0, 2.0, 0.0, 2.0, 4.0), 32, 32).isEmpty)
+  }
+
   test("solver refuses singular systems (collinear GCPs)") {
     val px = Array(0.0, 1.0, 2.0, 3.0)
     val py = Array(0.0, 1.0, 2.0, 3.0) // collinear
