@@ -46,7 +46,10 @@ object Bench {
     "q147_bpe_tokens", "q148_augment", "q149_resize_crop", "q150_norm_stats",
     "q151_scale_stretch", "q152_leakage_split", "q153_ann_recall",
     "q154_epoch_shuffle", "q155_contour_rings", "q156_sequence_pack",
-    "q157_spatial_split")
+    "q157_spatial_split",
+    // round-5 operator families
+    "q158_contour_ring_features", "q159_tps_warp_tiles", "q160_simplify_topo",
+    "q161_rpc_warp_tiles", "q162_join_first_match")
 
   def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()

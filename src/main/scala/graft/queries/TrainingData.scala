@@ -180,7 +180,7 @@ object TrainingData {
         FROM part),
       hrows AS (SELECT key, sz, unnest(generate_series(0, sz - 1)) AS py FROM phimg),
       hpx AS (SELECT key, sz, py, unnest(generate_series(0, sz - 1)) AS px FROM hrows),
-      hcells AS (
+      hcells AS MATERIALIZED (
         SELECT key, sz, ((8 * py + 7) // sz) * 8 + ((8 * px + 7) // sz) AS ci,
                sum(((px * 7) + (py * 13) + (key * 31)) % 256) AS s, count(*) AS n
         FROM hpx GROUP BY key, sz, ci),
@@ -189,7 +189,7 @@ object TrainingData {
       htot AS (
         SELECT c.key, sum(c.s * (i.d // c.n)) AS t
         FROM hcells c JOIN himg i ON i.key = c.key GROUP BY c.key),
-      hsig AS (
+      hsig AS MATERIALIZED (
         SELECT q.key, q.u,
           CAST(CASE WHEN q.u >= 9223372036854775808 THEN q.u - $U64 ELSE q.u END AS BIGINT) AS h
         FROM (
@@ -198,7 +198,7 @@ object TrainingData {
                 THEN ($powers)[c.ci + 1] ELSE CAST(0 AS HUGEINT) END) AS u
           FROM hcells c JOIN himg i ON i.key = c.key JOIN htot t ON t.key = c.key
           GROUP BY c.key) q),
-      hrep AS (SELECT h, u, min(key) AS rep FROM hsig GROUP BY h, u),
+      hrep AS MATERIALIZED (SELECT h, u, min(key) AS rep FROM hsig GROUP BY h, u),
       hbands AS (
         SELECT rep, h,
           b.band, CAST((u // ([1, 65536, 4294967296, 281474976710656])[b.band + 1]) % 65536 AS BIGINT) AS bkey
@@ -247,24 +247,10 @@ object TrainingData {
         SELECT doc_id, j,
           CASE WHEN sigj < 0 THEN CAST(sigj AS HUGEINT) + $U64 ELSE CAST(sigj AS HUGEINT) END AS u
         FROM mh),
-      banded AS (
+      banded AS MATERIALIZED (
         SELECT doc_id, j // $rows AS band, bit_xor(CAST(($rotCase) AS UBIGINT)) AS bkey
         FROM msig GROUP BY doc_id, band)"""
   }
-
-  /** Full per-image pair graph (same banding, every key) — the q114
-    * cluster oracle deliberately propagates over THIS graph rather than
-    * the representative graph, so it independently confirms that the
-    * engine's dedup-first factorization is exact. */
-  private def phashFullPairCtes: String = s"""
-      fbands AS (
-        SELECT key, h,
-          b.band, CAST((u // ([1, 65536, 4294967296, 281474976710656])[b.band + 1]) % 65536 AS BIGINT) AS bkey
-        FROM hsig, (VALUES (0), (1), (2), (3)) b(band)),
-      fpairs AS (
-        SELECT DISTINCT a.key AS id_a, b.key AS id_b
-        FROM fbands a JOIN fbands b ON a.band = b.band AND a.bkey = b.bkey AND a.key < b.key
-        WHERE bit_count(xor(a.h, b.h)) <= 3)"""
 
   val defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
@@ -417,7 +403,7 @@ object TrainingData {
       WITH RECURSIVE $simhashCtes,
       ${simhashPairCtes(4)},
       cd AS (SELECT id_a, id_b FROM cand WHERE hamming <= 16),
-      tri AS (
+      tri AS MATERIALIZED (
         SELECT DISTINCT doc_id, substr(text, i, 3) AS g
         FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - 2)) AS i)),
       sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
@@ -513,7 +499,7 @@ object TrainingData {
         .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
     }, Some("""
       WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 3),
-      tri AS (
+      tri AS MATERIALIZED (
         SELECT DISTINCT doc_id, substr(text, i, 3) AS g
         FROM d, LATERAL (SELECT unnest(generate_series(1, length(text) - 2)) AS i)),
       sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
@@ -955,10 +941,17 @@ object TrainingData {
     // large-star/small-star) over the representative near-dup graph,
     // expanded back to every image through its phash representative —
     // every image maps to the minimum key reachable through the
-    // Hamming-≤3 graph, singletons to themselves. The ORACLE runs
-    // min-label propagation over the FULL per-image pair graph (same-hash
-    // images sit at distance 0), independently confirming that the
-    // rep-graph factorization is exact.
+    // Hamming-≤3 graph, singletons to themselves. The ORACLE re-derives
+    // every phash from pixels, the pigeonhole band pairs, and the
+    // components by recursive min-label reach (a different algorithm from
+    // the engine's star rounds) — over the REPRESENTATIVE graph, expanded
+    // through each image's hash rep. (It previously propagated over the
+    // full per-image pair graph, but the reach relation is quadratic in
+    // duplicate-cluster size — 303k label rows / ~3 min in DuckDB at
+    // sf0.01, the likely cause of the round-4 driver compare arriving
+    // empty. The full-graph ≡ rep-graph factorization the full reach used
+    // to confirm is now pinned by a brute-force union-find spec in
+    // ComponentsSpec instead.)
     ("q114_phash_clusters", (s: SparkSession, dir: String) => {
       val imgs = graft.gen.Fixtures.imagesFromParts(s, dir)
       // persisted: the rep-map groupBy feeds the pair build, the
@@ -975,16 +968,17 @@ object TrainingData {
         .select(col("key").as("id"), col("component"))
     }, Some(s"""
       WITH RECURSIVE $phashPairCtes,
-      $phashFullPairCtes,
-      hedges AS (
-        SELECT id_a AS a, id_b AS b FROM fpairs
+      hedges AS MATERIALIZED (
+        SELECT id_a AS a, id_b AS b FROM hpairs WHERE hamming <= 3
         UNION ALL
-        SELECT id_b AS a, id_a AS b FROM fpairs),
+        SELECT id_b AS a, id_a AS b FROM hpairs WHERE hamming <= 3),
       reach(id, lbl) AS (
-        SELECT key, key FROM phimg
+        SELECT rep, rep FROM hrep
         UNION
-        SELECT e.b, r.lbl FROM reach r JOIN hedges e ON e.a = r.id WHERE r.lbl < e.b)
-      SELECT id, min(lbl) AS component FROM reach GROUP BY id""")),
+        SELECT e.b, r.lbl FROM reach r JOIN hedges e ON e.a = r.id WHERE r.lbl < e.b),
+      rcomp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+      SELECT s.key AS id, c.component
+      FROM hsig s JOIN hrep r ON r.h = s.h JOIN rcomp c ON c.id = r.rep""")),
 
     // Leakage-safe train/val split: the q114 duplicate clusters feed
     // Sampling.leakageSplit — split assignment hashes the COMPONENT
@@ -1027,16 +1021,18 @@ object TrainingData {
         .select(col("split"), col("n_ids"), col("n_components"), col("leaked_pairs"))
     }, Some(s"""
       WITH RECURSIVE $phashPairCtes,
-      $phashFullPairCtes,
-      hedges AS (
-        SELECT id_a AS a, id_b AS b FROM fpairs
+      hedges AS MATERIALIZED (
+        SELECT id_a AS a, id_b AS b FROM hpairs WHERE hamming <= 3
         UNION ALL
-        SELECT id_b AS a, id_a AS b FROM fpairs),
+        SELECT id_b AS a, id_a AS b FROM hpairs WHERE hamming <= 3),
       reach(id, lbl) AS (
-        SELECT key, key FROM phimg
+        SELECT rep, rep FROM hrep
         UNION
         SELECT e.b, r.lbl FROM reach r JOIN hedges e ON e.a = r.id WHERE r.lbl < e.b),
-      compo AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+      rcomp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+      compo AS (
+        SELECT s.key AS id, c.component
+        FROM hsig s JOIN hrep r ON r.h = s.h JOIN rcomp c ON c.id = r.rep),
       sp AS (SELECT id, component,
                CASE WHEN ((component * 1000003 + 17) % 1000) < 100
                     THEN 'val' ELSE 'train' END AS split
@@ -1378,7 +1374,7 @@ object TrainingData {
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-      tri AS (
+      tri AS MATERIALIZED (
         SELECT DISTINCT doc_id, substr(text, i, 3) AS g
         FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - 2)) AS i)),
       sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
@@ -1387,13 +1383,13 @@ object TrainingData {
         FROM mcand p JOIN tri a ON a.doc_id = p.id_a
                      JOIN tri b ON b.doc_id = p.id_b AND a.g = b.g
         GROUP BY p.id_a, p.id_b),
-      ver AS (
+      ver AS MATERIALIZED (
         SELECT p.id_a, p.id_b FROM mcand p
         JOIN sizes sa ON sa.doc_id = p.id_a JOIN sizes sb ON sb.doc_id = p.id_b
         LEFT JOIN ov o ON o.id_a = p.id_a AND o.id_b = p.id_b
         WHERE CAST(coalesce(o.inter, 0) AS DOUBLE)
               / CAST(sa.n + sb.n - coalesce(o.inter, 0) AS DOUBLE) >= 0.5),
-      dedges AS (
+      dedges AS MATERIALIZED (
         SELECT id_a AS a, id_b AS b FROM ver
         UNION ALL
         SELECT id_b AS a, id_a AS b FROM ver),

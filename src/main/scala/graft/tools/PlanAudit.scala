@@ -33,7 +33,10 @@ object PlanAudit {
       "q143_gcp_refine", "q144_shard_pack", "q145_image_quality", "q146_caption_align",
       "q147_bpe_tokens", "q148_augment", "q152_leakage_split",
       "q153_ann_recall", "q154_epoch_shuffle", "q155_contour_rings",
-      "q156_sequence_pack", "q157_spatial_split")
+      "q156_sequence_pack", "q157_spatial_split",
+      // round 5
+      "q158_contour_ring_features", "q159_tps_warp_tiles", "q160_simplify_topo",
+      "q161_rpc_warp_tiles", "q162_join_first_match")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       val df = graft.SparkEntry.queries(n)(spark, sf)

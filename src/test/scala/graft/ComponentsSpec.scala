@@ -70,6 +70,39 @@ class ComponentsSpec extends AnyFunSuite {
     assert((10 until 20).forall(i => got(i.toLong) == 10L))
   }
 
+  test("q114 rep-graph factorization equals brute-force full-graph union-find at sf0.001") {
+    // The q114/q152 DuckDB oracles propagate over the REPRESENTATIVE
+    // (distinct-phash) graph and expand through each image's hash rep —
+    // this spec is what pins that factorization against the FULL
+    // per-image pair graph (every key pair at Hamming <= 3, including the
+    // distance-0 mass-duplicate cliques), which the oracle no longer
+    // enumerates (it is quadratic in duplicate-cluster size).
+    val imgs = graft.gen.Fixtures.imagesFromParts(spark, TestSpark.Sf)
+      .select(col("key"), col("phash")).as[(Long, Long)].collect()
+    val keys = imgs.map(_._1)
+    val idx = keys.zipWithIndex.toMap
+    val full = for {
+      i <- imgs.indices; j <- (i + 1) until imgs.length
+      if java.lang.Long.bitCount(imgs(i)._2 ^ imgs(j)._2) <= 3
+    } yield (imgs(i)._1, imgs(j)._1)
+    // union-find over dense local indices, then min-KEY label per root
+    val parent = Array.tabulate(imgs.length)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }; r }
+    full.foreach { case (a, b) =>
+      val (ra, rb) = (find(idx(a)), find(idx(b)))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val minKey = scala.collection.mutable.Map[Int, Long]()
+    imgs.indices.foreach { i =>
+      val r = find(i)
+      minKey(r) = math.min(minKey.getOrElse(r, Long.MaxValue), keys(i))
+    }
+    val expected = imgs.indices.map(i => keys(i) -> minKey(find(i))).toMap
+    val got = graft.SparkEntry.queries("q114_phash_clusters")(spark, TestSpark.Sf)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
   test("hamming near-dup pairs have perfect recall within the pigeonhole bound") {
     // hand-built hashes: 10/11 differ by ≤3 bits from 0x0F0F...; 12 is far
     val rows = Seq(
