@@ -241,7 +241,10 @@ object Contour {
     * is an exact directed pair and was cancelled). */
   def ringBands(band: Array[Int], w: Int, h: Int, gt: Array[Double],
                 levels: Seq[Double], emitWkb: Boolean): Seq[RingBand] =
-    traceLayers(band, w, h, levels).map { ir =>
+    // nesting only when WKB is emitted: shell/hole COUNTS and the area sum
+    // don't need it, and the hole->shell assignment is the one superlinear
+    // step (q155 runs this per image corpus-wide with emitWkb = false)
+    traceLayers(band, w, h, levels, needNesting = emitWkb).map { ir =>
       val wkb =
         if (!emitWkb || ir.shellIdx.isEmpty) null
         else Wkb.writeMultiPolygon(ir.shellIdx.map { sIx =>
@@ -249,7 +252,7 @@ object Contour {
             ir.holesOf.getOrElse(sIx, Array.empty[Int]).map(h => toGeoRing(ir.rings(h), gt))).toArray
         })
       RingBand(ir.iv, ir.lo, ir.hi, ir.shellIdx.length,
-        ir.holesOf.valuesIterator.map(_.length).sum, ir.areas.sum, wkb)
+        ir.nHoles, ir.areas.sum, wkb)
     }
 
   /** One reference-layout polygon FEATURE: a shell with its nested holes
@@ -267,7 +270,7 @@ object Contour {
     * uses the hole→smallest-containing-shell nesting. */
   def ringFeatures(band: Array[Int], w: Int, h: Int, gt: Array[Double],
                    levels: Seq[Double], emitWkb: Boolean): Seq[RingFeature] =
-    traceLayers(band, w, h, levels).flatMap { ir =>
+    traceLayers(band, w, h, levels, needNesting = true).flatMap { ir =>
       ir.shellIdx.map { sIx =>
         val holes = ir.holesOf.getOrElse(sIx, Array.empty[Int])
         val area = ir.areas(sIx) + holes.map(ir.areas(_)).sum
@@ -304,10 +307,11 @@ object Contour {
     * — `shellIdx` preserves trace order — and hole→shell nesting. */
   private final case class IntervalRings(iv: Int, lo: Double, hi: Double,
                                          rings: Array[Array[Long]], areas: Array[Long],
-                                         shellIdx: Array[Int], holesOf: Map[Int, Array[Int]])
+                                         shellIdx: Array[Int], nHoles: Int,
+                                         holesOf: Map[Int, Array[Int]])
 
   private def traceLayers(band: Array[Int], w: Int, h: Int,
-                          levels: Seq[Double]): Seq[IntervalRings] = {
+                          levels: Seq[Double], needNesting: Boolean): Seq[IntervalRings] = {
     // exactness bound, fail-fast (cf. packSequences' capacity cap): the
     // trace's long cross products and the shoelace/PIP arithmetic assume
     // lattice coords < 2^18, i.e. (dim-1)·2048 < 262144 → dims ≤ 129.
@@ -458,9 +462,12 @@ object Contour {
       val shellIdx = rings.indices.filter(areas(_) > 0L).toArray
       val holeIdx = rings.indices.filter(areas(_) < 0L)
       // hole → smallest containing shell by exact even-odd PIP on the
-      // ×2 lattice (rep point = first-edge midpoint); always computed —
-      // the feature split needs nesting even without WKB, and the edge
-      // frame is boundary-sized (tiny vs the raster)
+      // ×2 lattice (rep point = first-edge midpoint), computed only when
+      // the caller needs the nesting (WKB emission / the feature split) —
+      // it is the one superlinear step of the layer build. Candidate
+      // shells are pruned by a per-shell bbox test (x2 lattice units)
+      // before the exact PIP, in ascending-area order so the first hit is
+      // the smallest containing shell.
       def contains(ring: Array[Long], px2: Long, py2: Long): Boolean = {
         var inside = false; var i = 0; val n = ring.length
         while (i < n) {
@@ -475,21 +482,47 @@ object Contour {
         }
         inside
       }
-      val bySize = shellIdx.sortBy(areas(_))
-      val holesOf = mutable.HashMap.empty[Int, mutable.ArrayBuffer[Int]]
-      holeIdx.foreach { hIx =>
-        val r = rings(hIx)
-        val mx = ux(r(0)) + ux(r(1 % r.length))
-        val my = uy(r(0)) + uy(r(1 % r.length))
-        val shell = bySize.find(sIx => contains(rings(sIx), mx, my))
-        // a hole with no containing shell is a nesting bug — fail
-        // loudly (like the dangling/revisited-edge requires) instead
-        // of silently emitting WKB whose area diverges from areaQ
-        require(shell.isDefined, "contour ring nesting: orphan hole")
-        holesOf.getOrElseUpdate(shell.get, mutable.ArrayBuffer.empty) += hIx
-      }
+      val holesOf: Map[Int, Array[Int]] =
+        if (!needNesting || holeIdx.isEmpty) Map.empty
+        else {
+          val bySize = shellIdx.sortBy(areas(_))
+          // per-shell bboxes in x2 lattice units, aligned with bySize
+          val bb = bySize.map { sIx =>
+            val r = rings(sIx)
+            var mnx = Long.MaxValue; var mxx = Long.MinValue
+            var mny = Long.MaxValue; var mxy = Long.MinValue
+            var i = 0
+            while (i < r.length) {
+              val x = 2L * ux(r(i)); val y = 2L * uy(r(i))
+              if (x < mnx) mnx = x; if (x > mxx) mxx = x
+              if (y < mny) mny = y; if (y > mxy) mxy = y
+              i += 1
+            }
+            (mnx, mxx, mny, mxy)
+          }
+          val acc = mutable.HashMap.empty[Int, mutable.ArrayBuffer[Int]]
+          holeIdx.foreach { hIx =>
+            val r = rings(hIx)
+            val mx = ux(r(0)) + ux(r(1 % r.length))
+            val my = uy(r(0)) + uy(r(1 % r.length))
+            var found = -1
+            var k = 0
+            while (found < 0 && k < bySize.length) {
+              val (mnx, mxx, mny, mxy) = bb(k)
+              if (mx > mnx && mx < mxx && my > mny && my < mxy &&
+                  contains(rings(bySize(k)), mx, my)) found = bySize(k)
+              k += 1
+            }
+            // a hole with no containing shell is a nesting bug — fail
+            // loudly (like the dangling/revisited-edge requires) instead
+            // of silently emitting WKB whose area diverges from areaQ
+            require(found >= 0, "contour ring nesting: orphan hole")
+            acc.getOrElseUpdate(found, mutable.ArrayBuffer.empty) += hIx
+          }
+          acc.view.mapValues(_.toArray).toMap
+        }
       IntervalRings(iv, lo, hi, rings.toArray, areas.toArray, shellIdx,
-        holesOf.view.mapValues(_.toArray).toMap)
+        holeIdx.length, holesOf)
     }
   }
 

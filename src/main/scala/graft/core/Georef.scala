@@ -424,13 +424,20 @@ object Rpc {
 
   /** (long, lat, height) -> (pixel, line), per RPCTransformPoint: dateline
     * wrap on the long offset, normalize, rational evaluate, denormalize. */
+  // scratch for the 20 monomial terms: forward() is on the per-pixel hot
+  // path of the RPC-driven warp (q161 evaluates it ~16× per refit), so the
+  // term vector is reused per executor thread instead of allocated per call
+  private val termScratch = new ThreadLocal[Array[Double]] {
+    override def initialValue(): Array[Double] = new Array[Double](20)
+  }
+
   def forward(m: Rpc, lon: Double, lat: Double, h: Double): (Double, Double) = {
     var diffLong = lon - m.longOff
     if (diffLong < -270) diffLong += 360 else if (diffLong > 270) diffLong -= 360
     val l = diffLong / m.longScale
     val p = (lat - m.latOff) / m.latScale
     val hh = (h - m.heightOff) / m.heightScale
-    val t = new Array[Double](20)
+    val t = termScratch.get()
     terms(l, p, hh, t)
     val px = evalPoly(t, m.sampNum) / evalPoly(t, m.sampDen) * m.sampScale + m.sampOff
     val py = evalPoly(t, m.lineNum) / evalPoly(t, m.lineDen) * m.lineScale + m.lineOff

@@ -164,7 +164,7 @@ case class RpcRefitGt(children: Seq[Expression])
       a(2) = cp * latS / scale
       a
     }
-    val one = { val a = new Array[Double](20); a(0) = 1.0; a }
+    val one = RpcRefitGt.unitDen
     val model = Rpc(
       lineOff = h / 2, sampOff = w / 2, latOff = cy, longOff = cx, heightOff = 0.0,
       lineScale = lineS, sampScale = sampS, latScale = latS, longScale = lonS,
@@ -187,6 +187,14 @@ case class RpcRefitGt(children: Seq[Expression])
   }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): RpcRefitGt =
     copy(children = c)
+}
+
+object RpcRefitGt {
+  /** Constant denominator [1, 0×19]; read-only by Rpc.evalPoly, so one
+    * shared instance serves every refit on the thread. */
+  private[expr] val unitDen: Array[Double] = {
+    val a = new Array[Double](20); a(0) = 1.0; a
+  }
 }
 
 /** gcp_poly_transform(x, y) with a driver-fitted polynomial → [tx, ty]. */
