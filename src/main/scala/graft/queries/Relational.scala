@@ -346,6 +346,92 @@ object Relational {
         .orderBy(col("o_orderkey"))
         .select(col("o_orderkey"), col("o_custkey"))
         .offset(50).limit(20)
-    }, Some("SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 50"))
+    }, Some("SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 50")),
+
+    // §2.3 as-of join (engine-native; absent in the reference — kdb `aj`
+    // / DuckDB ASOF JOIN semantics): each click attaches the SAME user's
+    // latest view at-or-before it. Engine: TemporalJoin.asOf — two-phase
+    // granule prefix, no per-key unbounded window. Unmatched clicks get
+    // (-1, 0.0) sentinels (pinned here, not in the operator). The oracle
+    // is the textbook single-window formulation; parity across granule
+    // widths and vs the one-window plan is TemporalJoinSpec's job.
+    ("q163_asof_join", (s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+      graft.ops.TemporalJoin.asOf(clicks, views, "user_id", "ts", "event_id",
+          Seq("event_id" -> "asof_view_id", "value" -> "asof_view_val"),
+          bucketMicros = 86400000000L)
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("asof_view_id"), lit(-1L)).as("asof_view_id"),
+          coalesce(col("asof_view_val"), lit(0.0)).as("asof_view_val"))
+    }, Some("""
+      WITH u AS (
+        SELECT user_id, epoch_us(ts) AS tsu, event_id,
+               CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS side,
+               CASE WHEN event_type = 'view' THEN event_id END AS b_id,
+               CASE WHEN event_type = 'view' THEN value END AS b_val
+        FROM events WHERE event_type IN ('view', 'click')),
+      w AS (
+        SELECT user_id, event_id, side,
+               last_value(b_id IGNORE NULLS) OVER pk AS a_id,
+               last_value(b_val IGNORE NULLS) OVER pk AS a_val
+        FROM u
+        WINDOW pk AS (PARTITION BY user_id ORDER BY tsu, side, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT event_id, user_id, coalesce(a_id, -1) AS asof_view_id,
+             coalesce(a_val, 0.0) AS asof_view_val
+      FROM w WHERE side = 1""")),
+
+    // §2.3 interval join (engine-native; absent in the reference): views
+    // inside each purchase's 24 h lookback window, per user — the
+    // attribution-window shape. Engine: TemporalJoin.intervalJoin bands
+    // the theta-join into a (key, granule) equi-join (4 h granules →
+    // ≤7-row fan-out per interval); the left join keeps zero-view
+    // purchases. Millicent-quantized sum keeps the compare exact.
+    ("q164_interval_join", (s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          (unix_micros(col("ts").cast("timestamp")) - lit(86400000000L)).as("lo"),
+          unix_micros(col("ts").cast("timestamp")).as("hi"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          round(col("value") * lit(1000)).cast("bigint").as("mills"))
+      val pairs = graft.ops.TemporalJoin.intervalJoin(
+        purchases, views, "user_id", "lo", "hi", "ts", bucketMicros = 14400000000L)
+      val agg = pairs.groupBy(col("purchase_id"))
+        .agg(count(lit(1)).as("n_views"), sum(col("mills")).as("view_mills"))
+      purchases.select(col("purchase_id")).join(agg, Seq("purchase_id"), "left")
+        .select(col("purchase_id"),
+          coalesce(col("n_views"), lit(0L)).as("n_views"),
+          coalesce(col("view_mills"), lit(0L)).as("view_mills"))
+    }, Some("""
+      SELECT p.event_id AS purchase_id,
+             count(v.user_id) AS n_views,
+             coalesce(CAST(sum(CAST(round(v.value * 1000) AS BIGINT)) AS BIGINT), 0) AS view_mills
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON v.user_id = p.user_id
+       AND epoch_us(v.ts) > epoch_us(p.ts) - 86400000000
+       AND epoch_us(v.ts) <= epoch_us(p.ts)
+      GROUP BY 1""")),
+
+    // §2.4 ROLLUP grouping sets (engine-native Catalyst rollup; the
+    // reference's SQL dialect has none — SURVEY marks the row n/a, this
+    // closes it with the builtin). Subtotal levels surface as 'ALL'.
+    ("q165_rollup", (s: SparkSession, dir: String) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), sum(cents("l_quantity")).as("sum_qty_c"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("cnt"), col("sum_qty_c"))
+    }, Some("""
+      SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+             count(*) AS cnt,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""))
   )
 }
