@@ -85,8 +85,11 @@ object TemporalJoin {
       .withColumn("__carry", last(col("__lastb"), ignoreNulls = true).over(wc))
       .select(col("__k"), col("__tb"), col("__carry"))
 
-    val matched = withIn.filter(col("__side") === 1)
-      .join(carry, Seq("__k", "__tb"))
+    // null-safe key equality: a null key is one more group (matching the
+    // window semantics of the naive plan), not a silent row drop
+    val probes = withIn.filter(col("__side") === 1)
+    val matched = probes
+      .join(carry, probes("__k") <=> carry("__k") && probes("__tb") === carry("__tb"))
       .withColumn("__m", coalesce(col("__in"), col("__carry")))
     matched.select(
       probe.columns.toIndexedSeq.map(c => col(s"__prow.`$c`").as(c)) ++

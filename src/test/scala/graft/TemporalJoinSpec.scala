@@ -94,6 +94,21 @@ class TemporalJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("asOf null keys: one more group (window semantics), not a silent row drop") {
+    def nf(rows: Seq[(Option[Long], Long, Long, Double)]): DataFrame =
+      rows.toDF("user_id", "tsu", "event_id", "value")
+        .select(col("user_id"), timestamp_micros(col("tsu")).as("ts"),
+          col("event_id"), col("value"))
+    val build = nf(Seq((Some(1L), 10L, 0L, 5.0), (None, 10L, 1L, 7.0)))
+    val probe = nf(Seq((Some(1L), 20L, 100L, 0.0), (None, 20L, 101L, 0.0)))
+    val attach = Seq("value" -> "b_val")
+    val out = TemporalJoin.asOf(probe, build, "user_id", "ts", "event_id", attach, 15L)
+    assert(sortedRows(out) ==
+      sortedRows(TemporalJoin.asOfNaive(probe, build, "user_id", "ts", "event_id", attach)))
+    val nullRow = out.filter(col("user_id").isNull).select(col("b_val")).collect()
+    assert(nullRow.map(_.getDouble(0)).toSeq == Seq(7.0))
+  }
+
   test("intervalJoin equals the direct theta-join and is width-invariant") {
     val rnd = new scala.util.Random(23)
     val ivRows = (0 until 300).map { i =>
