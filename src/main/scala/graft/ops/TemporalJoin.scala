@@ -65,31 +65,44 @@ object TemporalJoin {
       .unionByName(p2)
       .withColumn("__tb", expr(s"__tsu div ${bucketMicros}L"))
 
-    // phase 1 (parallel over granules): within-granule running last build
+    // phase 1 (parallel over granules): within-granule running last build.
+    // PERSISTED: the frame feeds both the probe side and the carry
+    // derivation below — without the cache the carry branch re-scans and
+    // re-shuffles the corpus (column pruning makes its Exchange differ
+    // from the probe branch's, so AQE stage reuse never fires; verified
+    // empirically). Released by the harness via pipeline.Caches.release().
     val w1 = Window.partitionBy(col("__k"), col("__tb"))
       .orderBy(col("__tsu"), col("__side"), col("__ord"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withIn = u.withColumn("__in", last(col("__bp"), ignoreNulls = true).over(w1))
+    val withIn = graft.pipeline.Caches.persist(
+      u.withColumn("__in", last(col("__bp"), ignoreNulls = true).over(w1)))
 
-    // phase 2 (granule-level carry): last build of each granule, then the
-    // running last across granules EXCLUSIVE of the current one. The
-    // aggregate covers every granule that has any row (probe or build),
-    // so a probe in a build-free granule still receives the carry.
-    val lastPer = u.groupBy(col("__k"), col("__tb"))
-      .agg(max(when(col("__side") === 0,
-        struct(col("__tsu"), col("__ord"), col("__bp")))).as("__m"))
-      .select(col("__k"), col("__tb"), col("__m.__bp").as("__lastb"))
+    // phase 2 (granule-level carry): each granule's last build, then the
+    // running last across granules EXCLUSIVE of the current one. Derived
+    // FROM the windowed frame — a granule's FINAL row's running-last IS
+    // its last build (null when build-free) — so this branch shares
+    // withIn's lineage up to the (key, granule) Exchange and Spark
+    // REUSES that shuffle instead of scanning the corpus a second time;
+    // the aggregate's grouping matches the existing partitioning (no new
+    // corpus-sized Exchange). Covers every granule that has any row
+    // (probe or build), so a probe in a build-free granule still
+    // receives the carry. The (tsu, side, ord) struct prefix is a total
+    // order per (key, granule) (ord is unique per side), so max() picks
+    // exactly the window-final row.
+    val lastPer = withIn.groupBy(col("__k"), col("__tb"))
+      .agg(max(struct(col("__tsu"), col("__side"), col("__ord"), col("__in"))).as("__m"))
+      .select(col("__k"), col("__tb"), col("__m.__in").as("__lastb"))
     val wc = Window.partitionBy(col("__k")).orderBy(col("__tb"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val carry = lastPer
       .withColumn("__carry", last(col("__lastb"), ignoreNulls = true).over(wc))
-      .select(col("__k"), col("__tb"), col("__carry"))
+      .select(col("__k").as("__ck"), col("__tb").as("__ctb"), col("__carry"))
 
     // null-safe key equality: a null key is one more group (matching the
     // window semantics of the naive plan), not a silent row drop
     val probes = withIn.filter(col("__side") === 1)
     val matched = probes
-      .join(carry, probes("__k") <=> carry("__k") && probes("__tb") === carry("__tb"))
+      .join(carry, col("__k") <=> col("__ck") && col("__tb") === col("__ctb"))
       .withColumn("__m", coalesce(col("__in"), col("__carry")))
     matched.select(
       probe.columns.toIndexedSeq.map(c => col(s"__prow.`$c`").as(c)) ++

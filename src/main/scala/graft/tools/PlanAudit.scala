@@ -36,7 +36,8 @@ object PlanAudit {
       "q156_sequence_pack", "q157_spatial_split",
       // round 5
       "q158_contour_ring_features", "q159_tps_warp_tiles", "q160_simplify_topo",
-      "q161_rpc_warp_tiles", "q162_join_first_match")
+      "q161_rpc_warp_tiles", "q162_join_first_match",
+      "q163_asof_join", "q164_interval_join", "q165_rollup")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       val df = graft.SparkEntry.queries(n)(spark, sf)
