@@ -98,11 +98,14 @@ object TemporalJoin {
       .withColumn("__carry", last(col("__lastb"), ignoreNulls = true).over(wc))
       .select(col("__k").as("__ck"), col("__tb").as("__ctb"), col("__carry"))
 
-    // null-safe key equality: a null key is one more group (matching the
-    // window semantics of the naive plan), not a silent row drop
+    // null-safe key AND granule equality: a null key is one more group,
+    // and a null timestamp (null granule) is one more granule — both
+    // matching the window semantics of the naive plan (nulls sort first:
+    // null-ts builds precede everything, null-ts probes see only them),
+    // not a silent row drop
     val probes = withIn.filter(col("__side") === 1)
     val matched = probes
-      .join(carry, col("__k") <=> col("__ck") && col("__tb") === col("__ctb"))
+      .join(carry, col("__k") <=> col("__ck") && col("__tb") <=> col("__ctb"))
       .withColumn("__m", coalesce(col("__in"), col("__carry")))
     matched.select(
       probe.columns.toIndexedSeq.map(c => col(s"__prow.`$c`").as(c)) ++

@@ -46,6 +46,7 @@ class TemporalJoinSpec extends AnyFunSuite {
       val got = sortedRows(TemporalJoin.asOf(probe, build, "user_id", "ts", "event_id", attach, w))
       assert(got == want, s"bucketMicros=$w diverged from the naive plan")
     }
+    graft.pipeline.Caches.release()
   }
 
   test("asOf tie semantics: inclusive at equal ts, greatest ord wins, null before first build") {
@@ -61,6 +62,7 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(out(100L) == ((Some(1L), Some(2.0))))
     assert(out(101L) == ((None, None)))
     assert(out(102L) == ((Some(7L), Some(9.0))))
+    graft.pipeline.Caches.release()
   }
 
   test("asOf hot key: parity + no full-history window in the plan") {
@@ -79,9 +81,22 @@ class TemporalJoinSpec extends AnyFunSuite {
     // plan audit: every window either includes the granule in its
     // partition spec (per-granule, parallel over the hot key's history)
     // or runs over the granule-level aggregate (the carry window). The
-    // pre-AQE physical plan is audited — shape, not runtime stages.
-    val wins = out.queryExecution.sparkPlan.collect { case w: WindowExec => w }
-    assert(wins.nonEmpty)
+    // pre-AQE physical plan is audited — shape, not runtime stages —
+    // and the traversal DESCENDS INTO cached plans: asOf persists the
+    // phase-1 frame, so the windowed subplan hides behind an
+    // InMemoryTableScanExec leaf that plain collect() won't enter.
+    def allWindows(p: org.apache.spark.sql.execution.SparkPlan): Seq[WindowExec] =
+      p.collect {
+        case w: WindowExec => Seq(w)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allWindows(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allWindows(q.plan)
+        case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          allWindows(im.relation.cachedPlan)
+      }.flatten
+    val wins = allWindows(out.queryExecution.sparkPlan)
+    assert(wins.size >= 2, s"expected the phase-1 AND carry windows, got ${wins.size}")
     wins.foreach { w =>
       val byGranule = w.partitionSpec.exists(_.references.exists(_.name == "__tb"))
       val overAgg = w.child.collectFirst {
@@ -92,6 +107,7 @@ class TemporalJoinSpec extends AnyFunSuite {
       assert(byGranule || overAgg,
         s"full-history window survived: partitionSpec=${w.partitionSpec.mkString(",")}")
     }
+    graft.pipeline.Caches.release()
   }
 
   test("asOf null keys: one more group (window semantics), not a silent row drop") {
@@ -107,6 +123,27 @@ class TemporalJoinSpec extends AnyFunSuite {
       sortedRows(TemporalJoin.asOfNaive(probe, build, "user_id", "ts", "event_id", attach)))
     val nullRow = out.filter(col("user_id").isNull).select(col("b_val")).collect()
     assert(nullRow.map(_.getDouble(0)).toSeq == Seq(7.0))
+    graft.pipeline.Caches.release()
+  }
+
+  test("asOf null timestamps: one more granule (nulls-first window semantics), not a drop") {
+    def tf(rows: Seq[(Long, Option[Long], Long, Double)]): DataFrame =
+      rows.toDF("user_id", "tsu", "event_id", "value")
+        .select(col("user_id"), timestamp_micros(col("tsu")).as("ts"),
+          col("event_id"), col("value"))
+    // key 1: a null-ts build (sorts first), a real build at t=10, a
+    // null-ts probe (sees only the null-ts build) and a real probe at
+    // t=20 (sees the t=10 build)
+    val build = tf(Seq((1L, None, 0L, 3.0), (1L, Some(10L), 1L, 5.0)))
+    val probe = tf(Seq((1L, None, 100L, 0.0), (1L, Some(20L), 101L, 0.0)))
+    val attach = Seq("value" -> "b_val")
+    val out = TemporalJoin.asOf(probe, build, "user_id", "ts", "event_id", attach, 15L)
+    assert(sortedRows(out) ==
+      sortedRows(TemporalJoin.asOfNaive(probe, build, "user_id", "ts", "event_id", attach)))
+    val byId = out.collect().map(r => r.getLong(2) -> Option(r.get(4))).toMap
+    assert(byId(100L) == Some(3.0))
+    assert(byId(101L) == Some(5.0))
+    graft.pipeline.Caches.release()
   }
 
   test("intervalJoin equals the direct theta-join and is width-invariant") {
