@@ -64,10 +64,20 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, k: Int = 64, bands: Int = 16, shingle: Int = 5,
                         idCol: String = "doc_id", textCol: String = "text",
                         maxBucket: Int = 100000): DataFrame = {
-    val rows = k / bands
     // spread narrow-split corpora before the signature pass (no-op at scale)
     val sig = graft.pipeline.Spread.toCores(docs)
       .select(col(idCol).as("id"), minhash_sig(col(textCol), k, shingle).as("sig"))
+    minhashCandidatesFromSigs(sig, k, bands, maxBucket)
+  }
+
+  /** [[minhashCandidates]] over a PRECOMPUTED signature frame
+    * (`id`, `sig`: array<long> of length k) — the entry point when the
+    * caller fuses signature computation with other per-doc kernels (e.g.
+    * q118 computes sig + verify shingle set in ONE projection, so the
+    * corpus text is scanned once and never cached). Identical candidates. */
+  def minhashCandidatesFromSigs(sig: DataFrame, k: Int = 64, bands: Int = 16,
+                                maxBucket: Int = 100000): DataFrame = {
+    val rows = k / bands
     // PERSIST the banded signatures: they are consumed by the cap's
     // groupBy, the cap's join probe, AND both sides of the self-join —
     // without the cache Spark recomputes every doc's minhash ~4×, and at

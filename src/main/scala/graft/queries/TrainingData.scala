@@ -1348,24 +1348,26 @@ object TrainingData {
     // recursive min-label propagation — every stage boundary is checked
     // by its own query, this checks their COMPOSITION.
     ("q118_dedup_pipeline", (s: SparkSession, dir: String) => {
-      // ONE corpus scan (the q105 discipline): the persisted (doc_id, text)
-      // frame feeds the signature/banding leg, BOTH verify re-attach
-      // sides, and the components node frame — at 100 TB each of those
-      // would otherwise be its own full-corpus read.
-      val d = graft.pipeline.Caches.persist(
-        docs(s, dir).select(col("doc_id"), col("text")))
+      // ONE corpus scan, ONE per-doc text walk stage: a single projection
+      // computes the minhash signature AND the verify shingle set, and
+      // only the hashes are persisted — the corpus TEXT is read from
+      // parquet once and never cached (at 100 TB the text column is the
+      // dataset; sig + sh are a fraction of it). The fused frame feeds
+      // the banding leg, the verify attach sides, and the components
+      // node frame.
+      val fused = graft.pipeline.Caches.persist(
+        graft.pipeline.Spread.toCores(docs(s, dir)).select(col("doc_id"),
+          minhash_sig(col("text"), 64, 5).as("sig"),
+          char_shingles(col("text"), 3).as("sh")))
       val cand = graft.pipeline.Caches.persist(
-        Dedup.minhashCandidates(d, k = 64, bands = 16, shingle = 5)
+        Dedup.minhashCandidatesFromSigs(
+            fused.select(col("doc_id").as("id"), col("sig")), k = 64, bands = 16)
           .select(col("id_a"), col("id_b")))
-      // verify over PRECOMPUTED shingle sets: candidate multiplicity is
-      // ~50 pairs/doc here, so the string path re-shingles every doc
-      // ~100× — the hashed variant shingles once (same accept decisions)
-      val shingled = graft.pipeline.Caches.persist(
-        d.select(col("doc_id"), graft.text.textfunctions.char_shingles(col("text"), 3).as("sh")))
-      val verified = Dedup.jaccardVerifyHashed(cand, shingled, minJaccard = 0.5)
+      val verified = Dedup.jaccardVerifyHashed(cand, fused.select(col("doc_id"), col("sh")),
+          minJaccard = 0.5)
         .select(col("id_a"), col("id_b"))
       val comp = graft.ops.Components.connectedComponents(
-        verified, "id_a", "id_b", d.select(col("doc_id").as("id")), "id")
+        verified, "id_a", "id_b", fused.select(col("doc_id").as("id")), "id")
       comp.select(col("id").as("doc_id"), col("component").as("canonical"),
         (col("id") === col("component")).as("keep"))
     }, Some(s"""
@@ -1540,7 +1542,83 @@ object TrainingData {
       FROM s
       LEFT JOIN wagg wa ON wa.doc_id = s.doc_id
       JOIN lagg la ON la.doc_id = s.doc_id
-      JOIN sym ON sym.doc_id = s.doc_id"""))
+      JOIN sym ON sym.doc_id = s.doc_id""")),
+
+    // HLL distinct-token sketch per corpus stratum (SURVEY §2.4 "approx
+    // distinct" — absent in OGR SQL; engine-native via ops.Hll). The
+    // 20-bit capped-rho design keeps EVERY derived quantity int64-exact
+    // (registers, zeros, position-weighted fingerprint, harmonic
+    // denominator S = Σ 2^(21−reg)); the estimate is one double division
+    // over those exact ints, so the oracle replays the whole sketch —
+    // splitmix64 mixing, bucket/rho split, per-bucket max, S — bit-for-bit
+    // and lands on the identical IEEE estimate. nd_exact rides along so
+    // the result also exhibits the sketch's actual error.
+    ("q166_hll_distinct", (s: SparkSession, dir: String) => {
+      val toks = docs(s, dir)
+        .select((col("doc_id") % 4).as("grp"),
+          explode(split(col("text"), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+      val hashed = graft.pipeline.Caches.persist(
+        toks.select(col("grp"), smix64(fnv64(col("w"))).as("h")))
+      val regs = graft.ops.Hll.registers(hashed, Seq("grp"), "h", p = 8)
+      val exact = hashed.groupBy(col("grp")).agg(countDistinct(col("h")).as("nd_exact"))
+      graft.ops.Hll.withEstimate(regs, p = 8).join(exact, Seq("grp"))
+        .select(col("grp"), col("zeros"), col("reg_fp"), col("s_scaled"),
+          col("est"), col("nd_exact"))
+    }, Some {
+      val blenCase = "CASE " + (20 to 1 by -1)
+        .map(b => s"WHEN w20 >= ${1L << (b - 1)} THEN $b").mkString(" ") + " ELSE 0 END"
+      val powers = (0 to 21).map(i => 1L << i).mkString("[", ", ", "]")
+      s"""
+      WITH RECURSIVE
+      toks0 AS (
+        SELECT doc_id, t.tok FROM documents,
+          LATERAL (SELECT unnest(string_split_regex(text, '\\s+')) AS tok) t
+        WHERE t.tok <> ''),
+      toks AS (SELECT row_number() OVER (ORDER BY doc_id) AS rid, doc_id, tok FROM toks0),
+      fnv(rid, pos, h) AS (
+        SELECT rid, 0, CAST(14695981039346656037 AS UBIGINT) FROM toks
+        UNION ALL
+        SELECT f.rid, f.pos + 1,
+          CAST(((CAST(xor(f.h, CAST(unicode(substr(t.tok, f.pos + 1, 1)) AS UBIGINT)) AS HUGEINT)
+                 * 1099511628211) % $U64) AS UBIGINT)
+        FROM fnv f JOIN toks t ON t.rid = f.rid
+        WHERE f.pos < length(t.tok)),
+      ghash AS MATERIALIZED (
+        SELECT t.doc_id % 4 AS grp, f.h
+        FROM fnv f JOIN toks t ON t.rid = f.rid WHERE f.pos = length(t.tok)),
+      sm0 AS (SELECT grp, CAST((CAST(h AS HUGEINT) + 11400714819323198485) % $U64 AS UBIGINT) AS z0 FROM ghash),
+      sm0x AS (SELECT grp, xor(z0, z0 // 1073741824) AS y0 FROM sm0),
+      sm1 AS (SELECT grp, ${limbMulSql("y0", 484763065L, 3210233709L)} AS z1 FROM sm0x),
+      sm1x AS (SELECT grp, xor(z1, z1 // 134217728) AS y1 FROM sm1),
+      sm2 AS (SELECT grp, ${limbMulSql("y1", 321982955L, 2496678331L)} AS z2 FROM sm1x),
+      smh AS MATERIALIZED (SELECT grp, xor(z2, z2 // 2147483648) AS hh FROM sm2),
+      hb AS (
+        SELECT grp, hh // 72057594037927936 AS bucket,
+               (hh // 68719476736) % 1048576 AS w20 FROM smh),
+      regs0 AS (
+        SELECT grp, bucket, max(21 - ($blenCase)) AS reg
+        FROM hb GROUP BY grp, bucket),
+      grps AS (SELECT DISTINCT grp FROM ghash),
+      allb AS (
+        SELECT g.grp, b.bucket FROM grps g,
+          (SELECT CAST(unnest(generate_series(0, 255)) AS UBIGINT) AS bucket) b),
+      regs AS (
+        SELECT a.grp, a.bucket, COALESCE(r.reg, 0) AS reg
+        FROM allb a LEFT JOIN regs0 r ON r.grp = a.grp AND r.bucket = a.bucket),
+      summ AS (
+        SELECT grp,
+          CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS INT) AS zeros,
+          CAST(sum(reg * (CAST(bucket AS BIGINT) + 1)) AS BIGINT) AS reg_fp,
+          CAST(sum(($powers)[21 - reg + 1]) AS BIGINT) AS s_scaled
+        FROM regs GROUP BY grp),
+      ex AS (SELECT grp, CAST(count(DISTINCT hh) AS BIGINT) AS nd_exact FROM smh GROUP BY grp)
+      SELECT s.grp, s.zeros, s.reg_fp, s.s_scaled,
+        0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * 2097152.0
+          / CAST(s.s_scaled AS DOUBLE) AS est,
+        e.nd_exact
+      FROM summ s JOIN ex e ON e.grp = s.grp"""
+    })
   )
 
   private def SampleRates = Map(
