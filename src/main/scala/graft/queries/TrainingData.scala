@@ -1618,7 +1618,35 @@ object TrainingData {
           / CAST(s.s_scaled AS DOUBLE) AS est,
         e.nd_exact
       FROM summ s JOIN ex e ON e.grp = s.grp"""
-    })
+    }),
+
+    // Exact token-count quantile profile per language (ops.Quantiles —
+    // the data-card / skew-profiling aggregation). Histogram-first shape:
+    // the shuffle carries one row per DISTINCT (lang, token_count), the
+    // running-sum window is bounded by the value domain, and p{q} =
+    // min v with 100·cum ≥ q·n — integer-exact inverse CDF, so the
+    // oracle is the same arithmetic verbatim (no percentile function
+    // semantics to reconcile between engines).
+    ("q167_token_quantiles", (s: SparkSession, dir: String) => {
+      val vals = docs(s, dir).select(col("lang"),
+        size(filter(split(col("text"), "\\s+"), w => w =!= "")).as("v"))
+      graft.ops.Quantiles.profile(vals, "lang", "v", Seq(25, 50, 75, 90, 99))
+    }, Some("""
+      WITH v AS (
+        SELECT lang,
+          CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS INT) AS v
+        FROM documents),
+      c AS (SELECT lang, v, count(*) AS c FROM v GROUP BY lang, v),
+      cum AS (SELECT lang, v, c, sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum FROM c),
+      t AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY lang)
+      SELECT t.lang, t.n,
+        CAST(min(CASE WHEN 100 * cum.cum >= 25 * t.n THEN cum.v END) AS INT) AS p25,
+        CAST(min(CASE WHEN 100 * cum.cum >= 50 * t.n THEN cum.v END) AS INT) AS p50,
+        CAST(min(CASE WHEN 100 * cum.cum >= 75 * t.n THEN cum.v END) AS INT) AS p75,
+        CAST(min(CASE WHEN 100 * cum.cum >= 90 * t.n THEN cum.v END) AS INT) AS p90,
+        CAST(min(CASE WHEN 100 * cum.cum >= 99 * t.n THEN cum.v END) AS INT) AS p99
+      FROM cum JOIN t ON t.lang = cum.lang
+      GROUP BY t.lang, t.n"""))
   )
 
   private def SampleRates = Map(
