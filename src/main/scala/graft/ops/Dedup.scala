@@ -75,8 +75,16 @@ object Dedup {
     * caller fuses signature computation with other per-doc kernels (e.g.
     * q118 computes sig + verify shingle set in ONE projection, so the
     * corpus text is scanned once and never cached). Identical candidates. */
-  def minhashCandidatesFromSigs(sig: DataFrame, k: Int = 64, bands: Int = 16,
+  def minhashCandidatesFromSigs(sigIn: DataFrame, k: Int = 64, bands: Int = 16,
                                 maxBucket: Int = 100000): DataFrame = {
+    require(bands >= 1 && k % bands == 0, s"k=$k must be a multiple of bands=$bands")
+    // fail LOUDLY on a signature-length mismatch: element_at past the
+    // array end is null (non-ANSI), which would null the band keys and
+    // make the null-rejecting self-join report ZERO candidates — a
+    // silent no-duplicates verdict. assert_true rides the row scan.
+    val sig = sigIn.filter(
+      assert_true(size(col("sig")) === lit(k),
+        lit(s"minhash signature length != $k")).isNull)
     val rows = k / bands
     // PERSIST the banded signatures: they are consumed by the cap's
     // groupBy, the cap's join probe, AND both sides of the self-join —

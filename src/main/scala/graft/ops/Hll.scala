@@ -65,12 +65,22 @@ object Hll {
     df.groupBy(grpCols.map(col): _*).agg(agg(col(hashCol)).as("regs"))
   }
 
-  /** Derives the integer-exact summary + the raw HLL estimate from a
-    * `regs` column: zeros (empty buckets), reg_fp (position-weighted
-    * register fingerprint — pins all m registers bit-exactly),
-    * s_scaled = Σ 2^(21−reg) (exact int64), and
-    * est = alpha_m · m² · 2²¹ / S — ONE double division over exact
-    * integers, identical across engines. */
+  /** Linear-counting table: lcTable(z) = m · ln(m / z) for z = 1..m,
+    * computed ONCE driver-side. Routing the only transcendental through
+    * literal constants keeps the estimate bit-replicable in an oracle:
+    * both engines look up the SAME double literal (shortest-round-trip
+    * repr) instead of calling their own ln. */
+  private[graft] def lcTable(m: Int): Array[Double] =
+    (1 to m).map(z => m.toDouble * math.log(m.toDouble / z.toDouble)).toArray
+
+  /** Derives the integer-exact summary + the HLL estimate from a `regs`
+    * column: zeros (empty buckets), reg_fp (position-weighted register
+    * fingerprint — pins all m registers bit-exactly), s_scaled =
+    * Σ 2^(21−reg) (exact int64), est_raw = alpha_m · m² · 2²¹ / S (ONE
+    * double division over exact integers), and est = the standard
+    * small-range correction: linear counting m·ln(m/zeros) when
+    * est_raw ≤ 2.5m and zeros > 0 (via [[lcTable]] so the branch is
+    * still engine-exact), est_raw otherwise. */
   def withEstimate(regs: DataFrame, p: Int = 8): DataFrame = {
     val m = 1 << p
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
@@ -84,8 +94,12 @@ object Hll {
       .withColumn("s_scaled", aggregate(
         col("regs"),
         lit(0L), (acc, r) => acc + element_at(typedlit(powers), lit(22) - r)))
-      .withColumn("est",
+      .withColumn("est_raw",
         alpha * lit(m.toDouble) * lit(m.toDouble) * lit(2097152.0) / col("s_scaled").cast("double"))
+      .withColumn("est",
+        when(col("zeros") > 0 && col("est_raw") <= lit(2.5 * m),
+          element_at(typedlit(lcTable(m)), col("zeros")))
+          .otherwise(col("est_raw")))
       .drop("regs")
   }
 }

@@ -1564,11 +1564,15 @@ object TrainingData {
       val exact = hashed.groupBy(col("grp")).agg(countDistinct(col("h")).as("nd_exact"))
       graft.ops.Hll.withEstimate(regs, p = 8).join(exact, Seq("grp"))
         .select(col("grp"), col("zeros"), col("reg_fp"), col("s_scaled"),
-          col("est"), col("nd_exact"))
+          col("est_raw"), col("est"), col("nd_exact"))
     }, Some {
       val blenCase = "CASE " + (20 to 1 by -1)
         .map(b => s"WHEN w20 >= ${1L << (b - 1)} THEN $b").mkString(" ") + " ELSE 0 END"
       val powers = (0 to 21).map(i => 1L << i).mkString("[", ", ", "]")
+      // the linear-counting lookup: the SAME driver-computed double
+      // literals the Spark plan embeds (shortest-round-trip repr parses
+      // to the identical double in both engines)
+      val lc = graft.ops.Hll.lcTable(256).mkString("[", ", ", "]")
       s"""
       WITH RECURSIVE
       toks0 AS (
@@ -1612,12 +1616,17 @@ object TrainingData {
           CAST(sum(reg * (CAST(bucket AS BIGINT) + 1)) AS BIGINT) AS reg_fp,
           CAST(sum(($powers)[21 - reg + 1]) AS BIGINT) AS s_scaled
         FROM regs GROUP BY grp),
-      ex AS (SELECT grp, CAST(count(DISTINCT hh) AS BIGINT) AS nd_exact FROM smh GROUP BY grp)
-      SELECT s.grp, s.zeros, s.reg_fp, s.s_scaled,
-        0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * 2097152.0
-          / CAST(s.s_scaled AS DOUBLE) AS est,
+      ex AS (SELECT grp, CAST(count(DISTINCT hh) AS BIGINT) AS nd_exact FROM smh GROUP BY grp),
+      summ2 AS (
+        SELECT grp, zeros, reg_fp, s_scaled,
+          0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * 2097152.0
+            / CAST(s_scaled AS DOUBLE) AS est_raw
+        FROM summ)
+      SELECT s.grp, s.zeros, s.reg_fp, s.s_scaled, s.est_raw,
+        CASE WHEN s.zeros > 0 AND s.est_raw <= 640.0
+             THEN ($lc)[s.zeros] ELSE s.est_raw END AS est,
         e.nd_exact
-      FROM summ s JOIN ex e ON e.grp = s.grp"""
+      FROM summ2 s JOIN ex e ON e.grp = s.grp"""
     }),
 
     // Exact token-count quantile profile per language (ops.Quantiles —

@@ -56,4 +56,29 @@ class HllSpec extends AnyFunSuite {
     // sigma ≈ 1.04/sqrt(256) = 6.5%; allow 4 sigma on one draw
     assert(math.abs(est - 7001.0) / 7001.0 < 0.26, s"est=$est")
   }
+
+  test("small-range branch: est switches to linear counting and tracks tiny cardinalities") {
+    val small = (1 to 500).map(i => TextKernels.splitmix64((i % 37).toLong)) // 37 distinct
+    val row = Hll.withEstimate(
+      Hll.registers(small.toDF("h").withColumn("grp", lit(0L)), Seq("grp"), "h", p = 8),
+      p = 8).collect()(0)
+    val zeros = row.getAs[Int]("zeros")
+    assert(zeros > 0 && row.getAs[Double]("est_raw") <= 640.0, "fixture sits in the LC regime")
+    assert(row.getAs[Double]("est") == 256.0 * math.log(256.0 / zeros),
+      "est is the lcTable lookup, bit-exact")
+    assert(math.abs(row.getAs[Double]("est") - 37.0) / 37.0 < 0.25,
+      s"linear counting tracks small n (est=${row.getAs[Double]("est")})")
+  }
+
+  test("minhashCandidatesFromSigs fails loudly on a signature-length mismatch") {
+    val bad = Seq((1L, Array(1L, 2L, 3L)), (2L, Array(4L, 5L, 6L))).toDF("id", "sig")
+    val e = intercept[Exception] {
+      graft.ops.Dedup.minhashCandidatesFromSigs(bad, k = 64, bands = 16).count()
+    }
+    assert(e.getMessage != null)
+    graft.pipeline.Caches.release()
+    assertThrows[IllegalArgumentException] {
+      graft.ops.Dedup.minhashCandidatesFromSigs(bad, k = 64, bands = 15)
+    }
+  }
 }

@@ -48,4 +48,21 @@ class QuantilesSpec extends AnyFunSuite {
     assert(a.getAs[Int]("p1") == brute(rows.map(_._2), 1))
     assert(a.getAs[Int]("p100") == 997, "p100 is the max")
   }
+
+  test("null group key is kept as its own group; null values are excluded from n and p-values") {
+    val df = Seq[(Option[String], Option[Int])](
+      (Some("a"), Some(1)), (Some("a"), Some(2)), (Some("a"), None),
+      (None, Some(10)), (None, Some(20)), (None, None))
+      .toDF("g", "v")
+    val got = Quantiles.profile(df, "g", "v", Seq(50, 100))
+      .collect().map(r => Option(r.getString(0)) -> r).toMap
+    assert(got.contains(None), "null-key stratum must not be dropped by the totals join")
+    assert(got(None).getAs[Long]("n") == 2, "null values excluded from n")
+    assert(got(None).getAs[Int]("p50") == 10 && got(None).getAs[Int]("p100") == 20)
+    assert(got(Some("a")).getAs[Long]("n") == 2 && got(Some("a")).getAs[Int]("p50") == 1)
+  }
+
+  override def withFixture(test: NoArgTest): org.scalatest.Outcome =
+    try super.withFixture(test)
+    finally graft.pipeline.Caches.release() // profile() persists its histogram
 }
