@@ -1655,8 +1655,83 @@ object TrainingData {
         CAST(min(CASE WHEN 100 * cum.cum >= 90 * t.n THEN cum.v END) AS INT) AS p90,
         CAST(min(CASE WHEN 100 * cum.cum >= 99 * t.n THEN cum.v END) AS INT) AS p99
       FROM cum JOIN t ON t.lang = cum.lang
-      GROUP BY t.lang, t.n"""))
+      GROUP BY t.lang, t.n""")),
+
+    // Count-Min heavy-hitter probe (ops.Cms — the "how hot are the hot
+    // keys" monitor run before picking a join salt factor). One 4×256
+    // int64 counter matrix over every token occurrence; probed terms
+    // report est = min over the 4 hashed counters (≥ true by
+    // construction) next to the exact count. All-integer, so the oracle
+    // re-derives the probed counters from scratch: per-occurrence FNV
+    // hashes → the same splitmix64(x + r·golden) bucket chain (limb-split
+    // HUGEINT) → per-(row, bucket) sums; probe buckets are driver-computed
+    // constants from the same kernel (the q46 perm-constant pattern).
+    ("q168_cms_heavyhitters", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val toks = docs(s, dir)
+        .select(explode(split(col("text"), "\\s+")).as("w")).filter(col("w") =!= "")
+      val hp = graft.pipeline.Caches.persist(toks.select(fnv64(col("w")).as("x"), col("w")))
+      val m = graft.ops.Cms.sketch(hp, Nil, "x", d = 4, w = 256)
+      val probes = CmsProbeTerms.toDF("term").withColumn("x", fnv64(col("term")))
+      val tcnt = hp.groupBy(col("w").as("term")).agg(count(lit(1)).as("tc"))
+      probes.crossJoin(m)
+        .withColumn("est", graft.ops.Cms.estimate(col("m"), col("x"), d = 4, w = 256))
+        .join(tcnt, Seq("term"), "left")
+        .select(col("term"), col("est"), coalesce(col("tc"), lit(0L)).as("true_cnt"))
+    }, Some {
+      val probeVals = CmsProbeTerms.flatMap { t =>
+        val x = graft.text.TextKernels.fnv1a64(t)
+        (0 until 4).map { r =>
+          val b = graft.text.TextKernels.splitmix64(x + r * graft.ops.Cms.Golden) & 255L
+          s"('$t', $r, $b)"
+        }
+      }.mkString(", ")
+      val terms = CmsProbeTerms.map(t => s"('$t')").mkString(", ")
+      s"""
+      WITH RECURSIVE
+      toks0 AS (
+        SELECT doc_id, t.tok FROM documents,
+          LATERAL (SELECT unnest(string_split_regex(text, '\\s+')) AS tok) t
+        WHERE t.tok <> ''),
+      toks AS (SELECT row_number() OVER (ORDER BY doc_id) AS rid, doc_id, tok FROM toks0),
+      fnv(rid, pos, h) AS (
+        SELECT rid, 0, CAST(14695981039346656037 AS UBIGINT) FROM toks
+        UNION ALL
+        SELECT f.rid, f.pos + 1,
+          CAST(((CAST(xor(f.h, CAST(unicode(substr(t.tok, f.pos + 1, 1)) AS UBIGINT)) AS HUGEINT)
+                 * 1099511628211) % $U64) AS UBIGINT)
+        FROM fnv f JOIN toks t ON t.rid = f.rid
+        WHERE f.pos < length(t.tok)),
+      hc AS MATERIALIZED (
+        SELECT f.h, CAST(count(*) AS BIGINT) AS n
+        FROM fnv f JOIN toks t ON t.rid = f.rid WHERE f.pos = length(t.tok)
+        GROUP BY f.h),
+      rx(r) AS (VALUES (0), (1), (2), (3)),
+      cs AS (
+        SELECT h, n, r,
+          CAST((CAST(h AS HUGEINT) + r * 2654435769 + 11400714819323198485) % $U64 AS UBIGINT) AS z0
+        FROM hc, rx),
+      csx AS (SELECT h, n, r, xor(z0, z0 // 1073741824) AS y0 FROM cs),
+      cm1 AS (SELECT h, n, r, ${limbMulSql("y0", 484763065L, 3210233709L)} AS z1 FROM csx),
+      cm1x AS (SELECT h, n, r, xor(z1, z1 // 134217728) AS y1 FROM cm1),
+      cm2 AS (SELECT h, n, r, ${limbMulSql("y1", 321982955L, 2496678331L)} AS z2 FROM cm1x),
+      cb AS (SELECT r, CAST(xor(z2, z2 // 2147483648) % 256 AS BIGINT) AS b, n FROM cm2),
+      cnt AS (SELECT r, b, CAST(sum(n) AS BIGINT) AS c FROM cb GROUP BY r, b),
+      pb(term, r, b) AS (VALUES $probeVals),
+      pest AS (
+        SELECT term, min(coalesce(c.c, CAST(0 AS BIGINT))) AS est
+        FROM pb LEFT JOIN cnt c ON c.r = pb.r AND c.b = pb.b GROUP BY term),
+      tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt FROM toks0 GROUP BY tok),
+      pt(term) AS (VALUES $terms)
+      SELECT p.term, pe.est, coalesce(t.true_cnt, CAST(0 AS BIGINT)) AS true_cnt
+      FROM pt p JOIN pest pe ON pe.term = p.term
+      LEFT JOIN tc t ON t.tok = p.term"""
+    })
   )
+
+  /** q168 probe set: frequent corpus words + one guaranteed-absent term
+    * (est must still report the collision floor ≥ 0, true_cnt = 0). */
+  private def CmsProbeTerms = Seq("the", "spark", "window", "vector", "merge", "qqqzzz")
 
   private def SampleRates = Map(
     "en" -> 250000L, "fr" -> 500000L, "es" -> 100000L, "de" -> 750000L, "zh" -> 50000L)
