@@ -51,7 +51,8 @@ object Bench {
     "q158_contour_ring_features", "q159_tps_warp_tiles", "q160_simplify_topo",
     "q161_rpc_warp_tiles", "q162_join_first_match",
     "q163_asof_join", "q164_interval_join", "q165_rollup",
-    "q166_hll_distinct", "q167_token_quantiles", "q168_cms_heavyhitters")
+    "q166_hll_distinct", "q167_token_quantiles", "q168_cms_heavyhitters",
+    "q169_cell_skew_profile")
 
   def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()

@@ -2977,7 +2977,41 @@ object Geospatial {
           $perCols
         FROM outs GROUP BY key, sz)
       $unions"""
-    })
+    }),
+
+    // §2.3 skew profile of the PIP-join key: points-per-cell quantiles at
+    // level 7 — the monitoring query a 100 TB ingest runs BEFORE picking
+    // the salt factor for the cell equi-join (SpatialJoin.pipJoinSalted's
+    // input: p99/p100 vs mean says how hot the hottest cells are). Exact
+    // via ops.Quantiles' histogram shape: the shuffle carries one row per
+    // occupied cell, then one row per distinct per-cell count. Oracle
+    // re-derives the level-7 cell grid (the q157 arithmetic at 128×128)
+    // and the same inverse-CDF integer comparisons.
+    ("q169_cell_skew_profile", (s: SparkSession, dir: String) => {
+      val counts = Fixtures.pointsFromOrders(s, dir)
+        .select(cell_of(col("lon"), col("lat"), 7).as("cell"))
+        .groupBy(col("cell")).agg(count(lit(1)).as("per_cell"))
+        .select(lit(0L).as("grp"), col("per_cell").cast("int").as("v"))
+      graft.ops.Quantiles.profile(counts, "grp", "v", Seq(50, 90, 99, 100))
+        .select(col("n").as("occupied_cells"),
+          col("p50"), col("p90"), col("p99"), col("p100"))
+    }, Some(s"""
+      WITH $PtsCte,
+      cc AS (
+        SELECT
+          CAST(least(greatest(floor(((lon + 180.0) / 360.0) * 128.0), 0.0), 127.0) AS BIGINT) AS cx,
+          CAST(least(greatest(floor(((90.0 - lat) / 180.0) * 128.0), 0.0), 127.0) AS BIGINT) AS cy
+        FROM pts),
+      pc AS (SELECT cx, cy, CAST(count(*) AS INT) AS v FROM cc GROUP BY cx, cy),
+      c2 AS (SELECT v, count(*) AS c FROM pc GROUP BY v),
+      cum AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS cum FROM c2),
+      t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c2)
+      SELECT t.n AS occupied_cells,
+        CAST(min(CASE WHEN 100 * cum.cum >= 50 * t.n THEN cum.v END) AS INT) AS p50,
+        CAST(min(CASE WHEN 100 * cum.cum >= 90 * t.n THEN cum.v END) AS INT) AS p90,
+        CAST(min(CASE WHEN 100 * cum.cum >= 99 * t.n THEN cum.v END) AS INT) AS p99,
+        CAST(min(CASE WHEN 100 * cum.cum >= 100 * t.n THEN cum.v END) AS INT) AS p100
+      FROM cum, t GROUP BY t.n"""))
   )
 
   /** safe SQL column suffix for a blend op name. */
