@@ -53,6 +53,26 @@ object Streams {
     else hashed.dropDuplicates("text_md5")
   }
 
+  /** Streaming cardinality monitor: per event-time window, the HLL
+    * register state of a hashed key — the continuous analog of ops.Hll
+    * (q166). A 100 TB ingest watches distinct-rate per window (unique
+    * users, unique image hashes) without keeping distinct SETS in
+    * state: the streaming aggregation's state per window is one m-byte
+    * register array merged by elementwise max (commutative/idempotent,
+    * so micro-batch boundaries and replays cannot change a register),
+    * and the watermark expires closed windows. The identical transform
+    * runs on a batch frame — the spec's parity check. Post-process with
+    * [[graft.ops.Hll.withEstimate]] for the estimate columns. */
+  def distinctMonitor(events: DataFrame, hashCol: String, tsCol: String = "ts",
+                      windowDur: String = "1 hour", watermark: String = "2 hours",
+                      p: Int = 8): DataFrame = {
+    val agg = udaf(new graft.ops.HllAgg(p))
+    val src = if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    src.groupBy(window(col(tsCol), windowDur).as("w"))
+      .agg(agg(col(hashCol)).as("regs"))
+      .select(unix_timestamp(col("w.start")).as("win_epoch"), col("regs"))
+  }
+
   /** Streaming tile ingest — the continuous front door of the tile
     * pyramid (batch shape: ops/Tiling.baseTiles, q31): a stream of image
     * rows is content-hash deduplicated under a watermark, then each

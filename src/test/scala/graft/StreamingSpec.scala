@@ -33,6 +33,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming HLL distinct monitor equals the batch registers per window") {
+    val dir = eventsDir
+    val prep = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("h", graft.text.textfunctions.smix64(col("user_id")))
+    val q = Streams.distinctMonitor(prep(Streams.readEventStream(spark, dir)), "h")
+      .writeStream.outputMode("complete").format("memory").queryName("card_out").start()
+    try {
+      q.processAllAvailable()
+      def toMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Int]]("regs").toSeq).toMap
+      val streamed = toMap(spark.table("card_out"))
+      val batch = toMap(Streams.distinctMonitor(prep(spark.read.parquet(dir)), "h"))
+      assert(streamed == batch, "per-window register state must not depend on micro-batching")
+      assert(batch.nonEmpty && batch.values.exists(_.exists(_ > 0)))
+      // estimates derive from the same registers (the q166 arithmetic)
+      val est = graft.ops.Hll.withEstimate(
+        Streams.distinctMonitor(prep(spark.read.parquet(dir)), "h"))
+      assert(est.collect().forall(_.getAs[Double]("est") > 0.0))
+    } finally q.stop()
+  }
+
   test("watermark drops late data in append mode") {
     import java.sql.Timestamp
     val dir = java.nio.file.Files.createTempDirectory("graft_late").toString
