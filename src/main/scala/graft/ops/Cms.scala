@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
-import graft.text.textfunctions.smix64
+import graft.text.textfunctions.smix64_add
 
 /** Count-Min sketch — approximate frequencies / heavy-hitter detection
   * (Cormode–Muthukrishnan). The operational companion to [[Hll]]: before
@@ -30,6 +30,7 @@ import graft.text.textfunctions.smix64
 class CmsAgg(d: Int, w: Int) extends Aggregator[Long, Array[Long], Array[Long]] with Serializable {
   require(d >= 1 && d <= 16, s"CMS depth in [1,16], got $d")
   require(w >= 2 && (w & (w - 1)) == 0, s"CMS width must be a power of two, got $w")
+  require(d.toLong * w <= (1 << 28), s"CMS matrix d*w=$d*$w too large for one buffer")
 
   override def zero: Array[Long] = new Array[Long](d * w)
 
@@ -64,16 +65,19 @@ object Cms {
   def sketch(df: DataFrame, grpCols: Seq[String], hashCol: String,
              d: Int = 4, w: Int = 256): DataFrame = {
     val agg = udaf(new CmsAgg(d, w))
-    if (grpCols.isEmpty) df.agg(agg(col(hashCol)).as("m"))
-    else df.groupBy(grpCols.map(col): _*).agg(agg(col(hashCol)).as("m"))
+    // groupBy() with zero columns IS the global aggregate
+    df.groupBy(grpCols.map(col): _*).agg(agg(col(hashCol)).as("m"))
   }
 
   /** Point-estimate column: min over the d probed counters of `xCol`
-    * (a 64-bit hash) against matrix column `mCol`. */
+    * (a 64-bit hash) against matrix column `mCol`. The seed addition
+    * runs inside smix64_add (JVM, wrapping) — a Catalyst `x + c` would
+    * throw on overflow under Spark 4's default ANSI mode for hashes
+    * near Long.MaxValue, diverging from CmsAgg.reduce's wrap. */
   def estimate(mCol: Column, xCol: Column, d: Int = 4, w: Int = 256): Column =
     (0 until d).map { r =>
       element_at(mCol,
-        (smix64(xCol + lit(r * Golden)).bitwiseAND(lit((w - 1).toLong)) + lit(r * w) + lit(1))
+        (smix64_add(xCol, r * Golden).bitwiseAND(lit((w - 1).toLong)) + lit(r * w) + lit(1))
           .cast("int"))
     }.reduceLeft(least(_, _))
 }

@@ -2988,10 +2988,13 @@ object Geospatial {
     // re-derives the level-7 cell grid (the q157 arithmetic at 128×128)
     // and the same inverse-CDF integer comparisons.
     ("q169_cell_skew_profile", (s: SparkSession, dir: String) => {
+      // per_cell stays LONG: at 10^12 points a hot level-7 cell exceeds
+      // Int.MaxValue, and an int cast would throw under ANSI (or wrap
+      // negative) exactly in the extreme-skew regime this query detects
       val counts = Fixtures.pointsFromOrders(s, dir)
         .select(cell_of(col("lon"), col("lat"), 7).as("cell"))
         .groupBy(col("cell")).agg(count(lit(1)).as("per_cell"))
-        .select(lit(0L).as("grp"), col("per_cell").cast("int").as("v"))
+        .select(lit(0L).as("grp"), col("per_cell").as("v"))
       graft.ops.Quantiles.profile(counts, "grp", "v", Seq(50, 90, 99, 100))
         .select(col("n").as("occupied_cells"),
           col("p50"), col("p90"), col("p99"), col("p100"))
@@ -3002,15 +3005,15 @@ object Geospatial {
           CAST(least(greatest(floor(((lon + 180.0) / 360.0) * 128.0), 0.0), 127.0) AS BIGINT) AS cx,
           CAST(least(greatest(floor(((90.0 - lat) / 180.0) * 128.0), 0.0), 127.0) AS BIGINT) AS cy
         FROM pts),
-      pc AS (SELECT cx, cy, CAST(count(*) AS INT) AS v FROM cc GROUP BY cx, cy),
+      pc AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS v FROM cc GROUP BY cx, cy),
       c2 AS (SELECT v, count(*) AS c FROM pc GROUP BY v),
       cum AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS cum FROM c2),
       t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c2)
       SELECT t.n AS occupied_cells,
-        CAST(min(CASE WHEN 100 * cum.cum >= 50 * t.n THEN cum.v END) AS INT) AS p50,
-        CAST(min(CASE WHEN 100 * cum.cum >= 90 * t.n THEN cum.v END) AS INT) AS p90,
-        CAST(min(CASE WHEN 100 * cum.cum >= 99 * t.n THEN cum.v END) AS INT) AS p99,
-        CAST(min(CASE WHEN 100 * cum.cum >= 100 * t.n THEN cum.v END) AS INT) AS p100
+        CAST(min(CASE WHEN 100 * cum.cum >= 50 * t.n THEN cum.v END) AS BIGINT) AS p50,
+        CAST(min(CASE WHEN 100 * cum.cum >= 90 * t.n THEN cum.v END) AS BIGINT) AS p90,
+        CAST(min(CASE WHEN 100 * cum.cum >= 99 * t.n THEN cum.v END) AS BIGINT) AS p99,
+        CAST(min(CASE WHEN 100 * cum.cum >= 100 * t.n THEN cum.v END) AS BIGINT) AS p100
       FROM cum, t GROUP BY t.n"""))
   )
 

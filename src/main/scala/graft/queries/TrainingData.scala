@@ -111,6 +111,28 @@ object TrainingData {
       s"CAST(((CAST(xor($h, $c) AS HUGEINT) * 1099511628211) % $U64) AS UBIGINT)"
     }
 
+  /** Whitespace-token CTE: `toks0(doc_id, tok)`, one row per token
+    * OCCURRENCE (the Spark `split(\\s+)` + nonempty filter mirror). */
+  private def toks0Cte: String = s"""toks0 AS (
+        SELECT doc_id, t.tok FROM documents,
+          LATERAL (SELECT unnest(string_split_regex(text, '\\s+')) AS tok) t
+        WHERE t.tok <> '')"""
+
+  /** Recursive per-token FNV-1a 64 chain over a source CTE exposing
+    * (rid, tok): yields `fnv(rid, pos, h)`; the finished hash per row is
+    * `fnv WHERE pos = length(tok)`. The ONE definition of the token-hash
+    * arithmetic — shared by the simhash, HLL and CMS oracles (divergent
+    * copies would let the oracles silently drift apart). Must be spliced
+    * after `WITH RECURSIVE`. */
+  private def fnvChainCte(src: String): String = s"""fnv(rid, pos, h) AS (
+        SELECT rid, 0, CAST(14695981039346656037 AS UBIGINT) FROM $src
+        UNION ALL
+        SELECT f.rid, f.pos + 1,
+          CAST(((CAST(xor(f.h, CAST(unicode(substr(t.tok, f.pos + 1, 1)) AS UBIGINT)) AS HUGEINT)
+                 * 1099511628211) % $U64) AS UBIGINT)
+        FROM fnv f JOIN $src t ON t.rid = f.rid
+        WHERE f.pos < length(t.tok))"""
+
   /** CTE chain computing every doc's simhash64: whitespace tokens →
     * per-token FNV-1a via a recursive CTE → 64 generated bit-vote sums
     * (no 64× explode) → `shu(doc_id, u UBIGINT)`, 0 for token-free docs.
@@ -121,19 +143,9 @@ object TrainingData {
     val bits = (0 until 64)
       .map(b => s"CASE WHEN (2*c$b) > n THEN CAST(${java.math.BigInteger.ONE.shiftLeft(b)} AS HUGEINT) ELSE CAST(0 AS HUGEINT) END")
       .mkString(" + ")
-    s"""toks0 AS (
-        SELECT doc_id, t.tok FROM documents,
-          LATERAL (SELECT unnest(string_split_regex(text, '\\s+')) AS tok) t
-        WHERE t.tok <> ''),
+    s"""$toks0Cte,
       toks AS (SELECT row_number() OVER (ORDER BY doc_id) AS rid, doc_id, tok FROM toks0),
-      fnv(rid, pos, h) AS (
-        SELECT rid, 0, CAST(14695981039346656037 AS UBIGINT) FROM toks
-        UNION ALL
-        SELECT f.rid, f.pos + 1,
-          CAST(((CAST(xor(f.h, CAST(unicode(substr(t.tok, f.pos + 1, 1)) AS UBIGINT)) AS HUGEINT)
-                 * 1099511628211) % $U64) AS UBIGINT)
-        FROM fnv f JOIN toks t ON t.rid = f.rid
-        WHERE f.pos < length(t.tok)),
+      ${fnvChainCte("toks")},
       tokh AS (
         SELECT t.doc_id, f.h FROM fnv f JOIN toks t ON t.rid = f.rid WHERE f.pos = length(t.tok)),
       votes AS (SELECT doc_id, count(*) AS n, $votes FROM tokh GROUP BY doc_id),
@@ -1575,19 +1587,9 @@ object TrainingData {
       val lc = graft.ops.Hll.lcTable(256).mkString("[", ", ", "]")
       s"""
       WITH RECURSIVE
-      toks0 AS (
-        SELECT doc_id, t.tok FROM documents,
-          LATERAL (SELECT unnest(string_split_regex(text, '\\s+')) AS tok) t
-        WHERE t.tok <> ''),
+      $toks0Cte,
       toks AS (SELECT row_number() OVER (ORDER BY doc_id) AS rid, doc_id, tok FROM toks0),
-      fnv(rid, pos, h) AS (
-        SELECT rid, 0, CAST(14695981039346656037 AS UBIGINT) FROM toks
-        UNION ALL
-        SELECT f.rid, f.pos + 1,
-          CAST(((CAST(xor(f.h, CAST(unicode(substr(t.tok, f.pos + 1, 1)) AS UBIGINT)) AS HUGEINT)
-                 * 1099511628211) % $U64) AS UBIGINT)
-        FROM fnv f JOIN toks t ON t.rid = f.rid
-        WHERE f.pos < length(t.tok)),
+      ${fnvChainCte("toks")},
       ghash AS MATERIALIZED (
         SELECT t.doc_id % 4 AS grp, f.h
         FROM fnv f JOIN toks t ON t.rid = f.rid WHERE f.pos = length(t.tok)),
@@ -1689,21 +1691,12 @@ object TrainingData {
       val terms = CmsProbeTerms.map(t => s"('$t')").mkString(", ")
       s"""
       WITH RECURSIVE
-      toks0 AS (
-        SELECT doc_id, t.tok FROM documents,
-          LATERAL (SELECT unnest(string_split_regex(text, '\\s+')) AS tok) t
-        WHERE t.tok <> ''),
-      toks AS (SELECT row_number() OVER (ORDER BY doc_id) AS rid, doc_id, tok FROM toks0),
-      fnv(rid, pos, h) AS (
-        SELECT rid, 0, CAST(14695981039346656037 AS UBIGINT) FROM toks
-        UNION ALL
-        SELECT f.rid, f.pos + 1,
-          CAST(((CAST(xor(f.h, CAST(unicode(substr(t.tok, f.pos + 1, 1)) AS UBIGINT)) AS HUGEINT)
-                 * 1099511628211) % $U64) AS UBIGINT)
-        FROM fnv f JOIN toks t ON t.rid = f.rid
-        WHERE f.pos < length(t.tok)),
+      $toks0Cte,
+      tun AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks0 GROUP BY tok),
+      toks AS (SELECT row_number() OVER (ORDER BY tok) AS rid, tok, n FROM tun),
+      ${fnvChainCte("toks")},
       hc AS MATERIALIZED (
-        SELECT f.h, CAST(count(*) AS BIGINT) AS n
+        SELECT f.h, CAST(sum(t.n) AS BIGINT) AS n
         FROM fnv f JOIN toks t ON t.rid = f.rid WHERE f.pos = length(t.tok)
         GROUP BY f.h),
       rx(r) AS (VALUES (0), (1), (2), (3)),
@@ -1721,7 +1714,7 @@ object TrainingData {
       pest AS (
         SELECT term, min(coalesce(c.c, CAST(0 AS BIGINT))) AS est
         FROM pb LEFT JOIN cnt c ON c.r = pb.r AND c.b = pb.b GROUP BY term),
-      tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt FROM toks0 GROUP BY tok),
+      tc AS (SELECT tok, n AS true_cnt FROM tun),
       pt(term) AS (VALUES $terms)
       SELECT p.term, pe.est, coalesce(t.true_cnt, CAST(0 AS BIGINT)) AS true_cnt
       FROM pt p JOIN pest pe ON pe.term = p.term

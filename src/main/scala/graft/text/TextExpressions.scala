@@ -51,6 +51,26 @@ case class Smix64(child: Expression) extends UnaryExpression with ImplicitCastIn
   override protected def withNewChildInternal(c: Expression): Smix64 = copy(child = c)
 }
 
+/** smix64_add(x, c) → splitmix64(x + c) with the seed addition done in
+  * JVM arithmetic (wrapping). A Catalyst `x + c` would THROW on int64
+  * overflow under Spark 4's default ANSI mode — and hash values are
+  * uniform over the full 64-bit range, so the wrap is load-bearing, not
+  * theoretical. Used by the CMS bucket probe (must agree bit-for-bit
+  * with CmsAgg.reduce's JVM-side `x + r·golden`). */
+case class Smix64Add(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(LongType, LongType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "smix64_add"
+  override protected def nullSafeEval(x: Any, c: Any): Any =
+    TextKernels.splitmix64(x.asInstanceOf[Long] + c.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, c) => s"graft.text.TextKernels.splitmix64($x + $c)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Smix64Add =
+    copy(left = l, right = r)
+}
+
 /** minhash_sig(text, k, shingle) → array<long> signature. */
 case class MinHashSig(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with ImplicitCastInputTypes {
@@ -288,6 +308,7 @@ object textfunctions {
   def fnv64(c: Column): Column = toCol(Fnv64(toExpr(c)))
   def sample_bucket(c: Column): Column = toCol(SampleBucket(toExpr(c)))
   def smix64(c: Column): Column = toCol(Smix64(toExpr(c)))
+  def smix64_add(x: Column, c: Long): Column = toCol(Smix64Add(toExpr(x), Literal(c)))
   def minhash_sig(text: Column, k: Int, shingle: Int): Column =
     toCol(MinHashSig(toExpr(text), Literal(k), Literal(shingle)))
   def simhash64(c: Column): Column = toCol(SimHash64(toExpr(c)))

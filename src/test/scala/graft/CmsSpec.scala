@@ -40,7 +40,7 @@ class CmsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
-  test("point estimates: est >= true for every item, exact for the hot item here") {
+  test("point estimates: est >= true for every item, overcount bounded by the CMS guarantee") {
     val m = refMatrix(xs)
     val got = Cms.sketch(xs.toDF("x"), Nil, "x", D, W)
     val probes = xs.distinct.toDF("x")
@@ -51,6 +51,10 @@ class CmsSpec extends AnyFunSuite {
     trueCnt.foreach { case (x, n) =>
       assert(ests(x) >= n, s"CMS must never undercount (x=$x)")
     }
+    // CMS bound: overcount <= e*N/w with prob 1-e^-d per item; allow a
+    // generous 3N/w on the hot item (observed ~73 on N=30000, w=256)
+    assert(ests(9999L) - trueCnt(9999L) <= 3L * xs.length / W,
+      s"hot item est=${ests(9999L)} true=${trueCnt(9999L)}")
     // the driver-side estimate definition matches the column expression
     xs.distinct.take(50).foreach { x =>
       val expect = (0 until D).map { r =>
