@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.text.textfunctions.{sample_bucket, smix64}
+import graft.text.textfunctions.{sample_bucket, smix64, smix64_add}
 
 /** Deterministic sampling for training-data mixture construction.
   *
@@ -113,8 +113,10 @@ object Sampling {
     require(shards >= 1 && (shards & (shards - 1)) == 0, "shards must be a power of two")
     val withE = df.select(col(idCol))
       .withColumn("epoch", explode(array((0 until epochs).map(e => lit(e)): _*)))
+    // seed addition inside smix64_add (JVM, wrapping): a Catalyst add
+    // would throw under ANSI if ids ever carry full-range hash values
     val keyed = withE.withColumn("skey",
-      smix64(col(idCol) + col("epoch").cast("long") * lit(0x9E3779B9L)))
+      smix64_add(col(idCol), col("epoch").cast("long") * lit(0x9E3779B9L)))
     // unsigned order of the raw hash == signed order of (hash ^ MinValue)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("epoch"), col("shard"))

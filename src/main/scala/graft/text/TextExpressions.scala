@@ -309,6 +309,7 @@ object textfunctions {
   def sample_bucket(c: Column): Column = toCol(SampleBucket(toExpr(c)))
   def smix64(c: Column): Column = toCol(Smix64(toExpr(c)))
   def smix64_add(x: Column, c: Long): Column = toCol(Smix64Add(toExpr(x), Literal(c)))
+  def smix64_add(x: Column, c: Column): Column = toCol(Smix64Add(toExpr(x), toExpr(c)))
   def minhash_sig(text: Column, k: Int, shingle: Int): Column =
     toCol(MinHashSig(toExpr(text), Literal(k), Literal(shingle)))
   def simhash64(c: Column): Column = toCol(SimHash64(toExpr(c)))
