@@ -27,6 +27,22 @@ case class CellOf(first: Expression, second: Expression, third: Expression)
     copy(first = f, second = s, third = t)
 }
 
+/** hex_of(lon, lat, size) → packed axial hex cell id (core.Hex — the
+  * H3-style hexagonal binning; `size` = circumradius in degrees). */
+case class HexOf(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(DoubleType, DoubleType, DoubleType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hex_of"
+  override protected def nullSafeEval(lon: Any, lat: Any, size: Any): Any =
+    graft.core.Hex.hexOf(lon.asInstanceOf[Double], lat.asInstanceOf[Double], size.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lon, lat, size) => s"graft.core.Hex.hexOf($lon, $lat, $size)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): HexOf =
+    copy(first = f, second = s, third = t)
+}
+
 /** st_env(wkb) → array<double>[minx,miny,maxx,maxy] without full parse. */
 case class WkbEnvelope(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(BinaryType)

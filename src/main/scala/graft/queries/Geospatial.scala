@@ -3014,7 +3014,43 @@ object Geospatial {
         CAST(min(CASE WHEN 100 * cum.cum >= 90 * t.n THEN cum.v END) AS BIGINT) AS p90,
         CAST(min(CASE WHEN 100 * cum.cum >= 99 * t.n THEN cum.v END) AS BIGINT) AS p99,
         CAST(min(CASE WHEN 100 * cum.cum >= 100 * t.n THEN cum.v END) AS BIGINT) AS p100
-      FROM cum, t GROUP BY t.n"""))
+      FROM cum, t GROUP BY t.n""")),
+
+    // §2.3 H3-style hexagonal binning (core.Hex — the north star names
+    // H3/S2; quadkey cells are the join-key workhorse, hexes add the
+    // uniform-adjacency density binning H3 is used for). Pointy-top
+    // axial coords + canonical cube-round, every step plain IEEE doubles
+    // in a fixed op order with explicit floor(v+0.5) rounding — so the
+    // oracle replays the WHOLE kernel (axial transform, cube round,
+    // largest-error repair) bit-for-bit in SQL.
+    ("q170_hex_bin", (s: SparkSession, dir: String) => {
+      Fixtures.pointsFromOrders(s, dir)
+        .select(hex_of(col("lon"), col("lat"), 4.0).as("hex"))
+        .groupBy(col("hex")).agg(count(lit(1)).as("n"))
+        .select((shiftright(col("hex"), 21) - lit(1L << 20)).as("hexq"),
+          (col("hex").bitwiseAND(lit((1L << 21) - 1L)) - lit(1L << 20)).as("hexr"),
+          col("n"))
+    }, Some(s"""
+      WITH $PtsCte,
+      ax AS (
+        SELECT point_id,
+          (sqrt(3.0) / 3.0 * lon - (1.0 / 3.0) * lat) / 4.0 AS qt,
+          ((2.0 / 3.0) * lat) / 4.0 AS rt
+        FROM pts),
+      cu AS (SELECT point_id, qt, rt, (-qt) - rt AS yt FROM ax),
+      rr AS (SELECT point_id, qt, rt, yt,
+        floor(qt + 0.5) AS rx, floor(yt + 0.5) AS ry, floor(rt + 0.5) AS rz FROM cu),
+      dd AS (SELECT point_id, rx, ry, rz,
+        abs(rx - qt) AS dx, abs(ry - yt) AS dy, abs(rz - rt) AS dz FROM rr),
+      fx AS (SELECT point_id,
+        CASE WHEN dx > dy AND dx > dz THEN (-ry) - rz ELSE rx END AS fq,
+        CASE WHEN dx > dy AND dx > dz THEN rz
+             WHEN dy > dz THEN rz
+             ELSE (-rx) - ry END AS fr
+        FROM dd)
+      SELECT CAST(fq AS BIGINT) AS hexq, CAST(fr AS BIGINT) AS hexr,
+        CAST(count(*) AS BIGINT) AS n
+      FROM fx GROUP BY 1, 2"""))
   )
 
   /** safe SQL column suffix for a blend op name. */
