@@ -3050,7 +3050,59 @@ object Geospatial {
         FROM dd)
       SELECT CAST(fq AS BIGINT) AS hexq, CAST(fr AS BIGINT) AS hexr,
         CAST(count(*) AS BIGINT) AS n
-      FROM fx GROUP BY 1, 2"""))
+      FROM fx GROUP BY 1, 2""")),
+
+    // Hex neighborhood smoothing — the classic H3 density operation:
+    // each occupied hex's count is averaged with its 6 axial neighbors
+    // (sum7 over the 1-disk; nbrs = occupied members). Adjacency rides
+    // PACKED-ID ARITHMETIC: pack(q+dq, r+dr) = hex + (dq<<21) + dr (no
+    // carry across the 21-bit field within the enforced bounds), so the
+    // whole smoothing is explode(7 offsets) + one hash aggregation + a
+    // join back to occupied bins — no geometry, no udf. Oracle: the
+    // q170 bin chain + a 7-row offset join on (q, r).
+    ("q171_hex_smooth", (s: SparkSession, dir: String) => {
+      val offsets = Seq((0, 0), (1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1))
+      val bins = graft.pipeline.Caches.persist(
+        Fixtures.pointsFromOrders(s, dir)
+          .select(hex_of(col("lon"), col("lat"), 4.0).as("hex"))
+          .groupBy(col("hex")).agg(count(lit(1)).as("n")))
+      val contrib = bins.select(
+        explode(array(offsets.map { case (dq, dr) =>
+          col("hex") + lit((dq.toLong << 21) + dr) }: _*)).as("tgt"), col("n"))
+      val smoothed = contrib.groupBy(col("tgt"))
+        .agg(sum(col("n")).as("sum7"), count(lit(1)).as("nbrs"))
+      bins.join(smoothed, col("hex") === col("tgt"))
+        .select((shiftright(col("hex"), 21) - lit(1L << 20)).as("hexq"),
+          (col("hex").bitwiseAND(lit((1L << 21) - 1L)) - lit(1L << 20)).as("hexr"),
+          col("n"), col("sum7"), col("nbrs").cast("int").as("nbrs"))
+    }, Some(s"""
+      WITH $PtsCte,
+      ax AS (
+        SELECT point_id,
+          (sqrt(3.0) / 3.0 * lon - (1.0 / 3.0) * lat) / 4.0 AS qt,
+          ((2.0 / 3.0) * lat) / 4.0 AS rt
+        FROM pts),
+      cu AS (SELECT point_id, qt, rt, (-qt) - rt AS yt FROM ax),
+      rr AS (SELECT point_id, qt, rt, yt,
+        floor(qt + 0.5) AS rx, floor(yt + 0.5) AS ry, floor(rt + 0.5) AS rz FROM cu),
+      dd AS (SELECT point_id, rx, ry, rz,
+        abs(rx - qt) AS dx, abs(ry - yt) AS dy, abs(rz - rt) AS dz FROM rr),
+      fx AS (SELECT point_id,
+        CASE WHEN dx > dy AND dx > dz THEN (-ry) - rz ELSE rx END AS fq,
+        CASE WHEN dx > dy AND dx > dz THEN rz
+             WHEN dy > dz THEN rz
+             ELSE (-rx) - ry END AS fr
+        FROM dd),
+      bins AS (
+        SELECT CAST(fq AS BIGINT) AS hexq, CAST(fr AS BIGINT) AS hexr,
+          CAST(count(*) AS BIGINT) AS n
+        FROM fx GROUP BY 1, 2),
+      off(dq, dr) AS (VALUES (0, 0), (1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1))
+      SELECT t.hexq, t.hexr, t.n,
+        CAST(sum(s.n) AS BIGINT) AS sum7, CAST(count(*) AS INT) AS nbrs
+      FROM bins t JOIN off o ON true
+      JOIN bins s ON s.hexq = t.hexq + o.dq AND s.hexr = t.hexr + o.dr
+      GROUP BY t.hexq, t.hexr, t.n"""))
   )
 
   /** safe SQL column suffix for a blend op name. */
