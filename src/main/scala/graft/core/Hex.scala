@@ -55,10 +55,15 @@ object Hex {
     (math.sqrt(3.0) * size * (q + r / 2.0), 1.5 * size * r)
   }
 
+  /** The six axial directions — SYMMETRIC under negation (q171's
+    * scatter-vs-gather oracle equivalence depends on this; keep it the
+    * single definition). */
+  val Directions: Seq[(Int, Int)] =
+    Seq((1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1))
+
   /** The six axial neighbor ids of a hex. */
   def neighbors(id: Long): Seq[Long] = {
     val q = unpackQ(id); val r = unpackR(id)
-    Seq((1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1))
-      .map { case (dq, dr) => pack(q + dq, r + dr) }
+    Directions.map { case (dq, dr) => pack(q + dq, r + dr) }
   }
 }

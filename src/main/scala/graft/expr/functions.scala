@@ -367,6 +367,8 @@ object GraftExtensions {
   val registry: Seq[(String, (ExpressionInfo, Seq[Expression] => Expression))] = Seq(
     "cell_of" -> ((info("cell_of", "cell_of(lon, lat, level) - packed quadtree cell id"),
       (e: Seq[Expression]) => CellOf(e(0), e(1), e(2)))),
+    "hex_of" -> ((info("hex_of", "hex_of(lon, lat, size) - packed axial hex cell id"),
+      (e: Seq[Expression]) => HexOf(e(0), e(1), e(2)))),
     "cell_block" -> ((info("cell_block", "cell_block(cell, r) - cells within Chebyshev ring r"),
       (e: Seq[Expression]) => CellBlock(e(0), e(1)))),
     "st_env" -> ((info("st_env", "st_env(wkb) - [minx,miny,maxx,maxy]"),

@@ -26,6 +26,31 @@ object Geospatial {
       |         o_totalprice
       |  FROM orders)""".stripMargin
 
+  /** Shared hex-bin CTE chain (mirrors core.Hex.hexOf at size = 4.0
+    * verbatim — ONE definition feeds both q170 and q171 so the oracles
+    * cannot silently certify different kernels): expects `pts` in
+    * scope, ends at `bins(hexq, hexr, n)`. */
+  private val HexBinCtes = """ax AS (
+        SELECT point_id,
+          (sqrt(3.0) / 3.0 * lon - (1.0 / 3.0) * lat) / 4.0 AS qt,
+          ((2.0 / 3.0) * lat) / 4.0 AS rt
+        FROM pts),
+      cu AS (SELECT point_id, qt, rt, (-qt) - rt AS yt FROM ax),
+      rr AS (SELECT point_id, qt, rt, yt,
+        floor(qt + 0.5) AS rx, floor(yt + 0.5) AS ry, floor(rt + 0.5) AS rz FROM cu),
+      dd AS (SELECT point_id, rx, ry, rz,
+        abs(rx - qt) AS dx, abs(ry - yt) AS dy, abs(rz - rt) AS dz FROM rr),
+      fx AS (SELECT point_id,
+        CASE WHEN dx > dy AND dx > dz THEN (-ry) - rz ELSE rx END AS fq,
+        CASE WHEN dx > dy AND dx > dz THEN rz
+             WHEN dy > dz THEN rz
+             ELSE (-rx) - ry END AS fr
+        FROM dd),
+      bins AS (
+        SELECT CAST(fq AS BIGINT) AS hexq, CAST(fr AS BIGINT) AS hexr,
+          CAST(count(*) AS BIGINT) AS n
+        FROM fx GROUP BY 1, 2)"""
+
   private val MercC = "((6378137.0 * pi()) / 180.0)" // degrees→meters (Mercator.x)
   private def mercY(lat: String) =
     s"(6378137.0 * ln(tan((pi() / 4.0) + (($lat * (pi() / 180.0)) / 2.0))))"
@@ -3032,25 +3057,8 @@ object Geospatial {
           col("n"))
     }, Some(s"""
       WITH $PtsCte,
-      ax AS (
-        SELECT point_id,
-          (sqrt(3.0) / 3.0 * lon - (1.0 / 3.0) * lat) / 4.0 AS qt,
-          ((2.0 / 3.0) * lat) / 4.0 AS rt
-        FROM pts),
-      cu AS (SELECT point_id, qt, rt, (-qt) - rt AS yt FROM ax),
-      rr AS (SELECT point_id, qt, rt, yt,
-        floor(qt + 0.5) AS rx, floor(yt + 0.5) AS ry, floor(rt + 0.5) AS rz FROM cu),
-      dd AS (SELECT point_id, rx, ry, rz,
-        abs(rx - qt) AS dx, abs(ry - yt) AS dy, abs(rz - rt) AS dz FROM rr),
-      fx AS (SELECT point_id,
-        CASE WHEN dx > dy AND dx > dz THEN (-ry) - rz ELSE rx END AS fq,
-        CASE WHEN dx > dy AND dx > dz THEN rz
-             WHEN dy > dz THEN rz
-             ELSE (-rx) - ry END AS fr
-        FROM dd)
-      SELECT CAST(fq AS BIGINT) AS hexq, CAST(fr AS BIGINT) AS hexr,
-        CAST(count(*) AS BIGINT) AS n
-      FROM fx GROUP BY 1, 2""")),
+      $HexBinCtes
+      SELECT hexq, hexr, n FROM bins""")),
 
     // Hex neighborhood smoothing — the classic H3 density operation:
     // each occupied hex's count is averaged with its 6 axial neighbors
@@ -3061,7 +3069,7 @@ object Geospatial {
     // join back to occupied bins — no geometry, no udf. Oracle: the
     // q170 bin chain + a 7-row offset join on (q, r).
     ("q171_hex_smooth", (s: SparkSession, dir: String) => {
-      val offsets = Seq((0, 0), (1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1))
+      val offsets = (0, 0) +: graft.core.Hex.Directions
       val bins = graft.pipeline.Caches.persist(
         Fixtures.pointsFromOrders(s, dir)
           .select(hex_of(col("lon"), col("lat"), 4.0).as("hex"))
@@ -3077,27 +3085,9 @@ object Geospatial {
           col("n"), col("sum7"), col("nbrs").cast("int").as("nbrs"))
     }, Some(s"""
       WITH $PtsCte,
-      ax AS (
-        SELECT point_id,
-          (sqrt(3.0) / 3.0 * lon - (1.0 / 3.0) * lat) / 4.0 AS qt,
-          ((2.0 / 3.0) * lat) / 4.0 AS rt
-        FROM pts),
-      cu AS (SELECT point_id, qt, rt, (-qt) - rt AS yt FROM ax),
-      rr AS (SELECT point_id, qt, rt, yt,
-        floor(qt + 0.5) AS rx, floor(yt + 0.5) AS ry, floor(rt + 0.5) AS rz FROM cu),
-      dd AS (SELECT point_id, rx, ry, rz,
-        abs(rx - qt) AS dx, abs(ry - yt) AS dy, abs(rz - rt) AS dz FROM rr),
-      fx AS (SELECT point_id,
-        CASE WHEN dx > dy AND dx > dz THEN (-ry) - rz ELSE rx END AS fq,
-        CASE WHEN dx > dy AND dx > dz THEN rz
-             WHEN dy > dz THEN rz
-             ELSE (-rx) - ry END AS fr
-        FROM dd),
-      bins AS (
-        SELECT CAST(fq AS BIGINT) AS hexq, CAST(fr AS BIGINT) AS hexr,
-          CAST(count(*) AS BIGINT) AS n
-        FROM fx GROUP BY 1, 2),
-      off(dq, dr) AS (VALUES (0, 0), (1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1))
+      $HexBinCtes,
+      off(dq, dr) AS (VALUES ${((0, 0) +: graft.core.Hex.Directions)
+        .map { case (dq, dr) => s"($dq, $dr)" }.mkString(", ")})
       SELECT t.hexq, t.hexr, t.n,
         CAST(sum(s.n) AS BIGINT) AS sum7, CAST(count(*) AS INT) AS nbrs
       FROM bins t JOIN off o ON true

@@ -59,7 +59,10 @@ class HexSpec extends AnyFunSuite {
       val t = i / 100.0
       val lon = ax + (bx - ax) * t; val lat = ay + (by - ay) * t
       val id = Hex.hexOf(lon, lat, Size)
-      assert(id == (if (t < 0.5) a else if (t > 0.5) b else id),
+      // the exact midpoint tie-break is pinned: the cube-round's strict
+      // `dx > dy` comparisons keep the FIRST candidate (hex a) on ties
+      val expect = if (t <= 0.5) a else b
+      assert(id == expect,
         s"t=$t landed in (${Hex.unpackQ(id)},${Hex.unpackR(id)})")
     }
   }
