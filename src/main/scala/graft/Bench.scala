@@ -52,7 +52,8 @@ object Bench {
     "q161_rpc_warp_tiles", "q162_join_first_match",
     "q163_asof_join", "q164_interval_join", "q165_rollup",
     "q166_hll_distinct", "q167_token_quantiles", "q168_cms_heavyhitters",
-    "q169_cell_skew_profile", "q170_hex_bin", "q171_hex_smooth")
+    "q169_cell_skew_profile", "q170_hex_bin", "q171_hex_smooth",
+    "q172_hex_pip_join")
 
   def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()

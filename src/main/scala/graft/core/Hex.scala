@@ -55,6 +55,39 @@ object Hex {
     (math.sqrt(3.0) * size * (q + r / 2.0), 1.5 * size * r)
   }
 
+  /** Hex ids whose CENTER lies in the envelope expanded by one
+    * circumradius — the candidate cover for hex-keyed spatial joins.
+    * Recall guarantee: for any point p inside the envelope, the center
+    * of hexOf(p) is within `size` of p (circumradius bound), hence
+    * inside the expanded envelope, hence enumerated — so
+    * join-on-cover ⊇ join-exact, and an exact refine after the equi-join
+    * restores equality (the H3 polyfill-with-buffer recipe). */
+  def coverCenters(minx: Double, miny: Double, maxx: Double, maxy: Double,
+                   size: Double): Array[Long] = {
+    val x0 = minx - size; val x1 = maxx + size
+    val y0 = miny - size; val y1 = maxy + size
+    val s3 = math.sqrt(3.0) * size
+    val rLo = math.floor((2.0 / 3.0) * y0 / size).toLong - 1
+    val rHi = math.ceil((2.0 / 3.0) * y1 / size).toLong + 1
+    val buf = scala.collection.mutable.ArrayBuffer[Long]()
+    var r = rLo
+    while (r <= rHi) {
+      val latC = 1.5 * size * r
+      if (latC >= y0 && latC <= y1) {
+        val qLo = math.floor(x0 / s3 - r / 2.0).toLong - 1
+        val qHi = math.ceil(x1 / s3 - r / 2.0).toLong + 1
+        var q = qLo
+        while (q <= qHi) {
+          val lonC = s3 * (q + r / 2.0)
+          if (lonC >= x0 && lonC <= x1) buf += pack(q, r)
+          q += 1
+        }
+      }
+      r += 1
+    }
+    buf.toArray
+  }
+
   /** The six axial directions — SYMMETRIC under negation (q171's
     * scatter-vs-gather oracle equivalence depends on this; keep it the
     * single definition). */

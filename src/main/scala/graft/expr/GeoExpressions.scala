@@ -43,6 +43,31 @@ case class HexOf(first: Expression, second: Expression, third: Expression)
     copy(first = f, second = s, third = t)
 }
 
+/** hex_cover(env, size) → array<long> hex ids covering the envelope
+  * (core.Hex.coverCenters — center-in-expanded-box rule, recall-safe
+  * superset for hex-keyed joins). */
+case class HexCover(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(ArrayType(DoubleType), DoubleType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hex_cover"
+  override protected def nullSafeEval(env: Any, size: Any): Any = {
+    val e = env.asInstanceOf[ArrayData]
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      graft.core.Hex.coverCenters(e.getDouble(0), e.getDouble(1), e.getDouble(2), e.getDouble(3),
+        size.asInstanceOf[Double]))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (env, size) =>
+      s"""new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          graft.core.Hex.coverCenters($env.getDouble(0), $env.getDouble(1),
+            $env.getDouble(2), $env.getDouble(3), $size))""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HexCover =
+    copy(left = l, right = r)
+}
+
 /** st_env(wkb) → array<double>[minx,miny,maxx,maxy] without full parse. */
 case class WkbEnvelope(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(BinaryType)

@@ -35,6 +35,9 @@ object functions {
   def hex_of(lon: Column, lat: Column, size: Double): Column =
     toCol(HexOf(toExpr(lon), toExpr(lat), org.apache.spark.sql.catalyst.expressions.Literal(size)))
 
+  def hex_cover(env: Column, size: Double): Column =
+    toCol(HexCover(toExpr(env), org.apache.spark.sql.catalyst.expressions.Literal(size)))
+
   def cell_block(cell: Column, r: Column): Column =
     toCol(CellBlock(toExpr(cell), toExpr(r)))
 
@@ -369,6 +372,8 @@ object GraftExtensions {
       (e: Seq[Expression]) => CellOf(e(0), e(1), e(2)))),
     "hex_of" -> ((info("hex_of", "hex_of(lon, lat, size) - packed axial hex cell id"),
       (e: Seq[Expression]) => HexOf(e(0), e(1), e(2)))),
+    "hex_cover" -> ((info("hex_cover", "hex_cover(env, size) - hex ids covering an envelope"),
+      (e: Seq[Expression]) => HexCover(e(0), e(1)))),
     "cell_block" -> ((info("cell_block", "cell_block(cell, r) - cells within Chebyshev ring r"),
       (e: Seq[Expression]) => CellBlock(e(0), e(1)))),
     "st_env" -> ((info("st_env", "st_env(wkb) - [minx,miny,maxx,maxy]"),

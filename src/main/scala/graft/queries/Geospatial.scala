@@ -3092,7 +3092,27 @@ object Geospatial {
         CAST(sum(s.n) AS BIGINT) AS sum7, CAST(count(*) AS INT) AS nbrs
       FROM bins t JOIN off o ON true
       JOIN bins s ON s.hexq = t.hexq + o.dq AND s.hexr = t.hexr + o.dr
-      GROUP BY t.hexq, t.hexr, t.n"""))
+      GROUP BY t.hexq, t.hexr, t.n""")),
+
+    // §2.3 the PIP join keyed on HEX cells — the cell-system-agnostic
+    // index claim made concrete: same filter-refine contract as q22,
+    // candidates from hex_cover (center-in-expanded-box, recall-safe by
+    // the circumradius bound), exact PIP refine. The oracle is q22's
+    // DIRECT theta join — result parity proves the hex cover misses
+    // nothing (a recall bug = missing rows, not a tolerated approximation).
+    ("q172_hex_pip_join", (s: SparkSession, dir: String) => {
+      val pts = Fixtures.pointsFromOrders(s, dir).select("point_id", "lon", "lat")
+      val regions = Fixtures.regionBoxes(s, dir)
+      SpatialJoin.hexPipJoin(pts, regions, size = 4.0)
+        .select(col("point_id"), col("region_id"))
+    }, Some(s"""
+      WITH $PtsCte
+      SELECT p.point_id AS point_id, CAST(n.n_nationkey AS BIGINT) AS region_id
+      FROM pts p, nation n
+      WHERE p.lon > ((((n.n_nationkey % 5) * 72.0) - 180.0) + 0.0005)
+        AND p.lon < (((((n.n_nationkey % 5) * 72.0) - 180.0) + 0.0005) + 57.6)
+        AND p.lat > (((((n.n_nationkey - (n.n_nationkey % 5)) / 5) * 34.0) - 85.0) + 0.0005)
+        AND p.lat < ((((((n.n_nationkey - (n.n_nationkey % 5)) / 5) * 34.0) - 85.0) + 0.0005) + 27.2)"""))
   )
 
   /** safe SQL column suffix for a blend op name. */

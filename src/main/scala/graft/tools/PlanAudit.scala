@@ -39,7 +39,8 @@ object PlanAudit {
       "q161_rpc_warp_tiles", "q162_join_first_match",
       "q163_asof_join", "q164_interval_join", "q165_rollup",
       "q166_hll_distinct", "q167_token_quantiles", "q168_cms_heavyhitters",
-      "q169_cell_skew_profile", "q170_hex_bin", "q171_hex_smooth")
+      "q169_cell_skew_profile", "q170_hex_bin", "q171_hex_smooth",
+      "q172_hex_pip_join")
     // local-iteration filter, mirroring Verify's
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     names.filter(n => only.forall(_.contains(n))).foreach { n =>

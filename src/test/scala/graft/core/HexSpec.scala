@@ -51,6 +51,27 @@ class HexSpec extends AnyFunSuite {
     }
   }
 
+  test("coverCenters recall: every point's hex is in its box's cover (random boxes)") {
+    val rnd = new scala.util.Random(41)
+    (1 to 200).foreach { _ =>
+      val minx = rnd.nextDouble() * 300 - 180
+      val miny = rnd.nextDouble() * 150 - 85
+      val maxx = minx + rnd.nextDouble() * 60
+      val maxy = miny + rnd.nextDouble() * 30
+      val cover = Hex.coverCenters(minx, miny, maxx, maxy, Size).toSet
+      (1 to 20).foreach { _ =>
+        val lon = minx + rnd.nextDouble() * (maxx - minx)
+        val lat = miny + rnd.nextDouble() * (maxy - miny)
+        assert(cover.contains(Hex.hexOf(lon, lat, Size)),
+          s"point ($lon, $lat) hex missing from cover of [$minx,$miny,$maxx,$maxy]")
+      }
+      // tightness sanity: cover is O(area/hex-area), not wildly padded
+      val hexArea = 3.0 * math.sqrt(3.0) / 2.0 * Size * Size
+      val boxArea = (maxx - minx + 4 * Size) * (maxy - miny + 4 * Size)
+      assert(cover.size <= boxArea / hexArea * 2 + 16, s"cover too large: ${cover.size}")
+    }
+  }
+
   test("points near a shared edge split between exactly the two adjacent hexes") {
     // walk across the border between hex (0,0) and its +q neighbor
     val a = Hex.pack(0, 0); val b = Hex.pack(1, 0)
