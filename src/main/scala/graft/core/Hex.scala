@@ -64,6 +64,9 @@ object Hex {
     * restores equality (the H3 polyfill-with-buffer recipe). */
   def coverCenters(minx: Double, miny: Double, maxx: Double, maxy: Double,
                    size: Double): Array[Long] = {
+    // fail loudly: size <= 0 / NaN would saturate the loop bounds and
+    // silently return an EMPTY cover — a join that quietly drops rows
+    require(size > 0.0, s"hex size must be positive, got $size")
     val x0 = minx - size; val x1 = maxx + size
     val y0 = miny - size; val y1 = maxy + size
     val s3 = math.sqrt(3.0) * size

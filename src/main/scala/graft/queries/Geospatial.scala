@@ -51,6 +51,18 @@ object Geospatial {
           CAST(count(*) AS BIGINT) AS n
         FROM fx GROUP BY 1, 2)"""
 
+  /** Shared points×region-boxes theta-join oracle (mirrors
+    * Fixtures.regionBoxesSpec verbatim — ONE copy feeds q22 and q172, so
+    * the quadkey-keyed and hex-keyed joins are certified against the
+    * same fixture arithmetic). Expects `pts` in scope. */
+  private val RegionThetaSql = """
+      SELECT p.point_id AS point_id, CAST(n.n_nationkey AS BIGINT) AS region_id
+      FROM pts p, nation n
+      WHERE p.lon > ((((n.n_nationkey % 5) * 72.0) - 180.0) + 0.0005)
+        AND p.lon < (((((n.n_nationkey % 5) * 72.0) - 180.0) + 0.0005) + 57.6)
+        AND p.lat > (((((n.n_nationkey - (n.n_nationkey % 5)) / 5) * 34.0) - 85.0) + 0.0005)
+        AND p.lat < ((((((n.n_nationkey - (n.n_nationkey % 5)) / 5) * 34.0) - 85.0) + 0.0005) + 27.2)"""
+
   private val MercC = "((6378137.0 * pi()) / 180.0)" // degrees→meters (Mercator.x)
   private def mercY(lat: String) =
     s"(6378137.0 * ln(tan((pi() / 4.0) + (($lat * (pi() / 180.0)) / 2.0))))"
@@ -357,12 +369,7 @@ object Geospatial {
         .select(col("point_id"), col("region_id"))
     }, Some(s"""
       WITH $PtsCte
-      SELECT p.point_id AS point_id, CAST(n.n_nationkey AS BIGINT) AS region_id
-      FROM pts p, nation n
-      WHERE p.lon > ((((n.n_nationkey % 5) * 72.0) - 180.0) + 0.0005)
-        AND p.lon < (((((n.n_nationkey % 5) * 72.0) - 180.0) + 0.0005) + 57.6)
-        AND p.lat > (((((n.n_nationkey - (n.n_nationkey % 5)) / 5) * 34.0) - 85.0) + 0.0005)
-        AND p.lat < ((((((n.n_nationkey - (n.n_nationkey % 5)) / 5) * 34.0) - 85.0) + 0.0005) + 27.2)""")),
+      $RegionThetaSql""")),
 
     // §2.8 footprint: gt/w/h → geo envelope (4326 branch, oracle-checkable)
     ("q23_footprint_env", (s: SparkSession, dir: String) => {
@@ -3107,12 +3114,7 @@ object Geospatial {
         .select(col("point_id"), col("region_id"))
     }, Some(s"""
       WITH $PtsCte
-      SELECT p.point_id AS point_id, CAST(n.n_nationkey AS BIGINT) AS region_id
-      FROM pts p, nation n
-      WHERE p.lon > ((((n.n_nationkey % 5) * 72.0) - 180.0) + 0.0005)
-        AND p.lon < (((((n.n_nationkey % 5) * 72.0) - 180.0) + 0.0005) + 57.6)
-        AND p.lat > (((((n.n_nationkey - (n.n_nationkey % 5)) / 5) * 34.0) - 85.0) + 0.0005)
-        AND p.lat < ((((((n.n_nationkey - (n.n_nationkey % 5)) / 5) * 34.0) - 85.0) + 0.0005) + 27.2)"""))
+      $RegionThetaSql"""))
   )
 
   /** safe SQL column suffix for a blend op name. */
